@@ -397,7 +397,8 @@ def _gen_pages(rng, sf, addresses: pd.DataFrame):
 def _write(df: pd.DataFrame, path: Path):
     table = pa.Table.from_pandas(df, preserve_index=False)
     tmp = Path(tempfile.mktemp(dir=str(path.parent), suffix=".parquet"))
-    pq.write_table(table, tmp)
+    # Spark rejects TIMESTAMP(NANOS) parquet — write microseconds.
+    pq.write_table(table, tmp, coerce_timestamps="us", allow_truncated_timestamps=True)
     os.replace(tmp, path)
 
 

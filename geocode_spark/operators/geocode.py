@@ -354,15 +354,40 @@ def geocode_metrics(result: DataFrame) -> DataFrame:
     """
     failed = F.col("message").isNotNull()
     n_fail = F.sum(F.when(failed, 1).otherwise(0))
+    # Rounding is floor(x+0.5) (half-up) for exact Spark/DuckDB agreement; the
+    # reference uses Python round() (banker's) — divergence confined to exact
+    # .5 fractions (geocode.py:151-158).
     return result.agg(
         F.count("*").cast("bigint").alias("total"),
         n_fail.cast("bigint").alias("fail"),
         F.sum(F.when(~failed, 1).otherwise(0)).cast("bigint").alias("success"),
         # ZeroDivisionError -> 100 (reference geocode.py:151-154)
         F.when(F.count("*") > 0,
-               F.bround(F.lit(100.0) * n_fail / F.count("*")))
-        .otherwise(F.lit(100.0)).cast("bigint").alias("failure_rate"),
-        F.bround(F.avg(F.when(~failed, F.col("score")))).cast("bigint").alias(
+               F.floor(F.lit(100.0) * n_fail / F.count("*") + 0.5))
+        .otherwise(F.lit(100)).cast("bigint").alias("failure_rate"),
+        F.floor(F.avg(F.when(~failed, F.col("score"))) + 0.5).cast("bigint").alias(
             "average_score"
         ),
+    )
+
+
+def geocode_metrics_by_grid(result: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Per-grid success metrics with a salted two-phase aggregation.
+
+    The zone distribution is heavily skewed (SALT LAKE CITY dominates — the
+    north-rule hot-cell mandate), so a naive groupBy(addressGrid) funnels most
+    rows through one reducer. Phase 1 aggregates on (grid, salt) — spreading
+    the hot grid over `salt_buckets` reducers — phase 2 combines the tiny
+    partial table. Result is identical to the unsalted aggregation (the
+    DuckDB oracle IS the unsalted form).
+    """
+    salted = (
+        result.filter(F.col("message").isNull())
+        .withColumn("_salt", F.pmod(F.hash("primary_key"), F.lit(salt_buckets)))
+        .groupBy("addressGrid", "_salt")
+        .agg(F.count("*").alias("_n"), F.sum("score").alias("_s"))
+    )
+    return salted.groupBy("addressGrid").agg(
+        F.sum("_n").cast("bigint").alias("n_success"),
+        F.sum("_s").cast("bigint").alias("sum_score"),
     )
