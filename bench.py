@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the engine's headline queries and prints ONE JSON line.
+
+Usage:
+    python bench.py                  # all queries at $SPARK_GRAFT_SF_DIR
+    python bench.py --scaling        # flagship pipeline at 2 parallelism levels
+                                     # (local[N] vs local[4N]) -> scaling efficiency
+
+Env:
+    SPARK_GRAFT_SF_DIR  input scale dir  (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    parallelism      (default 32)
+
+The per-round driver records this output as BENCH_r{N}.json. The --scaling
+mode is the sandbox stand-in for the north rule's two-cluster-size criterion
+(BASELINE.json): same deterministic input, same job, two parallelism levels,
+efficiency = (t_low / t_high) / (cpus_high / cpus_low).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _session(cpus: int, app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _force(df) -> int:
+    """Fully execute a plan without collecting rows to the driver."""
+    return df.count()
+
+
+def run_bench() -> dict:
+    import __spark_entry__ as entrymod
+
+    spark = _session(CPUS, "geocode-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+
+    qtimes: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_DIR)
+        df.count()  # warm (plan compile + fixture materialization + JIT)
+        t0 = time.perf_counter()
+        rows[name] = _force(fn(spark, SF_DIR))
+        qtimes[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(qtimes.values()), 4)
+    out = {
+        "metric": "total headline-query wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "rows": rows,
+        "sf": sf,
+        "cpus": CPUS,
+    }
+    spark.stop()
+    return out
+
+
+def run_scaling() -> dict:
+    """Flagship pages->geocode pipeline at local[N] and local[4N]."""
+    lo = max(2, CPUS // 4)
+    hi = CPUS
+    res = {}
+    for cpus in (lo, hi):
+        spark = _session(cpus, f"geocode-spark-scaling-{cpus}")
+        spark.sparkContext.setLogLevel("ERROR")
+        from geocode_spark.fixtures import ensure_fixtures
+        from geocode_spark.plans.pipeline import geocode_pages, load_locators
+
+        fix = str(ensure_fixtures(SF_DIR))
+        pages = spark.read.parquet(f"{fix}/pages.parquet")
+        n = pages.count()
+        geocode_pages(pages, load_locators(spark, fix)).count()  # warm
+        t0 = time.perf_counter()
+        out_rows = geocode_pages(pages, load_locators(spark, fix)).count()
+        dt = time.perf_counter() - t0
+        res[cpus] = {"sec": round(dt, 4), "pages_per_sec": round(n / dt, 1),
+                     "rows_out": out_rows}
+        spark.stop()
+    speedup = res[lo]["sec"] / res[hi]["sec"]
+    eff = speedup / (hi / lo)
+    return {
+        "metric": "scaling efficiency (local[%d] -> local[%d])" % (lo, hi),
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "levels": res,
+        "speedup": round(speedup, 3),
+        "sf_dir": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
