@@ -1,0 +1,381 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB corpora):
+ - exact dedup: one hash-groupBy on md5(text) — map-side partial agg, single
+   shuffle keyed on the hash (uniform by construction, skew-free).
+ - n-gram Jaccard: the exact-pairs baseline. Shuffle joins keyed on shingle;
+   shingle keys are near-uniform (3-gram space is huge), so no salting needed.
+   Quadratic only within a shingle's posting list — at web scale you run
+   MinHash first and use this as the verifier.
+ - MinHash+LSH: shingle -> 128-permutation signature (Arrow-vectorized pandas
+   UDF, numpy inner loop) -> 32 bands x 4 rows -> band-key equi-join generates
+   candidates -> exact Jaccard verification. Only candidate pairs are
+   verified; the corpus is never self-joined on raw content.
+ - SimHash: 60-bit signature (md5-bit majority) -> 5 x 12-bit chunk keys; by
+   pigeonhole, any pair within Hamming distance 4 shares at least one chunk,
+   so the chunk equi-join is a COMPLETE candidate generator for d<=4.
+
+Every operator has a DuckDB oracle twin built from the same constants; the
+MinHash query's oracle is the brute-force Jaccard (LSH at 32x4 has miss
+probability <1e-13 for Jaccard>=0.85 pairs, and verification removes all
+false positives, so outputs coincide on the test corpora).
+
+The dedup corpus is derived deterministically from the driver's `documents`
+table (duplicate + truncated-near-duplicate injection) — identically in both
+engines — because the raw table contains no duplicate pairs to exercise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+WS = r"\s+"
+
+# MinHash parameters (module constants — both engines, frozen).
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; keeps a*h+b inside uint64
+N_HASHES = 128
+N_BANDS = 32
+BAND_ROWS = N_HASHES // N_BANDS
+_rng = np.random.default_rng(7)
+MINHASH_A = _rng.integers(1, MINHASH_PRIME, size=N_HASHES, dtype=np.uint64)
+MINHASH_B = _rng.integers(0, MINHASH_PRIME, size=N_HASHES, dtype=np.uint64)
+
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 5  # 5 x 12 bits; complete for hamming <= 4 by pigeonhole
+SIMHASH_MAX_HAMMING = 4
+
+
+# ------------------------------------------------------------ corpus derivation
+def near_dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents + injected exact copies (id%7==0 -> +1e6) and truncated
+    near-copies (id%5==0 and >=20 tokens -> +2e6, last 2 words dropped)."""
+    did = F.col("doc_id")
+    toks = F.split(F.trim(F.col("text")), WS)
+    base = docs.select(did.alias("doc_id"), F.col("text"))
+    exact = docs.filter(did % 7 == 0).select(
+        (did + 1_000_000).alias("doc_id"), F.col("text")
+    )
+    near = docs.filter((did % 5 == 0) & (F.size(toks) >= 20)).select(
+        (did + 2_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 2), " ").alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def corpus_sql(source: str) -> str:
+    return f"""(
+  SELECT doc_id, text FROM {source}
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM {source} WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(toks[1:len(toks)-2], ' ') AS text
+  FROM (SELECT doc_id, string_split_regex(trim(text), '{WS}') AS toks
+        FROM {source})
+  WHERE doc_id % 5 = 0 AND len(toks) >= 20
+)"""
+
+
+# -------------------------------------------------------------------- shingles
+def shingles_col(text: Column) -> Column:
+    """Distinct word-3-gram shingles of lowercased, whitespace-split text."""
+    toks = F.split(F.lower(F.trim(text)), WS)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - F.lit(3)),
+        lambda i: F.concat_ws(
+            " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+        ),
+    )
+    return F.when(n >= 3, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _shingles_sql(text: str) -> str:
+    toks = f"string_split_regex(lower(trim({text})), '{WS}')"
+    grams = (
+        f"list_transform(generate_series(1, len({toks}) - 2),"
+        f" i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])"
+    )
+    return f"(CASE WHEN len({toks}) >= 3 THEN list_distinct({grams}) ELSE [] END)"
+
+
+def _shingle_rows_cte(corpus: str) -> str:
+    """CTEs: sh (doc_id, shingle set size) and shx (doc_id, shingle)."""
+    return f"""
+sh AS (
+  SELECT doc_id, {_shingles_sql('text')} AS shingles FROM {corpus}
+),
+shn AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+shx AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)"""
+
+
+# ----------------------------------------------------------------- exact dedup
+def dedup_exact(corpus: DataFrame) -> DataFrame:
+    """Exact dedup: group on content hash; survivor = lowest doc_id."""
+    return (
+        corpus.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("survivor_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact_oracle_sql(source: str) -> str:
+    return f"""
+SELECT md5(text) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS survivor_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM {corpus_sql(source)} GROUP BY 1
+"""
+
+
+# -------------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact all-pairs word-3-gram Jaccard >= threshold (id_a < id_b)."""
+    sh = corpus.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
+    sh = sh.withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") >= 1)
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = ex.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    common = (
+        a.join(b, on=[a.shingle == b.shingle, a.id_a < b.id_b])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    ).cast("double")
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_oracle_sql(source: str, threshold: float = 0.8) -> str:
+    return f"""
+WITH corpus AS (SELECT * FROM {corpus_sql(source)}),
+{_shingle_rows_cte('corpus')},
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(common AS DOUBLE)
+             / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN shn na ON na.doc_id = id_a
+JOIN shn nb ON nb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE)
+      >= {threshold!r}
+"""
+
+
+# ----------------------------------------------------------------- MinHash+LSH
+def _md5_int64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def minhash_signature(shingles: pd.Series) -> pd.Series:
+    """128-permutation MinHash signature (Arrow batch in, numpy inner loop)."""
+    A, B, P = MINHASH_A, MINHASH_B, np.uint64(MINHASH_PRIME)
+    out = []
+    for sh in shingles:
+        if sh is None or len(sh) == 0:
+            out.append(None)
+            continue
+        h = np.fromiter(
+            (_md5_int64(s) % MINHASH_PRIME for s in sh),
+            dtype=np.uint64,
+            count=len(sh),
+        )
+        sig = ((A[:, None] * h[None, :] + B[:, None]) % P).min(axis=1)
+        out.append(sig.astype(np.int64).tolist())
+    return pd.Series(out)
+
+
+def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    Output equals ngram_jaccard_pairs wherever LSH recall is 1 (which it is,
+    to ~1e-13, for the >=0.85-Jaccard pairs these corpora contain)."""
+    sh = corpus.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
+    sh = sh.withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") >= 1)
+    sig = sh.withColumn("sig", minhash_signature("shingles"))
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        *[
+                            F.get("sig", b * BAND_ROWS + r).alias(f"k{r}")
+                            for r in range(BAND_ROWS)
+                        ],
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.*")
+    left = bands.select(F.col("doc_id").alias("id_a"), "band",
+                        *[f"k{r}" for r in range(BAND_ROWS)])
+    right = bands.select(F.col("doc_id").alias("id_b"), "band",
+                         *[f"k{r}" for r in range(BAND_ROWS)])
+    cand = (
+        left.join(right, on=["band"] + [f"k{r}" for r in range(BAND_ROWS)])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # exact verification on the candidate set only
+    sa = sh.select(F.col("doc_id").alias("id_a"),
+                   F.col("shingles").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"),
+                   F.col("shingles").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    v = cand.join(sa, "id_a").join(sb, "id_b")
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common.cast("double") / (
+        F.col("n_a") + F.col("n_b") - common
+    ).cast("double")
+    return (
+        v.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# oracle for minhash_lsh_pairs IS the brute-force jaccard (see module doc)
+minhash_lsh_oracle_sql = ngram_jaccard_oracle_sql
+
+
+# --------------------------------------------------------------------- SimHash
+@F.pandas_udf(LongType())
+def simhash60(text: pd.Series) -> pd.Series:
+    """60-bit SimHash over whitespace tokens; bit source = md5 hex nibbles.
+
+    Bit i (i=0..59) reads md5 bit (63-i) of each token (MSB-first over the
+    first 15 hex nibbles) and lands at output position (59-i) — the exact
+    layout the DuckDB oracle reproduces with hex-digit arithmetic."""
+    import re
+
+    out = np.zeros(len(text), dtype=np.int64)
+    for row, t in enumerate(text):
+        toks = re.split(r"\s+", t.strip().lower()) if t is not None else [""]
+        sums = np.zeros(SIMHASH_BITS, dtype=np.int64)
+        for tok in toks:
+            v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
+            for i in range(SIMHASH_BITS):
+                sums[i] += 1 if (v >> (63 - i)) & 1 else -1
+        h = 0
+        for i in range(SIMHASH_BITS):
+            if sums[i] >= 0:
+                h |= 1 << (59 - i)
+        out[row] = h
+    return pd.Series(out)
+
+
+def simhash_signatures(corpus: DataFrame) -> DataFrame:
+    return corpus.select("doc_id", simhash60(F.col("text")).alias("simhash"))
+
+
+def simhash_pairs(corpus: DataFrame,
+                  max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Pairs within Hamming distance `max_hamming` (<= 4: chunk join is a
+    complete candidate generator by pigeonhole over 5 x 12-bit chunks)."""
+    sig = simhash_signatures(corpus)
+    chunks = sig.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", 12 * c)
+                        .bitwiseAND(F.lit(4095))
+                        .alias("ck"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.*")
+    a = chunks.select(F.col("doc_id").alias("id_a"),
+                      F.col("simhash").alias("h_a"), "chunk", "ck")
+    b = chunks.select(F.col("doc_id").alias("id_b"),
+                      F.col("simhash").alias("h_b"), "chunk", "ck")
+    cand = (
+        a.join(b, on=["chunk", "ck"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("bigint")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _simhash_cte(corpus: str) -> str:
+    nib = "strpos('0123456789abcdef', substr(h, (i.i // 4) + 1, 1)) - 1"
+    bit = f"((({nib}) >> (3 - (i.i % 4))) & 1)"
+    return f"""
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '{WS}')) AS tok
+  FROM {corpus}
+),
+hx AS (SELECT doc_id, md5(tok) AS h FROM toks),
+bitsums AS (
+  SELECT doc_id, i.i AS i,
+         sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s
+  FROM hx CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS i) i
+  GROUP BY doc_id, i.i
+),
+simsig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << (59 - i)) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bitsums GROUP BY doc_id
+)"""
+
+
+def simhash_signatures_oracle_sql(source: str) -> str:
+    return f"""
+WITH corpus AS (SELECT * FROM {corpus_sql(source)}),
+{_simhash_cte('corpus')}
+SELECT doc_id, simhash FROM simsig
+"""
+
+
+def simhash_pairs_oracle_sql(source: str,
+                             max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    """Brute-force Hamming pairs — ground truth for the chunk-join variant."""
+    return f"""
+WITH corpus AS (SELECT * FROM {corpus_sql(source)}),
+{_simhash_cte('corpus')}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

@@ -1,0 +1,210 @@
+"""Multimodal columns: opaque binary payloads with typed metadata.
+
+The pages fixture carries an `html: binary` column whose payload is a
+deterministic synthetic image container: magic b"FIMG" + big-endian uint16
+(width, height) + a text excerpt. Real image/audio decode libraries are NOT
+installed in this environment, so the decode KERNELS are stubbed — but the
+Spark-side plumbing (binary column handling, Arrow-batched pandas UDFs over
+mapInPandas, schema contracts, per-row fan-out for frame sampling) is real
+and oracle-checked:
+
+  image_meta    — header parse (magic/width/height/bytes/aspect) in a pandas
+                  UDF; DuckDB oracle re-parses the SAME bytes via hex-digit
+                  arithmetic, so the two independent binary decoders must agree.
+  resize_plan   — aspect-preserving target dims (pure arithmetic).
+  decode_image  — pixel decode stub: raises NotImplementedError unless
+                  fake=True, which emits deterministic hash-like features that
+                  the oracle reproduces (keeps the contract testable end to end).
+  frame_sample  — pretend-video frame sampling: byte-length-derived frame
+                  count, strided index explode (real per-frame fan-out shape).
+
+At scale: one Arrow-batched Python stage per binary op, no shuffle (pure
+per-row), binary column pruned unless required (`.explain` shows ReadSchema
+without `html` for queries that skip these ops).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MAGIC = b"FIMG"
+MAGIC_HEX = "46494D47"
+DEFAULT_MAX_DIM = 256
+FRAME_STRIDE = 4
+
+_META_SCHEMA = StructType(
+    [
+        StructField("format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_META_SCHEMA)
+def _parse_header(html: pd.Series) -> pd.DataFrame:
+    """Arrow-batched binary header parse (the real-decode integration point)."""
+    fmts, ws, hs = [], [], []
+    for b in html:
+        if b is not None and len(b) >= 8 and bytes(b[:4]) == MAGIC:
+            w, h = struct.unpack(">HH", bytes(b[4:8]))
+            fmts.append("FIMG")
+            ws.append(w)
+            hs.append(h)
+        else:
+            fmts.append(None)
+            ws.append(None)
+            hs.append(None)
+    return pd.DataFrame({"format": fmts, "width": ws, "height": hs})
+
+
+def image_meta(pages: DataFrame) -> DataFrame:
+    m = pages.select("url", F.length("html").cast("bigint").alias("n_bytes"),
+                     _parse_header("html").alias("m"))
+    return m.select(
+        "url",
+        F.col("m.format").alias("format"),
+        F.col("m.width").alias("width"),
+        F.col("m.height").alias("height"),
+        "n_bytes",
+        F.round(
+            F.col("m.width").cast("double") / F.col("m.height").cast("double"), 6
+        ).alias("aspect"),
+    )
+
+
+def resize_plan(pages: DataFrame, max_dim: int = DEFAULT_MAX_DIM) -> DataFrame:
+    """Aspect-preserving resize targets; no-op when already within max_dim."""
+    m = image_meta(pages)
+    w, h = F.col("width"), F.col("height")
+    longest = F.greatest(w, h)
+    scale_needed = longest > max_dim
+    tw = F.when(
+        scale_needed,
+        F.floor(w.cast("double") * max_dim / longest.cast("double")),
+    ).otherwise(w).cast("bigint")
+    th = F.when(
+        scale_needed,
+        F.floor(h.cast("double") * max_dim / longest.cast("double")),
+    ).otherwise(h).cast("bigint")
+    return m.select("url", "width", "height",
+                    tw.alias("target_w"), th.alias("target_h"))
+
+
+def decode_image(pages: DataFrame, fake: bool = False) -> DataFrame:
+    """Pixel decode. STUB: no image library exists in this environment.
+
+    fake=True emits deterministic header-derived pseudo-features (f0..f2) so
+    the downstream contract (schema, batching, oracle compare) is exercised;
+    fake=False raises NotImplementedError at plan-build time, by design."""
+    if not fake:
+        raise NotImplementedError(
+            "pixel decode requires an image library (PIL/opencv) — not "
+            "available in this environment; pass fake=True for the "
+            "deterministic plumbing-test features"
+        )
+    m = image_meta(pages)
+    w, h = F.col("width"), F.col("height")
+    return m.select(
+        "url",
+        (w * h % 256).cast("bigint").alias("f0"),
+        ((w + h) % 256).cast("bigint").alias("f1"),
+        ((w * 3 + h * 7) % 256).cast("bigint").alias("f2"),
+    )
+
+
+def frame_sample(pages: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Pretend-video frame sampling: frame count derived from byte length,
+    one output row per sampled frame index (the real fan-out shape)."""
+    n_frames = (F.length("html").cast("bigint") % 30 + 1)
+    idx = F.sequence(F.lit(0).cast("bigint"), n_frames - 1,
+                     F.lit(stride).cast("bigint"))
+    return pages.select(
+        "url", n_frames.alias("n_frames"), F.explode(idx).alias("frame_idx")
+    )
+
+
+# ----------------------------------------------------------------- oracle side
+def _nib(pos: int) -> str:
+    return f"(strpos('0123456789ABCDEF', substr(hx, {pos}, 1)) - 1)"
+
+
+def _u16_sql(first_nibble: int) -> str:
+    n = first_nibble
+    return (
+        f"({_nib(n)} * 4096 + {_nib(n + 1)} * 256"
+        f" + {_nib(n + 2)} * 16 + {_nib(n + 3)})"
+    )
+
+
+_HEX_CTE = f"""
+hxp AS (
+  SELECT url, hex(html) AS hx, CAST(octet_length(html) AS BIGINT) AS n_bytes
+  FROM read_parquet('{{fix}}/pages.parquet')
+),
+meta AS (
+  SELECT url, n_bytes,
+         CASE WHEN n_bytes >= 8 AND substr(hx, 1, 8) = '{MAGIC_HEX}'
+              THEN 'FIMG' END AS format,
+         CASE WHEN n_bytes >= 8 AND substr(hx, 1, 8) = '{MAGIC_HEX}'
+              THEN CAST({_u16_sql(9)} AS BIGINT) END AS width,
+         CASE WHEN n_bytes >= 8 AND substr(hx, 1, 8) = '{MAGIC_HEX}'
+              THEN CAST({_u16_sql(13)} AS BIGINT) END AS height
+  FROM hxp
+)"""
+
+
+def image_meta_oracle_sql(fix: str) -> str:
+    return f"""
+WITH {_HEX_CTE.format(fix=fix)}
+SELECT url, format, width, height, n_bytes,
+       round(CAST(width AS DOUBLE) / CAST(height AS DOUBLE), 6) AS aspect
+FROM meta
+"""
+
+
+def resize_plan_oracle_sql(fix: str, max_dim: int = DEFAULT_MAX_DIM) -> str:
+    return f"""
+WITH {_HEX_CTE.format(fix=fix)}
+SELECT url, width, height,
+       CAST(CASE WHEN greatest(width, height) > {max_dim}
+                 THEN floor(CAST(width AS DOUBLE) * {max_dim}
+                            / CAST(greatest(width, height) AS DOUBLE))
+                 ELSE width END AS BIGINT) AS target_w,
+       CAST(CASE WHEN greatest(width, height) > {max_dim}
+                 THEN floor(CAST(height AS DOUBLE) * {max_dim}
+                            / CAST(greatest(width, height) AS DOUBLE))
+                 ELSE height END AS BIGINT) AS target_h
+FROM meta
+"""
+
+
+def decode_image_oracle_sql(fix: str) -> str:
+    return f"""
+WITH {_HEX_CTE.format(fix=fix)}
+SELECT url,
+       CAST(width * height % 256 AS BIGINT) AS f0,
+       CAST((width + height) % 256 AS BIGINT) AS f1,
+       CAST((width * 3 + height * 7) % 256 AS BIGINT) AS f2
+FROM meta
+"""
+
+
+def frame_sample_oracle_sql(fix: str, stride: int = FRAME_STRIDE) -> str:
+    return f"""
+SELECT url, n_frames, unnest(generate_series(0, n_frames - 1, {stride})) AS frame_idx
+FROM (
+  SELECT url, CAST(octet_length(html) AS BIGINT) % 30 + 1 AS n_frames
+  FROM read_parquet('{fix}/pages.parquet')
+)
+"""

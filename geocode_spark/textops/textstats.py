@@ -1,0 +1,191 @@
+"""Text analysis: token counts, quality score, language ID, fingerprints.
+
+All operators are pure Catalyst column expressions (whole-stage codegen, no
+Python on the hot path, no shuffle — per-row projections that scale linearly
+with input splits). Each has a DuckDB SQL twin built from the SAME constants
+so results hash-compare exactly.
+
+Float discipline: every ratio is computed with the same operation order in
+both dialects and rounded to 6 decimals at the output boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WS = r"\s+"
+# BPE-ish word/number/symbol tokenization (ASCII classes — identical in Java
+# regex and RE2).
+RE_TOKEN = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+RE_PUNCT = r"([^A-Za-z0-9\s])"
+
+# Marker stopwords per language (word-boundary matched, lowercased input).
+LANG_MARKERS = {
+    "en": ["the", "a", "and", "of", "to", "over", "while", "with", "for"],
+    "es": ["el", "un", "sobre", "los", "mientras", "rapido", "datos"],
+    "de": ["der", "einen", "uber", "wahrend", "daten", "schnelle"],
+    "fr": ["le", "sur", "les", "que", "pendant", "donnees", "rapide"],
+}
+LANG_ORDER = ["en", "es", "de", "fr"]  # deterministic tiebreak priority
+
+
+def _marker_pattern(lang: str) -> str:
+    return r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+
+
+# ----------------------------------------------------------------- Spark side
+def _n_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern))).cast("bigint")
+
+
+def token_count_cols(text: Column) -> dict[str, Column]:
+    """Whitespace token count + regex (BPE-ish) token count."""
+    trimmed = F.trim(text)
+    ws = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, WS))
+    ).cast("bigint")
+    return {"n_tokens_ws": ws, "n_tokens_re": _n_matches(text, RE_TOKEN)}
+
+
+def quality_cols(text: Column) -> dict[str, Column]:
+    """Heuristic quality score from length / punctuation / stopword ratios.
+
+    score = 0.4 * min(1, tokens/100)
+          + 0.3 * (1 - min(1, punct/tokens))
+          + 0.3 * min(1, 5 * stopword_ratio)
+    """
+    toks = token_count_cols(text)["n_tokens_ws"]
+    punct = _n_matches(text, RE_PUNCT)
+    stop = _n_matches(F.lower(text), _marker_pattern("en"))
+    t = toks.cast("double")
+    safe_t = F.greatest(t, F.lit(1.0))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), t / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), punct.cast("double") / safe_t))
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(5.0) * stop.cast("double") / safe_t)
+    )
+    return {
+        "n_tokens_ws": toks,
+        "punct_count": punct,
+        "stopword_count": stop,
+        "quality": F.round(score, 6),
+    }
+
+
+def lang_id_col(text: Column) -> Column:
+    """n-gram-heuristic language ID: marker-word counts, deterministic argmax."""
+    low = F.lower(text)
+    counts = {lang: _n_matches(low, _marker_pattern(lang)) for lang in LANG_ORDER}
+    en, es, de, fr = (counts[k] for k in LANG_ORDER)
+    return (
+        F.when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(text), WS, " "))
+
+
+def fingerprint_cols(text: Column) -> dict[str, Column]:
+    """Document fingerprints.
+
+    fp_md5     — md5 of whitespace-normalized lowercased text (exact identity)
+    fp_minhash — lexicographic min over md5(word-3-shingle) (1-perm MinHash;
+                 stable under small edits away from the minimizing shingle).
+                 Docs with < 3 tokens fall back to fp_md5.
+    """
+    norm = normalize_text(text)
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(0), n - F.lit(3)),
+        lambda i: F.concat_ws(
+            " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+        ),
+    )
+    fp_md5 = F.md5(norm)
+    fp_min = F.when(n >= 3, F.array_min(F.transform(shingles, F.md5))).otherwise(
+        fp_md5
+    )
+    return {"fp_md5": fp_md5, "fp_minhash": fp_min}
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    text = F.col(text_col)
+    cols = {**quality_cols(text), "n_tokens_re": token_count_cols(text)["n_tokens_re"],
+            **fingerprint_cols(text)}
+    return df.select(F.col(id_col), *[v.alias(k) for k, v in cols.items()])
+
+
+def lang_id(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
+    return df.select(
+        F.col(id_col), lang_id_col(F.col(text_col)).alias("lang_pred")
+    )
+
+
+# ---------------------------------------------------------------- oracle side
+def _n_matches_sql(col: str, pattern: str) -> str:
+    return f"CAST(len(regexp_extract_all({col}, '{pattern}')) AS BIGINT)"
+
+
+def _ws_tokens_sql(col: str) -> str:
+    return (
+        f"CAST(CASE WHEN trim({col}) = '' THEN 0"
+        f" ELSE len(string_split_regex(trim({col}), '{WS}')) END AS BIGINT)"
+    )
+
+
+def text_stats_oracle_sql(source: str, id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    t = text_col
+    toks = _ws_tokens_sql(t)
+    punct = _n_matches_sql(t, RE_PUNCT)
+    stop = _n_matches_sql(f"lower({t})", _marker_pattern("en"))
+    safe_t = f"greatest(CAST({toks} AS DOUBLE), 1.0)"
+    score = (
+        f"round(0.4 * least(1.0, CAST({toks} AS DOUBLE) / 100.0)"
+        f" + 0.3 * (1.0 - least(1.0, CAST({punct} AS DOUBLE) / {safe_t}))"
+        f" + 0.3 * least(1.0, 5.0 * CAST({stop} AS DOUBLE) / {safe_t}), 6)"
+    )
+    norm = f"lower(regexp_replace(trim({t}), '{WS}', ' ', 'g'))"
+    toks_arr = f"string_split({norm}, ' ')"
+    shingle = (
+        f"list_transform(generate_series(1, len({toks_arr}) - 2),"
+        f" i -> md5({toks_arr}[i] || ' ' || {toks_arr}[i+1] || ' ' || {toks_arr}[i+2]))"
+    )
+    fp_min = (
+        f"CASE WHEN len({toks_arr}) >= 3 THEN list_min({shingle})"
+        f" ELSE md5({norm}) END"
+    )
+    return f"""
+SELECT {id_col},
+       {toks} AS n_tokens_ws,
+       {punct} AS punct_count,
+       {stop} AS stopword_count,
+       {score} AS quality,
+       {_n_matches_sql(t, RE_TOKEN)} AS n_tokens_re,
+       md5({norm}) AS fp_md5,
+       {fp_min} AS fp_minhash
+FROM {source}
+"""
+
+
+def lang_id_oracle_sql(source: str, id_col: str = "url",
+                       text_col: str = "text") -> str:
+    c = {
+        lang: _n_matches_sql(f"lower({text_col})", _marker_pattern(lang))
+        for lang in LANG_ORDER
+    }
+    return f"""
+SELECT {id_col},
+       CASE WHEN {c['en']} >= {c['es']} AND {c['en']} >= {c['de']} AND {c['en']} >= {c['fr']} THEN 'en'
+            WHEN {c['es']} >= {c['de']} AND {c['es']} >= {c['fr']} THEN 'es'
+            WHEN {c['de']} >= {c['fr']} THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM {source}
+"""

@@ -1,0 +1,188 @@
+"""Training-data operator tests: text stats, dedup families, ANN, multimodal."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def corpus(docs):
+    from geocode_spark.textops.dedup import near_dup_corpus
+
+    return near_dup_corpus(docs).cache()
+
+
+# ------------------------------------------------------------------ textstats
+def test_token_counts(spark):
+    from geocode_spark.textops.textstats import text_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b  c", "", "x, y!"]})
+    )
+    out = text_stats(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens_ws"] == 3
+    assert out.loc[2, "n_tokens_ws"] == 0
+    assert out.loc[3, "n_tokens_ws"] == 2
+    assert out.loc[3, "n_tokens_re"] == 4  # x , y !
+    assert out.loc[3, "punct_count"] == 2
+
+
+def test_quality_bounds(docs):
+    from geocode_spark.textops.textstats import text_stats
+
+    q = text_stats(docs).agg(
+        F.min("quality").alias("lo"), F.max("quality").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= q.lo <= q.hi <= 1.0
+
+
+def test_lang_id_accuracy(spark):
+    from geocode_spark.fixtures import ensure_fixtures
+    from geocode_spark.textops.textstats import lang_id
+
+    fix = str(ensure_fixtures(SF_DIR))
+    pages = spark.read.parquet(f"{fix}/pages.parquet")
+    joined = lang_id(pages).join(pages.select("url", "lang"), "url")
+    n_bad = joined.filter(F.col("lang_pred") != F.col("lang")).count()
+    assert n_bad == 0  # fixture salads carry unambiguous markers
+
+
+def test_fingerprint_stability(spark):
+    from geocode_spark.textops.textstats import text_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                # same words, different whitespace/case -> same fingerprints
+                "text": ["The  Quick   Brown fox", "the quick brown fox"],
+            }
+        )
+    )
+    out = text_stats(df).toPandas()
+    assert out.fp_md5.nunique() == 1
+    assert out.fp_minhash.nunique() == 1
+
+
+# ---------------------------------------------------------------------- dedup
+def test_dedup_exact_finds_injected_copies(corpus):
+    from geocode_spark.textops.dedup import dedup_exact
+
+    out = dedup_exact(corpus).toPandas()
+    dupes = out[out.n_copies > 1]
+    assert len(dupes) > 0
+    # survivor is always the original (lowest id)
+    assert (dupes.survivor_id < 1_000_000).all()
+
+
+def test_minhash_equals_bruteforce_jaccard(corpus):
+    from geocode_spark.textops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(corpus, 0.8).toPandas()
+    lsh = minhash_lsh_pairs(corpus, 0.8).toPandas()
+    key = lambda d: set(map(tuple, d[["id_a", "id_b"]].values))
+    assert key(exact) == key(lsh)
+    assert len(exact) > 0  # injected near-dups are found
+
+
+def test_jaccard_range_and_order(corpus):
+    from geocode_spark.textops.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(corpus, 0.8).toPandas()
+    assert (out.id_a < out.id_b).all()
+    assert ((out.jaccard >= 0.8) & (out.jaccard <= 1.0)).all()
+
+
+def test_simhash_exact_copy_distance_zero(corpus):
+    from geocode_spark.textops.dedup import simhash_pairs
+
+    out = simhash_pairs(corpus).toPandas()
+    # every injected exact copy (id%7==0 -> id+1e6) collides at hamming 0
+    zero = out[(out.hamming == 0) & (out.id_b == out.id_a + 1_000_000)]
+    assert len(zero) > 0
+    assert (out.hamming <= 4).all()
+
+
+# ----------------------------------------------------------------- similarity
+def test_ann_topk_shape_and_order(emb):
+    from geocode_spark.textops.similarity import ann_topk
+
+    out = ann_topk(emb, k=5).toPandas()
+    assert set(out.columns) == {"vec_id", "rank", "cand_id", "cosine"}
+    for vid, g in out.groupby("vec_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert g["cosine"].is_monotonic_decreasing
+        assert (g["cand_id"] != vid).all()
+
+
+def test_ann_lsh_is_subset_of_bruteforce_space(emb):
+    from geocode_spark.textops.similarity import ann_lsh_topk, ann_topk
+
+    brute = ann_topk(emb, k=1).toPandas().set_index("vec_id")
+    lsh = ann_lsh_topk(emb, k=1).toPandas().set_index("vec_id")
+    # bucketed search returns <= the query set, and when the true NN shares
+    # the bucket the answers agree
+    assert set(lsh.index) <= set(brute.index)
+    agree = (lsh["cand_id"] == brute.loc[lsh.index, "cand_id"]).mean()
+    assert agree > 0  # sanity: buckets aren't degenerate
+
+
+# ----------------------------------------------------------------- multimodal
+def test_image_meta_parses_header(spark):
+    from geocode_spark.fixtures import ensure_fixtures
+    from geocode_spark.textops.multimodal import image_meta
+
+    fix = str(ensure_fixtures(SF_DIR))
+    pages = spark.read.parquet(f"{fix}/pages.parquet")
+    out = image_meta(pages).toPandas()
+    assert (out.format == "FIMG").all()
+    assert out.width.between(320, 320 + 7 * 160).all()
+    assert out.height.between(240, 240 + 4 * 120).all()
+
+
+def test_resize_plan_preserves_aspect_bound(spark):
+    from geocode_spark.fixtures import ensure_fixtures
+    from geocode_spark.textops.multimodal import resize_plan
+
+    fix = str(ensure_fixtures(SF_DIR))
+    pages = spark.read.parquet(f"{fix}/pages.parquet")
+    out = resize_plan(pages, max_dim=256).toPandas()
+    assert (out[["target_w", "target_h"]].max(axis=1) <= 256).all()
+    small = out[(out.width <= 256) & (out.height <= 256)]
+    assert (small.target_w == small.width).all()
+
+
+def test_decode_image_requires_fake_flag(spark):
+    from geocode_spark.fixtures import ensure_fixtures
+    from geocode_spark.textops.multimodal import decode_image
+
+    fix = str(ensure_fixtures(SF_DIR))
+    pages = spark.read.parquet(f"{fix}/pages.parquet")
+    with pytest.raises(NotImplementedError):
+        decode_image(pages)
+    out = decode_image(pages, fake=True).limit(5).toPandas()
+    assert set(out.columns) == {"url", "f0", "f1", "f2"}
+
+
+def test_frame_sample_stride(spark):
+    from geocode_spark.fixtures import ensure_fixtures
+    from geocode_spark.textops.multimodal import frame_sample
+
+    fix = str(ensure_fixtures(SF_DIR))
+    pages = spark.read.parquet(f"{fix}/pages.parquet")
+    out = frame_sample(pages, stride=4).toPandas()
+    assert (out.frame_idx % 4 == 0).all()
+    assert (out.frame_idx < out.n_frames).all()
