@@ -11,9 +11,24 @@ def spark_to_pdf(df) -> pd.DataFrame:
     return df.toPandas()
 
 
-def duck_to_pdf(sql: str) -> pd.DataFrame:
+DRIVER_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def duck_to_pdf(sql: str, sf_dir: str = "/root/testdata/sf0.01") -> pd.DataFrame:
+    """Run oracle SQL with the driver's pre-registered table views in scope."""
+    import os
+
     con = duckdb.connect()
     try:
+        for t in DRIVER_TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
         return con.sql(sql).df()
     finally:
         con.close()
