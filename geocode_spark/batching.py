@@ -1,0 +1,173 @@
+"""Checkpoint-resumable batches + per-partition lineage (F9/A1, SURVEY §2.5).
+
+The reference is crash-resumable only by accident: it flushes each result row
+to the CSV as it goes (geocode.py:171-250), so a crashed run's completed rows
+survive on disk, and every run writes a new timestamped file
+(geocode.py:168-169). The Spark-native contract makes that explicit:
+
+  * the input is split into ``n_batches`` deterministic batches,
+    ``batch_id = pmod(xxhash64(primary_key), n)`` — a pure function of the
+    key, independent of partitioning/parallelism, so batch membership is
+    stable across runs and cluster sizes;
+  * each batch is written atomically (Spark's directory-commit protocol,
+    ``_SUCCESS`` marker) to ``{out}/batch_id={k}/``, then a ledger record
+    ``{out}/_ledger/batch-{k}.json`` is committed via tmp-file + rename;
+  * resume = skip every batch whose ledger record exists (the anti-join of
+    SURVEY F9 — done driver-side since the ledger is tiny);
+  * the ledger record carries the reference's metrics (total/fail/success/
+    failure-rate/avg-score, geocode.py:136-158) **plus per-partition
+    lineage**: rows and failures per physical task partition, derived from a
+    persisted ``_pid = spark_partition_id()`` provenance column. Lineage is
+    computed by scanning the *committed* files, so the ledger describes what
+    actually landed on disk, not the pre-commit plan.
+
+At 10^12-document scale the batch predicate should align with the Iceberg
+partition spec (``bucket(N, url)`` / ``days(warc_ts)``) so each batch prunes
+to its own files; here it is a pushed-down-able hash filter on the key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import ENGINE_NAME, __version__
+from .flowcontrol import format_time
+
+LINEAGE_COL = "_pid"
+
+
+def with_batch_id(df: DataFrame, n_batches: int, key: str = "primary_key") -> DataFrame:
+    """Deterministic batch assignment — pure function of the key value."""
+    return df.withColumn(
+        "batch_id", F.pmod(F.xxhash64(F.col(key)), F.lit(n_batches)).cast("int")
+    )
+
+
+def _ledger_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_ledger")
+
+
+def _ledger_path(out_dir: str, batch_id: int) -> str:
+    return os.path.join(_ledger_dir(out_dir), f"batch-{batch_id:05d}.json")
+
+
+def completed_batches(out_dir: str) -> set[int]:
+    """Batch ids whose ledger record exists (the resume anti-join set)."""
+    d = _ledger_dir(out_dir)
+    if not os.path.isdir(d):
+        return set()
+    out = set()
+    for name in os.listdir(d):
+        if name.startswith("batch-") and name.endswith(".json"):
+            out.add(int(name[len("batch-"):-len(".json")]))
+    return out
+
+
+def _commit_ledger(out_dir: str, batch_id: int, record: dict) -> None:
+    d = _ledger_dir(out_dir)
+    os.makedirs(d, exist_ok=True)
+    tmp = _ledger_path(out_dir, batch_id) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(record, fh, sort_keys=True)
+    os.replace(tmp, _ledger_path(out_dir, batch_id))  # atomic on POSIX
+
+
+def _batch_metrics(spark: SparkSession, batch_dir: str) -> dict:
+    """Metrics + per-partition lineage from the committed batch files."""
+    df = spark.read.parquet(batch_dir)
+    failed = F.col("message").isNotNull()
+    rows = (
+        df.groupBy(LINEAGE_COL)
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(F.when(failed, 1).otherwise(0)).alias("fail"),
+            F.sum(F.when(~failed, F.col("score"))).alias("score_sum"),
+        )
+        .orderBy(LINEAGE_COL)
+        .collect()
+    )
+    lineage = [
+        {"partition_id": r[LINEAGE_COL], "rows": r["rows"], "fail": int(r["fail"])}
+        for r in rows
+    ]
+    total = sum(r["rows"] for r in rows)
+    fail = sum(int(r["fail"]) for r in rows)
+    score_sum = sum(int(r["score_sum"] or 0) for r in rows)
+    success = total - fail
+    return {
+        "total": total,
+        "fail": fail,
+        "success": success,
+        # ZeroDivisionError -> 100 (reference geocode.py:151-154)
+        "failure_rate": round(100 * fail / total) if total else 100,
+        "average_score": round(score_sum / success) if success else "n/a",
+        "partitions": lineage,
+    }
+
+
+def run_resumable(
+    spark: SparkSession,
+    result_df: DataFrame,
+    out_dir: str,
+    n_batches: int = 16,
+    key: str = "primary_key",
+    resume: bool = True,
+    log=print,
+) -> dict:
+    """Execute `result_df` (an assembled, unexecuted 11-column geocode plan)
+    as n_batches independently-committed, resumable batches.
+
+    The plan must be DETERMINISTIC in its key column: each batch is a
+    separate Spark job re-evaluating the plan under a batch filter, so
+    non-deterministic inputs (``limit()``, sampling, ``rand()``) would give
+    batches inconsistent views of the data. Scans + pure transforms are fine.
+
+    Returns a run summary {batches, skipped, total, fail, success, seconds}.
+    """
+    t0 = time.perf_counter()
+    done = completed_batches(out_dir) if resume else set()
+    batched = with_batch_id(result_df, n_batches, key=key).withColumn(
+        LINEAGE_COL, F.spark_partition_id()
+    )
+    summary = {"batches": n_batches, "skipped": sorted(done), "total": 0,
+               "fail": 0, "success": 0}
+    for k in range(n_batches):
+        if k in done:
+            continue
+        b0 = time.perf_counter()
+        batch_dir = os.path.join(out_dir, f"batch_id={k}")
+        (
+            batched.filter(F.col("batch_id") == k)
+            .drop("batch_id")
+            .write.mode("overwrite")
+            .parquet(batch_dir)
+        )
+        record = {
+            "batch_id": k,
+            "engine": f"{ENGINE_NAME}/{__version__}",
+            "seconds": round(time.perf_counter() - b0, 3),
+            **_batch_metrics(spark, batch_dir),
+        }
+        _commit_ledger(out_dir, k, record)
+        log(
+            f"batch {k}/{n_batches}: {record['total']} rows, "
+            f"{record['fail']} failed, {format_time(record['seconds'])}"
+        )
+    for k in range(n_batches):
+        with open(_ledger_path(out_dir, k)) as fh:
+            rec = json.load(fh)
+        summary["total"] += rec["total"]
+        summary["fail"] += rec["fail"]
+        summary["success"] += rec["success"]
+    summary["seconds"] = round(time.perf_counter() - t0, 3)
+    return summary
+
+
+def read_results(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read a completed run back as the 11-column contract (lineage dropped)."""
+    return spark.read.parquet(out_dir).drop(LINEAGE_COL, "batch_id")
