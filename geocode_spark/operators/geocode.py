@@ -286,12 +286,15 @@ def geocode(
     locators: str = "all",
     pobox: bool = False,
     accept_score: int = DEFAULT_ACCEPT_SCORE,
+    spatial_reference: int = 26912,
 ) -> DataFrame:
     """Full geocode: cleansed+parsed input -> the 11-column result contract.
 
     input_df must have columns (id, street, zone) — pass through cleanse_input
     +parse_input yourself for custom schemas. `locators` in
     {'all','addressPoints','roadCenterlines'} (reference geocode.py:26,128).
+    `spatial_reference` re-expresses output x/y (J7, geocode.py:25,115,204):
+    26912 native or 4326 via the from-scratch transverse-Mercator inverse.
     """
     base = parse_input(cleanse_input(input_df))
 
@@ -326,7 +329,7 @@ def geocode(
     msg_404 = F.lit(MSG_NO_CANDIDATES.format(score=accept_score))
 
     out = base.join(top1, on="primary_key", how="left")
-    return out.select(
+    result = out.select(
         F.col("primary_key"),
         F.col("input_street"),
         F.col("input_zone"),
@@ -344,6 +347,11 @@ def geocode(
         .otherwise(F.lit(None).cast("string"))
         .alias("message"),
     )
+    if spatial_reference != 26912:
+        from .projection import reproject_result
+
+        result = reproject_result(result, wkid=spatial_reference)
+    return result
 
 
 def geocode_metrics(result: DataFrame) -> DataFrame:
