@@ -39,6 +39,11 @@ from pyspark.sql.window import Window
 # Bounding box covering the fixture lattice (UTM 12N meters) with margin.
 DEFAULT_BBOX = (370000.0, 4390000.0, 440000.0, 4460000.0)  # x0, y0, x1, y1
 DEFAULT_RES = 6  # 2^6 = 64 cells/axis -> ~1094 m cells over the 70 km bbox
+# kNN probes a 3x3 neighborhood, so its grid must be fine enough that a cell
+# holds O(1) candidates — at res 9 (~137 m cells) the candidate fan-in per
+# probe stays single-digit for city-density address points, keeping the
+# pair count ~9*|points| instead of the ~800x blowup res 6 produced.
+KNN_RES = 9
 DEFAULT_TILE = 1000.0  # raster tile size in meters
 
 _NEIGHBOR_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -122,7 +127,7 @@ def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
 
 
 def knn_cell(points: DataFrame, candidates: DataFrame, k: int = 3,
-             res: int = DEFAULT_RES, bbox=DEFAULT_BBOX) -> DataFrame:
+             res: int = KNN_RES, bbox=DEFAULT_BBOX) -> DataFrame:
     """Cell-bucketed kNN: candidates restricted to the 3x3 neighbor cells.
 
     points:     (primary_key, x, y);  candidates: (cand_id, x, y) — broadcast.
@@ -155,18 +160,66 @@ def knn_cell(points: DataFrame, candidates: DataFrame, k: int = 3,
 
 
 def knn_bruteforce(points: DataFrame, candidates: DataFrame, k: int = 3) -> DataFrame:
-    """Exact kNN baseline: broadcast cross join + top-k. O(|points| * |cands|)
-    pairs — correct at any scale but only efficient when candidates are small
-    enough to broadcast; knn_cell is the scale path."""
-    q = points.select("primary_key", F.col("x").alias("q_x"), F.col("y").alias("q_y"))
-    c = candidates.select("cand_id", F.col("x").alias("c_x"), F.col("y").alias("c_y"))
-    pairs = q.crossJoin(F.broadcast(c)).select(
-        "primary_key", "cand_id", F.expr(_DIST_SQ).alias("dist_sq")
+    """Exact kNN baseline: vectorized scan of broadcast candidates.
+
+    O(|points| * |cands|) distance evaluations — exact at any scale where the
+    candidate side fits in a broadcast (the locator contract); knn_cell is the
+    bigger-candidate-side path. Instead of materializing the cross-join as
+    |P|*|C| shuffle rows and window-sorting them, each Arrow batch of query
+    points computes the full distance matrix in numpy and emits only k rows
+    per query — no shuffle at all. dist_sq = dx*dx+dy*dy in IEEE double,
+    identical to the SQL expression; ties sort by cand_id via a stable sort
+    over candidates pre-ordered by id — the exact (dist_sq, cand_id) order of
+    the window/oracle formulation.
+    """
+    import numpy as np
+
+    cand = candidates.select("cand_id", "x", "y").toPandas()
+    order = np.argsort(cand["cand_id"].to_numpy(), kind="stable")
+    bc = points.sparkSession.sparkContext.broadcast(
+        (
+            cand["cand_id"].to_numpy()[order],
+            cand["x"].to_numpy(dtype="float64")[order],
+            cand["y"].to_numpy(dtype="float64")[order],
+        )
     )
-    return _ranked_topk(pairs, k)
+    q = points.select("primary_key", "x", "y")
+
+    def topk_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        cid, cx, cy = bc.value
+        kk = min(k, len(cid))
+        for pdf in batches:
+            pks = pdf["primary_key"].to_numpy()
+            qx = pdf["x"].to_numpy(dtype="float64")
+            qy = pdf["y"].to_numpy(dtype="float64")
+            for s in range(0, len(pdf), 256):  # bound the distance matrix
+                e = min(s + 256, len(pdf))
+                dx = qx[s:e, None] - cx[None, :]
+                dy = qy[s:e, None] - cy[None, :]
+                d = dx * dx + dy * dy
+                # stable sort on dist: equal dists keep candidate order,
+                # which IS cand_id order (pre-sorted) -> window-equivalent
+                idx = np.argsort(d, axis=1, kind="stable")[:, :kk]
+                rows = np.take_along_axis(d, idx, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "primary_key": np.repeat(pks[s:e], kk),
+                        "rank": np.tile(np.arange(1, kk + 1), e - s),
+                        "cand_id": cid[idx].ravel(),
+                        "dist_sq": rows.ravel(),
+                    }
+                )
+
+    return q.mapInPandas(
+        topk_batches,
+        schema="primary_key string, rank bigint, cand_id bigint, dist_sq double",
+    )
 
 
-def knn_sql(fix: str, source_sql: str, k: int = 3, res: int | None = DEFAULT_RES,
+def knn_sql(fix: str, source_sql: str, k: int = 3, res: int | None = KNN_RES,
             bbox=DEFAULT_BBOX) -> str:
     """DuckDB oracle for knn_cell (res set) or knn_bruteforce (res=None).
 

@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 WS = r"\s+"
 
@@ -84,7 +84,14 @@ def corpus_sql(source: str) -> str:
 
 # -------------------------------------------------------------------- shingles
 def shingles_col(text: Column) -> Column:
-    """Distinct word-3-gram shingles of lowercased, whitespace-split text."""
+    """Distinct word-3-gram shingles of lowercased, whitespace-split text.
+
+    NOTE: as a single Column this re-evaluates the token split inside the
+    higher-order-function lambda (HOF lambdas bypass codegen subexpression
+    elimination, so each element indexes a fresh split — quadratic per doc).
+    Hot paths must use with_shingles(), which stages the token array as a
+    materialized column first.
+    """
     toks = F.split(F.lower(F.trim(text)), WS)
     n = F.size(toks)
     grams = F.transform(
@@ -95,6 +102,43 @@ def shingles_col(text: Column) -> Column:
     )
     return F.when(n >= 3, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def _shingle_udf(toks: pd.Series) -> pd.Series:
+    """Distinct word-3-grams from a token array (Arrow batch in/out).
+
+    Tokenization (split/lower/trim) stays JVM-side so locale semantics match
+    the SQL oracle exactly; this UDF only concatenates + dedups, which is
+    locale-free. Done in Python because Catalyst higher-order functions are
+    interpreted per element AND get inlined (recomputed ~3x) into the filters
+    Generate infers — a pandas UDF runs once in its own ArrowEvalPython node.
+    """
+    out = []
+    for arr in toks:
+        if arr is None or len(arr) < 3:
+            out.append([])
+        else:
+            out.append(
+                list(
+                    dict.fromkeys(
+                        " ".join(g) for g in zip(arr, arr[1:], arr[2:])
+                    )
+                )
+            )
+    return pd.Series(out)
+
+
+def with_shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles, n_sh) for docs with >=3 tokens (== >=1 shingle)."""
+    staged = df.withColumn(
+        "_toks", F.split(F.lower(F.trim(F.col(text_col))), WS)
+    ).filter(F.size("_toks") >= 3)
+    return (
+        staged.withColumn("shingles", _shingle_udf("_toks"))
+        .withColumn("n_sh", F.size("shingles"))
+        .select("doc_id", "shingles", "n_sh")
     )
 
 
@@ -142,8 +186,7 @@ FROM {corpus_sql(source)} GROUP BY 1
 # -------------------------------------------------------------- n-gram Jaccard
 def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact all-pairs word-3-gram Jaccard >= threshold (id_a < id_b)."""
-    sh = corpus.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
-    sh = sh.withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") >= 1)
+    sh = with_shingles(corpus)
     ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
     a = ex.select(
         F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
@@ -215,8 +258,7 @@ def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
 
     Output equals ngram_jaccard_pairs wherever LSH recall is 1 (which it is,
     to ~1e-13, for the >=0.85-Jaccard pairs these corpora contain)."""
-    sh = corpus.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
-    sh = sh.withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") >= 1)
+    sh = with_shingles(corpus)
     sig = sh.withColumn("sig", minhash_signature("shingles"))
 
     bands = sig.select(
@@ -278,19 +320,22 @@ def simhash60(text: pd.Series) -> pd.Series:
     layout the DuckDB oracle reproduces with hex-digit arithmetic."""
     import re
 
+    # bit i of the signature reads md5 bit (63-i) == np.unpackbits index i
+    # (MSB-first) over the first 8 digest bytes; positions 59..0 weight it.
+    weights = np.left_shift(
+        np.uint64(1), np.arange(SIMHASH_BITS - 1, -1, -1, dtype=np.uint64)
+    )
     out = np.zeros(len(text), dtype=np.int64)
     for row, t in enumerate(text):
         toks = re.split(r"\s+", t.strip().lower()) if t is not None else [""]
-        sums = np.zeros(SIMHASH_BITS, dtype=np.int64)
-        for tok in toks:
-            v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
-            for i in range(SIMHASH_BITS):
-                sums[i] += 1 if (v >> (63 - i)) & 1 else -1
-        h = 0
-        for i in range(SIMHASH_BITS):
-            if sums[i] >= 0:
-                h |= 1 << (59 - i)
-        out[row] = h
+        digests = b"".join(
+            hashlib.md5(tok.encode("utf-8")).digest()[:8] for tok in toks
+        )
+        bits = np.unpackbits(
+            np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8), axis=1
+        )[:, :SIMHASH_BITS].astype(np.int32)
+        sums = (2 * bits - 1).sum(axis=0)
+        out[row] = int(((sums >= 0).astype(np.uint64) * weights).sum())
     return pd.Series(out)
 
 

@@ -27,99 +27,171 @@ LSH_BITS = 8  # 256 buckets from the first 8 dimension signs
 
 
 # ------------------------------------------------------------------ Spark side
-def _to_double(arr: Column) -> Column:
-    return F.transform(arr, lambda x: x.cast("double"))
+#
+# All three operators stream the query side through a mapInPandas numpy
+# kernel against a broadcast candidate matrix. The kernel never materializes
+# pair ROWS (the old cross-join + window plan shuffled |Q|*|C| rows and
+# evaluated an interpreted higher-order-function dot per pair); it emits only
+# the k (or matching) rows per query. To stay value-identical to the DuckDB
+# oracle (and the previous Catalyst fold), every sum accumulates dimension-by-
+# dimension left-to-right: `acc += q[:,j]*c[:,j]` performs the same IEEE-754
+# addition sequence per pair as `aggregate(zip_with(...))` / `list_sum`.
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _round_half_up(a, decimals: int = 6):
+    """Spark/DuckDB ROUND (half away from zero) — numpy rounds half-even."""
+    import numpy as np
+
+    p = 10.0**decimals
+    return np.copysign(np.floor(np.abs(a) * p + 0.5), a) / p
 
 
-def _with_norms(emb: DataFrame, prefix: str) -> DataFrame:
-    e = _to_double(F.col("embedding"))
-    return emb.select(
-        F.col("vec_id").alias(f"{prefix}_id"),
-        e.alias(f"{prefix}_e"),
-        _dot(e, e).alias(f"{prefix}_nsq"),
-    )
+def _fold_dots(q, m):
+    """(b,d)x(n,d) -> (b,n) dot products, left-to-right over dimensions."""
+    import numpy as np
+
+    acc = np.zeros((q.shape[0], m.shape[0]))
+    for j in range(q.shape[1]):
+        acc += q[:, j : j + 1] * m[None, :, j]
+    return acc
 
 
-def _cosine(qe: str, ce: str, qn: str, cn: str) -> Column:
-    return F.round(
-        _dot(F.col(qe), F.col(ce)) / F.sqrt(F.col(qn) * F.col(cn)), 6
-    )
+def _fold_nsq(m):
+    import numpy as np
+
+    acc = np.zeros(m.shape[0])
+    for j in range(m.shape[1]):
+        acc += m[:, j] * m[:, j]
+    return acc
 
 
-def _topk(pairs: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("cand_id").asc()
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "rank", "cand_id", "cosine")
-    )
+def _collect_candidates(emb: DataFrame):
+    """Candidate matrix (id-sorted) for broadcast: (ids, matrix, nsq, bucket)."""
+    import numpy as np
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+    )[order]
+    bucket = (
+        (mat[:, :LSH_BITS] >= 0).astype(np.int64)
+        * (1 << np.arange(LSH_BITS, dtype=np.int64))
+    ).sum(axis=1)
+    return ids, mat, _fold_nsq(mat), bucket
+
+
+_TOPK_SCHEMA = "vec_id bigint, rank bigint, cand_id bigint, cosine double"
+_PAIR_SCHEMA = "id_a bigint, id_b bigint, cosine double"
+
+
+def _cosine_scan(emb: DataFrame, kernel, schema: str,
+                 query_filter=None) -> DataFrame:
+    bc = emb.sparkSession.sparkContext.broadcast(_collect_candidates(emb))
+    q = emb.select("vec_id", "embedding")
+    if query_filter is not None:
+        q = q.filter(query_filter)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        cid, cmat, cnsq, cbucket = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            qmat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            for s in range(0, len(pdf), 512):  # bound the (b, n) matrices
+                e = min(s + 512, len(pdf))
+                cos = _round_half_up(
+                    _fold_dots(qmat[s:e], cmat)
+                    / np.sqrt(_fold_nsq(qmat[s:e])[:, None] * cnsq[None, :])
+                )
+                out = kernel(qid[s:e], qmat[s:e], cos, cid, cbucket)
+                if out is not None:
+                    yield out
+
+    return q.mapInPandas(run, schema=schema)
+
+
+def _topk_kernel(k: int, bucketed: bool):
+    def kernel(qid, qmat, cos, cid, cbucket):
+        import numpy as np
+        import pandas as pd
+
+        cos = cos.copy()
+        cos[qid[:, None] == cid[None, :]] = -np.inf  # exclude self
+        if bucketed:
+            qbucket = (
+                (qmat[:, :LSH_BITS] >= 0).astype(np.int64)
+                * (1 << np.arange(LSH_BITS, dtype=np.int64))
+            ).sum(axis=1)
+            cos[qbucket[:, None] != cbucket[None, :]] = -np.inf
+        # stable sort on -cosine: candidates are id-sorted, so equal cosines
+        # keep cand_id order — the window's (cosine DESC, cand_id ASC).
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+        top = np.take_along_axis(cos, idx, axis=1)
+        valid = np.isfinite(top)
+        n_valid = valid.sum(axis=1)
+        if n_valid.sum() == 0:
+            return None
+        ranks = np.tile(np.arange(1, k + 1), (len(qid), 1))
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(qid, k)[valid.ravel()],
+                "rank": ranks.ravel()[valid.ravel()],
+                "cand_id": cid[idx].ravel()[valid.ravel()],
+                "cosine": top.ravel()[valid.ravel()],
+            }
+        )
+
+    return kernel
+
+
+def _near_dup_kernel(threshold: float):
+    def kernel(qid, qmat, cos, cid, cbucket):
+        import numpy as np
+        import pandas as pd
+
+        keep = (cos >= threshold) & (qid[:, None] < cid[None, :])
+        ai, bi = np.nonzero(keep)
+        if len(ai) == 0:
+            return None
+        return pd.DataFrame(
+            {"id_a": qid[ai], "id_b": cid[bi], "cosine": cos[ai, bi]}
+        )
+
+    return kernel
 
 
 def ann_topk(emb: DataFrame, k: int = 5, query_mod: int = 20) -> DataFrame:
     """Exact cosine top-k: queries = vec_id % query_mod == 0, candidates = all
-    other vectors (broadcast)."""
-    q = _with_norms(emb.filter(F.col("vec_id") % query_mod == 0), "q")
-    c = _with_norms(emb, "c")
-    pairs = (
-        q.crossJoin(F.broadcast(c))
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            F.col("q_id").alias("vec_id"),
-            F.col("c_id").alias("cand_id"),
-            _cosine("q_e", "c_e", "q_nsq", "c_nsq").alias("cosine"),
-        )
+    other vectors (broadcast matrix)."""
+    return _cosine_scan(
+        emb, _topk_kernel(k, bucketed=False), _TOPK_SCHEMA,
+        query_filter=F.col("vec_id") % query_mod == 0,
     )
-    return _topk(pairs, k)
-
-
-def _bucket(e: Column) -> Column:
-    b = F.lit(0)
-    for j in range(LSH_BITS):
-        b = b + F.when(F.get(e, j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return b.cast("bigint")
 
 
 def ann_lsh_topk(emb: DataFrame, k: int = 5, query_mod: int = 20) -> DataFrame:
-    """Sign-LSH bucketed top-k: candidates restricted to the query's bucket."""
-    q = _with_norms(emb.filter(F.col("vec_id") % query_mod == 0), "q")
-    q = q.withColumn("bucket", _bucket(F.col("q_e")))
-    c = _with_norms(emb, "c").withColumn("bucket", _bucket(F.col("c_e")))
-    pairs = (
-        q.join(F.broadcast(c), on="bucket")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            F.col("q_id").alias("vec_id"),
-            F.col("c_id").alias("cand_id"),
-            _cosine("q_e", "c_e", "q_nsq", "c_nsq").alias("cosine"),
-        )
+    """Sign-LSH bucketed top-k: candidates restricted to the query's bucket
+    (sign bits of the first LSH_BITS dimensions — deterministic basis)."""
+    return _cosine_scan(
+        emb, _topk_kernel(k, bucketed=True), _TOPK_SCHEMA,
+        query_filter=F.col("vec_id") % query_mod == 0,
     )
-    return _topk(pairs, k)
 
 
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold — embedding-space
     near-duplicate detection."""
-    a = _with_norms(emb, "q")
-    b = _with_norms(emb, "c")
-    return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("q_id") < F.col("c_id"))
-        .select(
-            F.col("q_id").alias("id_a"),
-            F.col("c_id").alias("id_b"),
-            _cosine("q_e", "c_e", "q_nsq", "c_nsq").alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    return _cosine_scan(
+        emb, _near_dup_kernel(threshold), _PAIR_SCHEMA
     )
 
 

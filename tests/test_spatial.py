@@ -78,8 +78,10 @@ def test_knn_cell_subset_of_bruteforce(spark, ap, fix):
         .limit(40)
     )
     cands = ap
-    cell = knn_cell(pts, cands, k=1).toPandas().set_index("primary_key")
-    brute = knn_bruteforce(pts, cands, k=1).toPandas().set_index("primary_key")
+    cell = knn_cell(pts, cands, k=1).toPandas().set_index("primary_key").sort_index()
+    brute = (
+        knn_bruteforce(pts, cands, k=1).toPandas().set_index("primary_key").sort_index()
+    )
     # querying the candidate set by itself: nearest neighbor is the point, d=0
     assert (brute["dist_sq"] == 0).all()
     assert (cell["dist_sq"] == 0).all()
