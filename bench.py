@@ -79,26 +79,57 @@ def run_bench() -> dict:
     return out
 
 
+SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "8"))
+SCALE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "128"))
+
+
+def _scaled_pages(spark, fix: str):
+    """Deterministically replicate the fixture pages SCALE_REPL times.
+
+    Replication happens in-executor (explode after a fixed-width repartition),
+    so the input is identical at every parallelism level and big enough that
+    compute — not job-scheduling overhead — dominates the wall clock. Each
+    replica gets a distinct url (the engine's primary key)."""
+    from pyspark.sql import functions as F
+
+    pages = spark.read.parquet(f"{fix}/pages.parquet")
+    pages = pages.repartition(SCALE_PARTITIONS, "url")
+    if SCALE_REPL > 1:
+        pages = (
+            pages.withColumn(
+                "_r", F.explode(F.sequence(F.lit(0), F.lit(SCALE_REPL - 1)))
+            )
+            .withColumn("url", F.concat_ws("#", F.col("url"), F.col("_r")))
+            .drop("_r")
+        )
+    return pages
+
+
 def run_scaling() -> dict:
-    """Flagship pages->geocode pipeline at local[N] and local[4N]."""
+    """Flagship pages->geocode pipeline at local[N] and local[4N].
+
+    Both levels run the IDENTICAL plan on the IDENTICAL input (fixed
+    partition and shuffle-partition counts); only the core count differs —
+    the sandbox protocol for the north rule's N -> 4N executor criterion."""
     lo = max(2, CPUS // 4)
     hi = CPUS
     res = {}
     for cpus in (lo, hi):
         spark = _session(cpus, f"geocode-spark-scaling-{cpus}")
+        spark.conf.set("spark.sql.shuffle.partitions", str(SCALE_PARTITIONS))
         spark.sparkContext.setLogLevel("ERROR")
         from geocode_spark.fixtures import ensure_fixtures
         from geocode_spark.plans.pipeline import geocode_pages, load_locators
 
         fix = str(ensure_fixtures(SF_DIR))
-        pages = spark.read.parquet(f"{fix}/pages.parquet")
+        pages = _scaled_pages(spark, fix)
         n = pages.count()
         geocode_pages(pages, load_locators(spark, fix)).count()  # warm
         t0 = time.perf_counter()
         out_rows = geocode_pages(pages, load_locators(spark, fix)).count()
         dt = time.perf_counter() - t0
         res[cpus] = {"sec": round(dt, 4), "pages_per_sec": round(n / dt, 1),
-                     "rows_out": out_rows}
+                     "pages_in": n, "rows_out": out_rows}
         spark.stop()
     speedup = res[lo]["sec"] / res[hi]["sec"]
     eff = speedup / (hi / lo)
@@ -108,6 +139,7 @@ def run_scaling() -> dict:
         "unit": "efficiency",
         "levels": res,
         "speedup": round(speedup, 3),
+        "repl": SCALE_REPL,
         "sf_dir": SF_DIR,
     }
 

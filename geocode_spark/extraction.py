@@ -27,11 +27,16 @@ _OUT_TYPE = StructType(
 )
 
 
-@F.pandas_udf(_OUT_TYPE)
-def _extract_udf(text: pd.Series) -> pd.DataFrame:
+def _extract_batch(text: pd.Series) -> pd.DataFrame:
     ex = text.astype("string").str.extract(ADDRESS_PATTERN, expand=True)
     ex.columns = ["street", "zone"]
     return ex
+
+
+# asNondeterministic: extraction is a pure function of `text`; the flag only
+# stops Catalyst from substituting the UDF into pushed-down filters (which
+# would run the Arrow stage twice) — it does not change results.
+_extract_udf = F.pandas_udf(_extract_batch, _OUT_TYPE).asNondeterministic()
 
 
 def extract_addresses(pages: DataFrame, keep_all: bool = True) -> DataFrame:

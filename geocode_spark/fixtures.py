@@ -398,7 +398,14 @@ def _write(df: pd.DataFrame, path: Path):
     table = pa.Table.from_pandas(df, preserve_index=False)
     tmp = Path(tempfile.mktemp(dir=str(path.parent), suffix=".parquet"))
     # Spark rejects TIMESTAMP(NANOS) parquet — write microseconds.
-    pq.write_table(table, tmp, coerce_timestamps="us", allow_truncated_timestamps=True)
+    # Small row groups (4096 rows) give Spark's FileSourceScan many split
+    # points, standing in for the many-file layout a production-scale table
+    # has — without them a single-file fixture scans as ONE partition and the
+    # extraction stage runs on one core regardless of cluster size.
+    pq.write_table(
+        table, tmp, row_group_size=4096, coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
     os.replace(tmp, path)
 
 

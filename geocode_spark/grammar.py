@@ -27,8 +27,10 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 # token -> canonical single letter
 DIRECTIONS: dict[str, str] = {
@@ -189,6 +191,43 @@ def with_parsed_street(df, cleansed_col: str = "cleansed_street"):
     """Attach the six parse columns to df."""
     cols = parse_street_cols(F.col(cleansed_col))
     return df.withColumns(cols)
+
+
+# ------------------------------------------------------------ pandas (Arrow)
+_PARSE_TYPE = StructType(
+    [
+        StructField("addr_type", StringType()),
+        StructField("house", LongType()),
+        StructField("predir", StringType()),
+        StructField("street_name", StringType()),
+        StructField("stype", StringType()),
+        StructField("sufdir", StringType()),
+    ]
+)
+
+
+def _parse_batch(s: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(
+        [parse_street_py(v) for v in s.fillna("")], columns=list(PARSE_FIELDS)
+    )
+
+
+# asNondeterministic: the parse IS pure, but the flag stops Catalyst from
+# substituting the UDF into pushed-down filters / collapsing its project —
+# which would re-evaluate the Arrow stage once per referencing expression
+# and break exchange reuse across the candidate-union branches (the
+# geocode operator relies on one shared exchange over this projection).
+parse_street_udf = F.pandas_udf(_parse_batch, _PARSE_TYPE).asNondeterministic()
+
+
+def parse_street_struct(cleansed: Column) -> Column:
+    """Arrow-vectorized parse: one struct column with the six parse fields.
+
+    The hot-path variant used by the geocode operator (the Catalyst
+    expression form above is exact but its token-index CASE trees re-inline
+    the whole `split()` pyramid at every reference — fine evaluated once,
+    pathological when join keys / filters force re-derivation)."""
+    return parse_street_udf(cleansed)
 
 
 # ------------------------------------------------------------------ DuckDB SQL

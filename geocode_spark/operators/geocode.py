@@ -32,8 +32,19 @@ semantics):
   candidate priority for equal scores: USPS(0) > addressPoints(1) >
       roadCenterlines(2); final tiebreak lowest cand_id.
 
-All shuffles: exactly one, the top-1 aggregation keyed on the (unique) primary
-key. Locator joins are broadcast; the input side is never shuffled for them.
+Physical shape (what .explain must show): ONE pass over the input. All locator
+sources unify into a single small broadcast relation (exact matches modeled as
+degenerate ranges from_addr = to_addr, so address points, centerline ranges
+and PO boxes share one join shape), and the parsed input LEFT-joins it once —
+BroadcastHashJoin on (zone_key, join_name) with the house-range predicate as
+the join filter. Unmatched rows survive the left join as the no-match rows;
+below-threshold candidates are nulled (not filtered) so they can't win but
+can't drop rows either. A single partial-aggregating max_by keyed on the
+(unique) primary key picks the best candidate. Total: one broadcast join, one
+shuffle (the final aggregation), zero unions, the pages table scanned once —
+no multi-branch plan that would re-run the Arrow extraction per source.
+
+Assumes primary_key is unique (the web-scale contract: it is the page url).
 """
 
 from __future__ import annotations
@@ -43,7 +54,7 @@ from pyspark.sql import functions as F
 
 from .. import DEFAULT_ACCEPT_SCORE, RESULT_COLUMNS
 from ..cleansing import cleanse_street_col, cleanse_zone_col
-from ..grammar import DIRECTION_WORDS, parse_street_cols
+from ..grammar import DIRECTION_WORDS
 
 HOST = "api.mapserv.utah.gov"  # reference geocode.py:32
 LOCATOR_AP = "AddressPoints.AddressGrid"
@@ -77,9 +88,15 @@ def cleanse_input(df: DataFrame, id_col="id", street_col="street", zone_col="zon
 
 
 def parse_input(df: DataFrame) -> DataFrame:
-    """Attach parsed-address columns + the zone join key."""
-    cols = parse_street_cols(F.col("cleansed_street"))
-    return df.withColumns(cols).withColumn(
+    """Attach parsed-address columns + the zone join key.
+
+    Parsing runs as one Arrow-vectorized stage (grammar.parse_street_struct);
+    its output is a materialized struct, so downstream filters and join keys
+    read fields instead of re-deriving the parse expression tree."""
+    from ..grammar import parse_street_struct
+
+    p = df.withColumn("_p", parse_street_struct(F.col("cleansed_street")))
+    return p.select("*", "_p.*").drop("_p").withColumn(
         "zone_key", F.upper(F.col("cleansed_zone"))
     )
 
@@ -105,9 +122,10 @@ def _expand_dir(c: Column) -> Column:
     return expr.otherwise(F.lit(None).cast("string"))
 
 
-def _rank_key(score: Column, priority: int, cand_id: Column) -> Column:
+def _rank_key(score: Column, priority: Column, cand_id: Column) -> Column:
+    """Total order over candidates: score desc, source priority, cand_id asc."""
     return (
-        (score.cast("bigint") * 10 + (9 - priority)) * F.lit(100_000_000).cast("bigint")
+        (score.cast("bigint") * 10 + (F.lit(9) - priority)) * F.lit(100_000_000).cast("bigint")
         + (F.lit(99_999_999).cast("bigint") - cand_id)
     )
 
@@ -142,13 +160,27 @@ def _standardized(house: Column, predir: Column, name: Column, stype: Column,
     )
 
 
-_CAND_COLS = [
-    "primary_key", "x", "y", "score", "locator", "matchAddress",
-    "standardizedAddress", "addressGrid", "rank_key",
+# columns every candidate row carries through the aggregation so the final
+# projection needs no join back to the input relation
+_CARRY_COLS = ["input_street", "input_zone", "cleansed_street", "cleansed_zone"]
+_MATCH_COLS = [
+    "x", "y", "score", "locator", "matchAddress", "standardizedAddress",
+    "addressGrid",
 ]
 
 
-# ---------------------------------------------------------- candidate joins
+# ------------------------------------------------------ unified locator build
+# PO-box rows join under this synthetic street name; parsed street rows can
+# never produce it (cleansing removes nothing that would create '#').
+_POBOX_NAME = "#POBOX"
+
+_UNIFIED_COLS = [
+    "src", "pri", "base_score", "cand_id", "grid", "zone_key", "join_name",
+    "l_street_name", "l_predir", "l_stype", "l_sufdir",
+    "from_addr", "to_addr", "x0", "y0", "x1", "y1",
+]
+
+
 def _with_zone_keys(locator: DataFrame) -> DataFrame:
     """Explode a locator to one row per zone join key (zip5 + grid name)."""
     return locator.withColumn("zone_key", F.col("zip5")).unionByName(
@@ -156,125 +188,77 @@ def _with_zone_keys(locator: DataFrame) -> DataFrame:
     )
 
 
-def ap_candidates(parsed: DataFrame, address_points: DataFrame) -> DataFrame:
-    """J2: equi-join on (zone_key, street_name, house_number). Broadcast build side."""
-    l = _with_zone_keys(
-        address_points.select(
-            "cand_id", "grid", "house_number",
+def unified_locators(
+    address_points: DataFrame | None,
+    road_centerlines: DataFrame | None,
+    pobox_points: DataFrame | None,
+    locators: str = "all",
+    pobox: bool = False,
+) -> DataFrame:
+    """One broadcastable relation holding every selected candidate source.
+
+    Exact matchers (address points J2, PO boxes J6) become degenerate ranges
+    (from_addr = to_addr), so they share the centerline range join's (J3)
+    shape and the probe side joins ONCE for all sources. Coordinates unify as
+    segments (points have x0=x1), so one interpolation expression serves all.
+    """
+    parts = []
+    if locators in ("all", "addressPoints") and address_points is not None:
+        ap = address_points.select(
+            F.lit("ap").alias("src"),
+            F.lit(PRIORITY["ap"]).alias("pri"),
+            F.lit(BASE_SCORE_AP).alias("base_score"),
+            "cand_id", "grid", "zip5",
+            F.col("street_name").alias("join_name"),
+            F.col("street_name").alias("l_street_name"),
             F.col("predir").alias("l_predir"),
-            "street_name",
             F.col("stype").alias("l_stype"),
             F.col("sufdir").alias("l_sufdir"),
-            "zip5", "x", "y",
+            F.col("house_number").alias("from_addr"),
+            F.col("house_number").alias("to_addr"),
+            F.col("x").alias("x0"), F.col("y").alias("y0"),
+            F.col("x").alias("x1"), F.col("y").alias("y1"),
         )
-    )
-    j = parsed.filter(F.col("addr_type") == "STREET").join(
-        F.broadcast(l),
-        on=[
-            parsed.zone_key == l.zone_key,
-            parsed.street_name == l.street_name,
-            parsed.house == l.house_number,
-        ],
-        how="inner",
-    )
-    score = (
-        F.lit(BASE_SCORE_AP)
-        - _dir_penalty(parsed.predir, F.col("l_predir"))
-        - _dir_penalty(parsed.sufdir, F.col("l_sufdir"))
-        - _type_penalty(parsed.stype, F.col("l_stype"))
-    ).cast("bigint")
-    return j.select(
-        parsed.primary_key,
-        F.col("x"), F.col("y"),
-        score.alias("score"),
-        F.lit(LOCATOR_AP).alias("locator"),
-        _match_address(
-            F.col("house_number"), F.col("l_predir"), l.street_name,
-            F.col("l_stype"), F.col("l_sufdir"), F.col("grid")
-        ).alias("matchAddress"),
-        _standardized(
-            parsed.house, parsed.predir, parsed.street_name, parsed.stype,
-            parsed.sufdir
-        ).alias("standardizedAddress"),
-        F.col("grid").alias("addressGrid"),
-        _rank_key(score, PRIORITY["ap"], F.col("cand_id")).alias("rank_key"),
-    )
-
-
-def rc_candidates(parsed: DataFrame, road_centerlines: DataFrame) -> DataFrame:
-    """J3: broadcast join on (zone_key, street_name) + house range + interpolation."""
-    l = _with_zone_keys(
-        road_centerlines.select(
+        parts.append(_with_zone_keys(ap).select(*_UNIFIED_COLS))
+    if locators in ("all", "roadCenterlines") and road_centerlines is not None:
+        rc = road_centerlines.select(
+            F.lit("rc").alias("src"),
+            F.lit(PRIORITY["rc"]).alias("pri"),
+            F.lit(BASE_SCORE_RC).alias("base_score"),
+            "cand_id", "grid", "zip5",
+            F.col("street_name").alias("join_name"),
+            F.col("street_name").alias("l_street_name"),
+            F.col("predir").alias("l_predir"),
+            F.col("stype").alias("l_stype"),
+            F.col("sufdir").alias("l_sufdir"),
+            "from_addr", "to_addr", "x0", "y0", "x1", "y1",
+        )
+        parts.append(_with_zone_keys(rc).select(*_UNIFIED_COLS))
+    if pobox and pobox_points is not None:
+        # PO boxes match on zip zones only (no grid-name key) — no explode.
+        pb = pobox_points.select(
+            F.lit("usps").alias("src"),
+            F.lit(PRIORITY["usps"]).alias("pri"),
+            F.lit(BASE_SCORE_USPS).alias("base_score"),
             "cand_id", "grid",
-            F.col("predir").alias("l_predir"),
-            "street_name",
-            F.col("stype").alias("l_stype"),
-            F.col("sufdir").alias("l_sufdir"),
-            "zip5", "from_addr", "to_addr", "x0", "y0", "x1", "y1",
+            F.col("zip5").alias("zone_key"),
+            F.lit(_POBOX_NAME).alias("join_name"),
+            F.lit("").alias("l_street_name"),
+            F.lit("").alias("l_predir"),
+            F.lit("").alias("l_stype"),
+            F.lit("").alias("l_sufdir"),
+            F.col("box_number").alias("from_addr"),
+            F.col("box_number").alias("to_addr"),
+            F.col("x").alias("x0"), F.col("y").alias("y0"),
+            F.col("x").alias("x1"), F.col("y").alias("y1"),
         )
-    )
-    j = parsed.filter(F.col("addr_type") == "STREET").join(
-        F.broadcast(l),
-        on=[
-            parsed.zone_key == l.zone_key,
-            parsed.street_name == l.street_name,
-            parsed.house >= l.from_addr,
-            parsed.house <= l.to_addr,
-        ],
-        how="inner",
-    )
-    t = (parsed.house - F.col("from_addr")).cast("double") / (
-        F.col("to_addr") - F.col("from_addr")
-    ).cast("double")
-    score = (
-        F.lit(BASE_SCORE_RC)
-        - _dir_penalty(parsed.predir, F.col("l_predir"))
-        - _dir_penalty(parsed.sufdir, F.col("l_sufdir"))
-        - _type_penalty(parsed.stype, F.col("l_stype"))
-    ).cast("bigint")
-    return j.select(
-        parsed.primary_key,
-        (F.col("x0") + t * (F.col("x1") - F.col("x0"))).alias("x"),
-        (F.col("y0") + t * (F.col("y1") - F.col("y0"))).alias("y"),
-        score.alias("score"),
-        F.lit(LOCATOR_RC).alias("locator"),
-        _match_address(
-            parsed.house, F.col("l_predir"), l.street_name, F.col("l_stype"),
-            F.col("l_sufdir"), F.col("grid")
-        ).alias("matchAddress"),
-        _standardized(
-            parsed.house, parsed.predir, parsed.street_name, parsed.stype,
-            parsed.sufdir
-        ).alias("standardizedAddress"),
-        F.col("grid").alias("addressGrid"),
-        _rank_key(score, PRIORITY["rc"], F.col("cand_id")).alias("rank_key"),
-    )
-
-
-def pobox_candidates(parsed: DataFrame, pobox_points: DataFrame) -> DataFrame:
-    """J6: PO-box match on (zip5, box_number); zip-keyed zones only."""
-    l = pobox_points.select("cand_id", "grid", "zip5", "box_number", "x", "y")
-    j = parsed.filter(F.col("addr_type") == "POBOX").join(
-        F.broadcast(l),
-        on=[parsed.zone_key == l.zip5, parsed.house == l.box_number],
-        how="inner",
-    )
-    score = F.lit(BASE_SCORE_USPS).cast("bigint")
-    return j.select(
-        parsed.primary_key,
-        F.col("x"), F.col("y"),
-        score.alias("score"),
-        F.lit(LOCATOR_USPS).alias("locator"),
-        F.concat(
-            F.lit("P.O. BOX "), F.col("box_number").cast("string"),
-            F.lit(", "), F.col("zip5")
-        ).alias("matchAddress"),
-        F.lower(F.concat(F.lit("po box "), parsed.house.cast("string"))).alias(
-            "standardizedAddress"
-        ),
-        F.col("grid").alias("addressGrid"),
-        _rank_key(score, PRIORITY["usps"], F.col("cand_id")).alias("rank_key"),
-    )
+        parts.append(pb.select(*_UNIFIED_COLS))
+    if not parts:
+        raise ValueError("no locator sources selected")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # --------------------------------------------------------------- the operator
@@ -297,29 +281,105 @@ def geocode(
     26912 native or 4326 via the from-scratch transverse-Mercator inverse.
     """
     base = parse_input(cleanse_input(input_df))
+    loc = unified_locators(
+        address_points, road_centerlines, pobox_points,
+        locators=locators, pobox=pobox,
+    )
 
-    sources = []
-    if locators in ("all", "addressPoints") and address_points is not None:
-        sources.append(ap_candidates(base, address_points))
-    if locators in ("all", "roadCenterlines") and road_centerlines is not None:
-        sources.append(rc_candidates(base, road_centerlines))
-    if pobox and pobox_points is not None:
-        sources.append(pobox_candidates(base, pobox_points))
-    if not sources:
-        raise ValueError("no locator sources selected")
+    # Probe key: street rows join by street name, PO-box rows by the
+    # synthetic PO-box name ('#' can never survive cleansing, so no street
+    # can collide with it). Invalid rows have join_name '' and house NULL —
+    # they match nothing and fall out of the left join as no-match rows.
+    base = base.withColumn(
+        "join_name",
+        F.when(F.col("addr_type") == "POBOX", F.lit(_POBOX_NAME)).otherwise(
+            F.col("street_name")
+        ),
+    )
 
-    cands = sources[0]
-    for s in sources[1:]:
-        cands = cands.unionByName(s)
-    cands = cands.filter(F.col("score") >= accept_score)
+    j = base.join(
+        F.broadcast(loc),
+        on=[
+            base.zone_key == loc.zone_key,
+            base.join_name == loc.join_name,
+            base.house >= loc.from_addr,
+            base.house <= loc.to_addr,
+        ],
+        how="left",
+    )
 
-    # J5: single shuffle — partial-aggregating max_by keyed on the unique pk.
-    agg = [
-        F.max_by(F.col(c), F.col("rank_key")).alias(c)
-        for c in ("x", "y", "score", "locator", "matchAddress",
-                  "standardizedAddress", "addressGrid")
-    ]
-    top1 = cands.groupBy("primary_key").agg(*agg)
+    # J4: deterministic penalty scoring. NULL for unmatched rows (base_score
+    # is NULL there), so score doubles as the "matched" flag.
+    score = (
+        loc.base_score
+        - _dir_penalty(base.predir, loc.l_predir)
+        - _dir_penalty(base.sufdir, loc.l_sufdir)
+        - _type_penalty(base.stype, loc.l_stype)
+    ).cast("bigint")
+    # Below-threshold candidates are NULLED, not filtered: the row must
+    # survive as a no-match (404) row if nothing clears the threshold.
+    ok = score >= accept_score
+
+    # Position along the candidate segment; exact matchers are degenerate
+    # segments (from=to -> t=0 -> x0 bit-exact).
+    t = (
+        F.when(
+            loc.to_addr > loc.from_addr,
+            (base.house - loc.from_addr).cast("double")
+            / (loc.to_addr - loc.from_addr).cast("double"),
+        ).otherwise(F.lit(0.0))
+    )
+
+    locator_name = (
+        F.when(loc.src == "usps", F.lit(LOCATOR_USPS))
+        .when(loc.src == "ap", F.lit(LOCATOR_AP))
+        .otherwise(F.lit(LOCATOR_RC))
+    )
+    match_addr = F.when(
+        loc.src == "usps",
+        F.concat(
+            F.lit("P.O. BOX "), base.house.cast("string"),
+            F.lit(", "), loc.zone_key,
+        ),
+    ).otherwise(
+        _match_address(
+            base.house, loc.l_predir, loc.l_street_name, loc.l_stype,
+            loc.l_sufdir, loc.grid,
+        )
+    )
+    std_addr = F.when(
+        loc.src == "usps",
+        F.lower(F.concat(F.lit("po box "), base.house.cast("string"))),
+    ).otherwise(
+        _standardized(base.house, base.predir, base.street_name, base.stype,
+                      base.sufdir)
+    )
+
+    cands = j.select(
+        base.primary_key,
+        *[base[c] for c in _CARRY_COLS],
+        F.when(ok, loc.x0 + t * (loc.x1 - loc.x0)).alias("x"),
+        F.when(ok, loc.y0 + t * (loc.y1 - loc.y0)).alias("y"),
+        F.when(ok, score).alias("score"),
+        F.when(ok, locator_name).alias("locator"),
+        F.when(ok, match_addr).alias("matchAddress"),
+        F.when(ok, std_addr).alias("standardizedAddress"),
+        F.when(ok, loc.grid).alias("addressGrid"),
+        F.coalesce(
+            F.when(ok, _rank_key(score, loc.pri, loc.cand_id)),
+            F.lit(-1).cast("bigint"),
+        ).alias("rank_key"),
+    )
+
+    # J5: the single shuffle, keyed on the unique primary key. Partial
+    # (map-side) max_by collapses each partition to <= 1 row per key before
+    # the exchange.
+    top = cands.groupBy("primary_key").agg(
+        F.max_by(F.struct(*_MATCH_COLS), F.col("rank_key")).alias("m"),
+        # carry columns are functionally dependent on the key (identical on
+        # every row of a group) — max() is just a deterministic pick
+        *[F.max(c).alias(c) for c in _CARRY_COLS],
+    )
 
     missing = (F.col("cleansed_street") == "") | (F.col("cleansed_zone") == "")
     msg_missing = F.concat(
@@ -328,21 +388,20 @@ def geocode(
     )
     msg_404 = F.lit(MSG_NO_CANDIDATES.format(score=accept_score))
 
-    out = base.join(top1, on="primary_key", how="left")
-    result = out.select(
+    result = top.select(
         F.col("primary_key"),
         F.col("input_street"),
         F.col("input_zone"),
-        F.coalesce(F.col("x"), F.lit(0.0)).alias("x"),
-        F.coalesce(F.col("y"), F.lit(0.0)).alias("y"),
-        F.coalesce(F.col("score"), F.lit(0).cast("bigint")).alias("score"),
-        F.col("locator"),
-        F.col("matchAddress"),
+        F.coalesce(F.col("m.x"), F.lit(0.0)).alias("x"),
+        F.coalesce(F.col("m.y"), F.lit(0.0)).alias("y"),
+        F.coalesce(F.col("m.score"), F.lit(0).cast("bigint")).alias("score"),
+        F.col("m.locator").alias("locator"),
+        F.col("m.matchAddress").alias("matchAddress"),
         # P6: prefer standardizedAddress, fall back to inputAddress
         # (reference geocode.py:234-237) — ours always sets it on success.
-        F.col("standardizedAddress"),
-        F.col("addressGrid"),
-        F.when(F.col("score").isNull(),
+        F.col("m.standardizedAddress").alias("standardizedAddress"),
+        F.col("m.addressGrid").alias("addressGrid"),
+        F.when(F.col("m.score").isNull(),
                F.when(missing, msg_missing).otherwise(msg_404))
         .otherwise(F.lit(None).cast("string"))
         .alias("message"),

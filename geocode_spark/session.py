@@ -37,6 +37,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local-mode stand-in for a many-file table: split small single-file
+        # fixtures into enough scan partitions to feed every core. A real
+        # 100 TB table gets its parallelism from file count (keep the 128 MB
+        # default there); these two knobs only matter for MB-scale inputs.
+        .config("spark.sql.files.maxPartitionBytes", "524288")
+        .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
