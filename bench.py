@@ -38,6 +38,8 @@ def _session(cpus: int, app: str):
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fewer, larger Arrow batches: less JVM<->python per-batch sync
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -79,7 +81,7 @@ def run_bench() -> dict:
     return out
 
 
-SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "8"))
+SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "64"))
 SCALE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "128"))
 
 
@@ -105,14 +107,25 @@ def _scaled_pages(spark, fix: str):
     return pages
 
 
+def _force_full(df) -> None:
+    """Materialize EVERY column (noop sink). count() would let Spark prune
+    the match payload out of the plan and flatter the numbers."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def run_scaling() -> dict:
-    """Flagship pages->geocode pipeline at local[N] and local[4N].
+    """Flagship pages->geocode pipeline at task-slot counts N and 4N.
 
     Both levels run the IDENTICAL plan on the IDENTICAL input (fixed
-    partition and shuffle-partition counts); only the core count differs —
-    the sandbox protocol for the north rule's N -> 4N executor criterion."""
-    lo = max(2, CPUS // 4)
-    hi = CPUS
+    partition and shuffle-partition counts); only the task-slot count
+    differs — the sandbox protocol for the north rule's N -> 4N executor
+    criterion. Slot counts are sized so the 4N level still fits the box:
+    every task in the Arrow-UDF stage is a JVM-thread + python-worker PAIR,
+    so local[k] occupies ~2k cores — local[CPUS//2] is the largest level
+    that measures scaling rather than oversubscription.
+    """
+    lo = max(2, CPUS // 8)
+    hi = max(2 * lo, CPUS // 2)
     res = {}
     for cpus in (lo, hi):
         spark = _session(cpus, f"geocode-spark-scaling-{cpus}")
@@ -124,11 +137,15 @@ def run_scaling() -> dict:
         fix = str(ensure_fixtures(SF_DIR))
         pages = _scaled_pages(spark, fix)
         n = pages.count()
-        geocode_pages(pages, load_locators(spark, fix)).count()  # warm
-        t0 = time.perf_counter()
-        out_rows = geocode_pages(pages, load_locators(spark, fix)).count()
-        dt = time.perf_counter() - t0
-        res[cpus] = {"sec": round(dt, 4), "pages_per_sec": round(n / dt, 1),
+        df = geocode_pages(pages, load_locators(spark, fix))
+        out_rows = df.count()
+        _force_full(df)  # warm: codegen + python workers + page cache
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force_full(df)
+            best = min(best, time.perf_counter() - t0)
+        res[cpus] = {"sec": round(best, 4), "pages_per_sec": round(n / best, 1),
                      "pages_in": n, "rows_out": out_rows}
         spark.stop()
     speedup = res[lo]["sec"] / res[hi]["sec"]

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
+from .grammar import _PARSE_TYPE
+
 ADDRESS_PATTERN = r"((?:[0-9]|PO BOX |P O BOX )[0-9A-Z ]*), ([0-9A-Z][0-9A-Z ]*)\."
 
 _OUT_TYPE = StructType(
@@ -52,6 +54,73 @@ def extract_addresses(pages: DataFrame, keep_all: bool = True) -> DataFrame:
     if not keep_all:
         out = out.filter(F.col("street").isNotNull())
     return out
+
+
+_FULL_TYPE = StructType(
+    [
+        StructField("street", StringType()),
+        StructField("zone", StringType()),
+        StructField("cleansed_street", StringType()),
+        StructField("cleansed_zone", StringType()),
+    ]
+    + list(_PARSE_TYPE.fields)
+)
+
+
+def _extract_parse_batch(text: pd.Series) -> pd.DataFrame:
+    """Fused extract + cleanse + parse — ONE Python round trip per batch.
+
+    Semantically identical to extract_addresses -> cleanse_input ->
+    parse_input (same regex, the tested pd_cleanse_* twins of the Catalyst
+    cleansing, the same parse_street_py grammar); fused so the hot path pays
+    one JVM<->Python Arrow boundary instead of two.
+    """
+    from .cleansing import pd_cleanse_street, pd_cleanse_zone
+    from .grammar import PARSE_FIELDS, parse_street_py
+
+    out = _extract_batch(text)
+    cs = pd_cleanse_street(out["street"]).fillna("")
+    # missing zone cleanses to '' (cleanse_input coalesces the same way)
+    cz = pd_cleanse_zone(out["zone"].fillna("")).fillna("")
+    out["cleansed_street"] = cs
+    out["cleansed_zone"] = cz
+    parsed = pd.DataFrame(
+        [parse_street_py(v) for v in cs], columns=list(PARSE_FIELDS),
+        index=out.index,
+    )
+    return pd.concat([out, parsed], axis=1)
+
+
+_extract_parse_udf = F.pandas_udf(_extract_parse_batch, _FULL_TYPE).asNondeterministic()
+
+
+def extract_and_parse(pages: DataFrame) -> DataFrame:
+    """pages -> the geocode_parsed() input schema, in one Arrow stage.
+
+    Produces exactly what operators.geocode.parse_input(cleanse_input(
+    extract_addresses(pages))) produces, with one Python boundary instead of
+    two (the second boundary showed up as blocked executor time at high
+    parallelism). zone_key stays a Catalyst expression on the materialized
+    struct field.
+    """
+    a = pages.select(
+        F.col("url").cast("string").alias("primary_key"),
+        _extract_parse_udf(F.col("text")).alias("a"),
+    )
+    return a.select(
+        "primary_key",
+        F.col("a.street").alias("input_street"),
+        F.col("a.zone").alias("input_zone"),
+        F.col("a.cleansed_street").alias("cleansed_street"),
+        F.col("a.cleansed_zone").alias("cleansed_zone"),
+        F.col("a.addr_type").alias("addr_type"),
+        F.col("a.house").alias("house"),
+        F.col("a.predir").alias("predir"),
+        F.col("a.street_name").alias("street_name"),
+        F.col("a.stype").alias("stype"),
+        F.col("a.sufdir").alias("sufdir"),
+        F.upper(F.col("a.cleansed_zone")).alias("zone_key"),
+    )
 
 
 def extract_oracle_sql(pages_path: str) -> str:

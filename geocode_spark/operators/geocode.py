@@ -32,24 +32,29 @@ semantics):
   candidate priority for equal scores: USPS(0) > addressPoints(1) >
       roadCenterlines(2); final tiebreak lowest cand_id.
 
-Physical shape (what .explain must show): ONE pass over the input. All locator
-sources unify into a single small broadcast relation (exact matches modeled as
-degenerate ranges from_addr = to_addr, so address points, centerline ranges
-and PO boxes share one join shape), and the parsed input LEFT-joins it once —
-BroadcastHashJoin on (zone_key, join_name) with the house-range predicate as
-the join filter. Unmatched rows survive the left join as the no-match rows;
-below-threshold candidates are nulled (not filtered) so they can't win but
-can't drop rows either. A single partial-aggregating max_by keyed on the
-(unique) primary key picks the best candidate. Total: one broadcast join, one
-shuffle (the final aggregation), zero unions, the pages table scanned once —
-no multi-branch plan that would re-run the Arrow extraction per source.
+Physical shape (what .explain must show): ONE pass over the input and ZERO
+shuffles. All locator sources unify into a single small relation (exact
+matches modeled as degenerate ranges from_addr = to_addr, so address points,
+centerline ranges and PO boxes share one shape), pre-grouped per join key
+(zone_key, join_name) into candidate ARRAYS and broadcast. The parsed input
+LEFT-joins it once — BroadcastHashJoin emitting exactly ONE row per input row
+— and the best candidate is selected row-locally with higher-order array
+functions: filter (house-range + accept-score threshold) -> transform (score
++ rank_key-first struct) -> array_max (struct ordering = rank order; ranks
+are unique, so ties are impossible). Unmatched keys / empty arrays surface as
+NULL = the no-match row.
 
-Assumes primary_key is unique (the web-scale contract: it is the page url).
+Every input row is handled independently and locally: no aggregation, no
+window, no exchange — the plan is embarrassingly parallel by construction,
+which is what makes N -> 4N executor scaling near-linear. Skew cannot
+concentrate (there is no shuffle key to skew); the hot-zone (Salt Lake City)
+mandate is handled by the locator ARRAY being bucket-scanned per probe row
+exactly as a hash-join bucket would be.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import DEFAULT_ACCEPT_SCORE, RESULT_COLUMNS
@@ -160,13 +165,6 @@ def _standardized(house: Column, predir: Column, name: Column, stype: Column,
     )
 
 
-# columns every candidate row carries through the aggregation so the final
-# projection needs no join back to the input relation
-_CARRY_COLS = ["input_street", "input_zone", "cleansed_street", "cleansed_zone"]
-_MATCH_COLS = [
-    "x", "y", "score", "locator", "matchAddress", "standardizedAddress",
-    "addressGrid",
-]
 
 
 # ------------------------------------------------------ unified locator build
@@ -280,10 +278,50 @@ def geocode(
     `spatial_reference` re-expresses output x/y (J7, geocode.py:25,115,204):
     26912 native or 4326 via the from-scratch transverse-Mercator inverse.
     """
-    base = parse_input(cleanse_input(input_df))
+    return geocode_parsed(
+        parse_input(cleanse_input(input_df)),
+        address_points=address_points,
+        road_centerlines=road_centerlines,
+        pobox_points=pobox_points,
+        locators=locators,
+        pobox=pobox,
+        accept_score=accept_score,
+        spatial_reference=spatial_reference,
+    )
+
+
+def geocode_parsed(
+    base: DataFrame,
+    address_points: DataFrame | None = None,
+    road_centerlines: DataFrame | None = None,
+    pobox_points: DataFrame | None = None,
+    locators: str = "all",
+    pobox: bool = False,
+    accept_score: int = DEFAULT_ACCEPT_SCORE,
+    spatial_reference: int = 26912,
+) -> DataFrame:
+    """geocode() over an already cleansed + parsed relation.
+
+    `base` needs primary_key, input_street, input_zone, cleansed_street,
+    cleansed_zone, zone_key and the six parse fields — the schema
+    parse_input(cleanse_input(df)) produces. Exposed so sources that parse
+    inside their own Arrow stage (extraction.extract_and_parse fuses
+    extract+cleanse+parse into one Python round trip) skip re-parsing.
+    """
     loc = unified_locators(
         address_points, road_centerlines, pobox_points,
         locators=locators, pobox=pobox,
+    )
+    # Pre-group the locator rows into per-join-key candidate arrays so the
+    # broadcast join emits exactly one row per input row (see module doc).
+    packed = loc.groupBy("zone_key", "join_name").agg(
+        F.collect_list(
+            F.struct(
+                "src", "pri", "base_score", "cand_id", "grid",
+                "l_street_name", "l_predir", "l_stype", "l_sufdir",
+                "from_addr", "to_addr", "x0", "y0", "x1", "y1",
+            )
+        ).alias("cands")
     )
 
     # Probe key: street rows join by street name, PO-box rows by the
@@ -298,89 +336,87 @@ def geocode(
     )
 
     j = base.join(
-        F.broadcast(loc),
-        on=[
-            base.zone_key == loc.zone_key,
-            base.join_name == loc.join_name,
-            base.house >= loc.from_addr,
-            base.house <= loc.to_addr,
-        ],
+        F.broadcast(packed),
+        on=[base.zone_key == packed.zone_key, base.join_name == packed.join_name],
         how="left",
+    ).drop(packed.zone_key).drop(packed.join_name)
+
+    house = F.col("house")
+
+    def _score(c):
+        # J4: deterministic penalty scoring against one candidate struct.
+        return (
+            c["base_score"]
+            - _dir_penalty(F.col("predir"), c["l_predir"])
+            - _dir_penalty(F.col("sufdir"), c["l_sufdir"])
+            - _type_penalty(F.col("stype"), c["l_stype"])
+        ).cast("bigint")
+
+    def _in_range(c):
+        return (house >= c["from_addr"]) & (house <= c["to_addr"])
+
+    # J5 row-locally: keep candidates in range that clear the accept-score
+    # threshold (geocode.py:28,206), rank them, and take the array max —
+    # struct ordering compares rank_key first; ranks are unique (cand_id
+    # tiebreak), so the winner is total-order deterministic regardless of
+    # collect_list order or partitioning.
+    eligible = F.filter(
+        F.col("cands"), lambda c: _in_range(c) & (_score(c) >= accept_score)
     )
+    ranked = F.transform(
+        eligible,
+        lambda c: F.struct(
+            _rank_key(_score(c), c["pri"], c["cand_id"]).alias("rank_key"),
+            _score(c).alias("score"),
+            c["src"].alias("src"),
+            c["grid"].alias("grid"),
+            c["l_street_name"].alias("l_street_name"),
+            c["l_predir"].alias("l_predir"),
+            c["l_stype"].alias("l_stype"),
+            c["l_sufdir"].alias("l_sufdir"),
+            c["from_addr"].alias("from_addr"),
+            c["to_addr"].alias("to_addr"),
+            c["x0"].alias("x0"), c["y0"].alias("y0"),
+            c["x1"].alias("x1"), c["y1"].alias("y1"),
+        ),
+    )
+    j = j.withColumn("m", F.array_max(ranked)).drop("cands")
 
-    # J4: deterministic penalty scoring. NULL for unmatched rows (base_score
-    # is NULL there), so score doubles as the "matched" flag.
-    score = (
-        loc.base_score
-        - _dir_penalty(base.predir, loc.l_predir)
-        - _dir_penalty(base.sufdir, loc.l_sufdir)
-        - _type_penalty(base.stype, loc.l_stype)
-    ).cast("bigint")
-    # Below-threshold candidates are NULLED, not filtered: the row must
-    # survive as a no-match (404) row if nothing clears the threshold.
-    ok = score >= accept_score
-
-    # Position along the candidate segment; exact matchers are degenerate
+    m = F.col("m")
+    # Position along the winning segment; exact matchers are degenerate
     # segments (from=to -> t=0 -> x0 bit-exact).
-    t = (
-        F.when(
-            loc.to_addr > loc.from_addr,
-            (base.house - loc.from_addr).cast("double")
-            / (loc.to_addr - loc.from_addr).cast("double"),
-        ).otherwise(F.lit(0.0))
-    )
+    t = F.when(
+        m["to_addr"] > m["from_addr"],
+        (house - m["from_addr"]).cast("double")
+        / (m["to_addr"] - m["from_addr"]).cast("double"),
+    ).otherwise(F.lit(0.0))
 
     locator_name = (
-        F.when(loc.src == "usps", F.lit(LOCATOR_USPS))
-        .when(loc.src == "ap", F.lit(LOCATOR_AP))
+        F.when(m["src"] == "usps", F.lit(LOCATOR_USPS))
+        .when(m["src"] == "ap", F.lit(LOCATOR_AP))
         .otherwise(F.lit(LOCATOR_RC))
     )
     match_addr = F.when(
-        loc.src == "usps",
+        m["src"] == "usps",
         F.concat(
-            F.lit("P.O. BOX "), base.house.cast("string"),
-            F.lit(", "), loc.zone_key,
+            F.lit("P.O. BOX "), house.cast("string"),
+            F.lit(", "), F.col("zone_key"),
         ),
     ).otherwise(
         _match_address(
-            base.house, loc.l_predir, loc.l_street_name, loc.l_stype,
-            loc.l_sufdir, loc.grid,
+            house, m["l_predir"], m["l_street_name"], m["l_stype"],
+            m["l_sufdir"], m["grid"],
         )
     )
     std_addr = F.when(
-        loc.src == "usps",
-        F.lower(F.concat(F.lit("po box "), base.house.cast("string"))),
+        m["src"] == "usps",
+        F.lower(F.concat(F.lit("po box "), house.cast("string"))),
     ).otherwise(
-        _standardized(base.house, base.predir, base.street_name, base.stype,
-                      base.sufdir)
+        _standardized(house, F.col("predir"), F.col("street_name"),
+                      F.col("stype"), F.col("sufdir"))
     )
 
-    cands = j.select(
-        base.primary_key,
-        *[base[c] for c in _CARRY_COLS],
-        F.when(ok, loc.x0 + t * (loc.x1 - loc.x0)).alias("x"),
-        F.when(ok, loc.y0 + t * (loc.y1 - loc.y0)).alias("y"),
-        F.when(ok, score).alias("score"),
-        F.when(ok, locator_name).alias("locator"),
-        F.when(ok, match_addr).alias("matchAddress"),
-        F.when(ok, std_addr).alias("standardizedAddress"),
-        F.when(ok, loc.grid).alias("addressGrid"),
-        F.coalesce(
-            F.when(ok, _rank_key(score, loc.pri, loc.cand_id)),
-            F.lit(-1).cast("bigint"),
-        ).alias("rank_key"),
-    )
-
-    # J5: the single shuffle, keyed on the unique primary key. Partial
-    # (map-side) max_by collapses each partition to <= 1 row per key before
-    # the exchange.
-    top = cands.groupBy("primary_key").agg(
-        F.max_by(F.struct(*_MATCH_COLS), F.col("rank_key")).alias("m"),
-        # carry columns are functionally dependent on the key (identical on
-        # every row of a group) — max() is just a deterministic pick
-        *[F.max(c).alias(c) for c in _CARRY_COLS],
-    )
-
+    matched = m.isNotNull()
     missing = (F.col("cleansed_street") == "") | (F.col("cleansed_zone") == "")
     msg_missing = F.concat(
         F.lit(f"Missing required parameters for URL: https://{HOST}/api/v1/geocode/"),
@@ -388,22 +424,23 @@ def geocode(
     )
     msg_404 = F.lit(MSG_NO_CANDIDATES.format(score=accept_score))
 
-    result = top.select(
+    result = j.select(
         F.col("primary_key"),
         F.col("input_street"),
         F.col("input_zone"),
-        F.coalesce(F.col("m.x"), F.lit(0.0)).alias("x"),
-        F.coalesce(F.col("m.y"), F.lit(0.0)).alias("y"),
-        F.coalesce(F.col("m.score"), F.lit(0).cast("bigint")).alias("score"),
-        F.col("m.locator").alias("locator"),
-        F.col("m.matchAddress").alias("matchAddress"),
+        F.when(matched, m["x0"] + t * (m["x1"] - m["x0"]))
+        .otherwise(F.lit(0.0)).alias("x"),
+        F.when(matched, m["y0"] + t * (m["y1"] - m["y0"]))
+        .otherwise(F.lit(0.0)).alias("y"),
+        F.coalesce(m["score"], F.lit(0).cast("bigint")).alias("score"),
+        F.when(matched, locator_name).alias("locator"),
+        F.when(matched, match_addr).alias("matchAddress"),
         # P6: prefer standardizedAddress, fall back to inputAddress
         # (reference geocode.py:234-237) — ours always sets it on success.
-        F.col("m.standardizedAddress").alias("standardizedAddress"),
-        F.col("m.addressGrid").alias("addressGrid"),
-        F.when(F.col("m.score").isNull(),
+        F.when(matched, std_addr).alias("standardizedAddress"),
+        F.when(matched, m["grid"]).alias("addressGrid"),
+        F.when(~matched,
                F.when(missing, msg_missing).otherwise(msg_404))
-        .otherwise(F.lit(None).cast("string"))
         .alias("message"),
     )
     if spatial_reference != 26912:

@@ -1,0 +1,118 @@
+"""Structured-Streaming geocode: batch-equivalence, incremental arrival,
+checkpoint resume, and the watermarked windowed rollup."""
+
+import os
+import shutil
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from compare_util import canonicalize
+from geocode_spark.plans.pipeline import geocode_pages, load_locators
+from geocode_spark.streaming.stream import (
+    read_pages_stream,
+    read_stream_results,
+    stream_geocode,
+    windowed_lang_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark, fixtures_dir, tmp_path_factory):
+    """Split the fixture pages into two file batches in a stream source dir."""
+    root = tmp_path_factory.mktemp("stream")
+    src = str(root / "pages_in")
+    pages = spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+    first, second = (
+        pages.filter(F.crc32(F.col("url")) % 2 == 0),
+        pages.filter(F.crc32(F.col("url")) % 2 == 1),
+    )
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    return {"root": str(root), "src": src, "second": second, "pages": pages}
+
+
+def _run(spark, fixtures_dir, dirs, out, ckpt):
+    q = stream_geocode(
+        spark,
+        dirs["src"],
+        load_locators(spark, fixtures_dir),
+        out_dir=out,
+        checkpoint_dir=ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+
+def test_stream_matches_batch_and_resumes(spark, fixtures_dir, stream_dirs):
+    root = stream_dirs["root"]
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+
+    # pass 1: only the first half of the pages exists
+    _run(spark, fixtures_dir, stream_dirs, out, ckpt)
+    got1 = read_stream_results(spark, out)
+    n_first = spark.read.parquet(stream_dirs["src"]).count()
+    assert got1.count() == n_first
+
+    # more files arrive; restart with the SAME checkpoint -> only new files
+    # are processed (resume), and the union equals the batch result
+    stream_dirs["second"].coalesce(2).write.mode("append").parquet(
+        stream_dirs["src"]
+    )
+    _run(spark, fixtures_dir, stream_dirs, out, ckpt)
+
+    got = read_stream_results(spark, out).toPandas()
+    want = geocode_pages(
+        spark.read.parquet(stream_dirs["src"]),
+        load_locators(spark, fixtures_dir),
+    ).toPandas()
+    assert len(got) == len(want)
+    a, b = canonicalize(got), canonicalize(want)
+    assert a.equals(b), "streamed result != batch result"
+
+    # resume really skipped: a third run with nothing new adds no batches
+    batches_before = set(os.listdir(out))
+    _run(spark, fixtures_dir, stream_dirs, out, ckpt)
+    new = {
+        d for d in set(os.listdir(out)) - batches_before
+        if d.startswith("stream_batch=")
+    }
+    for d in new:  # an empty replay batch may appear; it must carry no rows
+        files = [f for f in os.listdir(f"{out}/{d}") if f.endswith(".parquet")]
+        if files:
+            assert spark.read.parquet(f"{out}/{d}").count() == 0
+
+
+def test_windowed_lang_counts(spark, fixtures_dir, stream_dirs):
+    root = stream_dirs["root"]
+    out = f"{root}/lang_out"
+    src = read_pages_stream(spark, stream_dirs["src"])
+    agg = windowed_lang_counts(src, window="10 minutes", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("langcounts")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{root}/lang_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from langcounts").toPandas()
+
+    pages = spark.read.parquet(stream_dirs["src"])
+    want = (
+        pages.groupBy(F.window("warc_ts", "10 minutes").alias("w"), "lang")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_pages",
+        )
+        .toPandas()
+    )
+    assert len(got) == len(want)
+    assert canonicalize(got).equals(canonicalize(want))
