@@ -17,6 +17,13 @@ and oracle-checked:
                   the oracle reproduces (keeps the contract testable end to end).
   frame_sample  — pretend-video frame sampling: byte-length-derived frame
                   count, strided index explode (real per-frame fan-out shape).
+  audio_meta    — treat post-header bytes as 8-bit PCM samples: sample count,
+                  rate, integer duration (pure arithmetic).
+  audio_features— windowed amplitude aggregates (count/sum/sum-of-squares/
+                  peak per window) computed from the REAL bytes in an
+                  Arrow-batched pandas UDF (binary -> numpy frombuffer); all
+                  outputs are integers, so the DuckDB hex-parse oracle
+                  compares exactly.
 
 At scale: one Arrow-batched Python stage per binary op, no shuffle (pure
 per-row), binary column pruned unless required (`.explain` shows ReadSchema
@@ -134,6 +141,76 @@ def frame_sample(pages: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     )
 
 
+HEADER_BYTES = 8
+SAMPLE_RATE = 16000
+AUDIO_WINDOW = 16
+
+
+def audio_meta(pages: DataFrame, sample_rate: int = SAMPLE_RATE) -> DataFrame:
+    """Audio-as-binary metadata: post-header bytes are 8-bit PCM samples.
+
+    Pure column arithmetic (no Python): n_samples, fixed sample_rate, integer
+    microsecond duration — the typed-metadata half of the audio contract."""
+    n = F.greatest(
+        F.length("html").cast("bigint") - HEADER_BYTES, F.lit(0).cast("bigint")
+    )
+    return pages.select(
+        "url",
+        n.alias("n_samples"),
+        F.lit(sample_rate).cast("bigint").alias("sample_rate"),
+        F.floor(n * 1000000 / sample_rate).cast("bigint").alias("duration_us"),
+    )
+
+
+def audio_features(pages: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
+    """Windowed amplitude features over the raw sample bytes.
+
+    One output row per (url, window): sample count, sum, sum of squares and
+    peak amplitude — all BIGINT, computed by numpy over the real binary
+    payload inside an Arrow-batched mapInPandas stage (the integration point
+    where a real audio decoder would slot in). Per-row fan-out is bounded by
+    ceil(n_samples / window); no shuffle."""
+    import numpy as np
+
+    src = pages.select("url", "html")
+
+    def feats(batches):
+        for pdf in batches:
+            urls, wins, ns, sums, sqs, peaks = [], [], [], [], [], []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                if payload is None or len(payload) <= HEADER_BYTES:
+                    continue
+                samples = np.frombuffer(
+                    bytes(payload), dtype=np.uint8, offset=HEADER_BYTES
+                ).astype(np.int64)
+                for w in range(0, len(samples), window):
+                    seg = samples[w : w + window]
+                    urls.append(url)
+                    wins.append(w // window)
+                    ns.append(len(seg))
+                    sums.append(int(seg.sum()))
+                    sqs.append(int((seg * seg).sum()))
+                    peaks.append(int(seg.max()))
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "window_idx": pd.Series(wins, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sum_amp": pd.Series(sums, dtype="int64"),
+                    "sumsq_amp": pd.Series(sqs, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(
+        feats,
+        schema=(
+            "url string, window_idx bigint, n_samples bigint,"
+            " sum_amp bigint, sumsq_amp bigint, peak bigint"
+        ),
+    )
+
+
 # ----------------------------------------------------------------- oracle side
 def _nib(pos: int) -> str:
     return f"(strpos('0123456789ABCDEF', substr(hx, {pos}, 1)) - 1)"
@@ -197,6 +274,48 @@ SELECT url,
        CAST((width + height) % 256 AS BIGINT) AS f1,
        CAST((width * 3 + height * 7) % 256 AS BIGINT) AS f2
 FROM meta
+"""
+
+
+def audio_meta_oracle_sql(fix: str, sample_rate: int = SAMPLE_RATE) -> str:
+    return f"""
+SELECT url, n_samples,
+       CAST({sample_rate} AS BIGINT) AS sample_rate,
+       CAST(floor(n_samples * 1000000 / {sample_rate}) AS BIGINT) AS duration_us
+FROM (
+  SELECT url, CAST(greatest(octet_length(html) - {HEADER_BYTES}, 0) AS BIGINT)
+              AS n_samples
+  FROM read_parquet('{fix}/pages.parquet')
+)
+"""
+
+
+def audio_features_oracle_sql(fix: str, window: int = AUDIO_WINDOW) -> str:
+    """Independent byte decoder: hex-digit arithmetic over the same payload."""
+    byte = (
+        "(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16"
+        " + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)"
+    )
+    return f"""
+WITH hxp AS (
+  SELECT url, hex(html) AS hx, CAST(octet_length(html) AS BIGINT) AS nb
+  FROM read_parquet('{fix}/pages.parquet')
+),
+pos AS (
+  SELECT url, hx, unnest(generate_series({HEADER_BYTES}, nb - 1)) AS i
+  FROM hxp WHERE nb > {HEADER_BYTES}
+),
+byt AS (
+  SELECT url, CAST((i - {HEADER_BYTES}) // {window} AS BIGINT) AS window_idx,
+         {byte} AS byte
+  FROM pos
+)
+SELECT url, window_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(byte) AS BIGINT) AS sum_amp,
+       CAST(sum(byte * byte) AS BIGINT) AS sumsq_amp,
+       CAST(max(byte) AS BIGINT) AS peak
+FROM byt GROUP BY url, window_idx
 """
 
 
