@@ -27,7 +27,19 @@ import time
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--pages", required=True, help="parquet/iceberg path of web pages")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="parquet/iceberg path of web pages")
+    src.add_argument("--addresses",
+                     help="header CSV of address rows (the reference CLI's "
+                          "input shape, geocode.py:338-344)")
+    p.add_argument("--id-field", default="id",
+                   help="--addresses column holding the primary key "
+                        "(reference geocode.py:324)")
+    p.add_argument("--street-field", default="street")
+    p.add_argument("--zone-field", default="zone")
+    p.add_argument("--csv-output", action="store_true",
+                   help="also write geocoding_results_{YYYYmmddHHMMSS}.csv "
+                        "(header CSV, reference geocode.py:168-174)")
     p.add_argument("--locators-dir", required=True,
                    help="dir with address_points/road_centerlines/pobox_points parquet")
     p.add_argument("--output", required=True, help="output run directory")
@@ -57,23 +69,37 @@ def main(argv=None) -> int:
     )
     spark.sparkContext.setLogLevel("WARN")
 
+    from pyspark.sql import functions as F
+
     from geocode_spark.batching import run_resumable
     from geocode_spark.flowcontrol import (
         ContinuousFailThresholdExceeded,
         format_time,
         health_probe,
     )
+    from geocode_spark.operators.geocode import geocode
     from geocode_spark.plans.pipeline import geocode_pages, load_locators
 
     t0 = time.perf_counter()
-    pages = spark.read.parquet(args.pages)
-    result = geocode_pages(
-        pages,
-        load_locators(spark, args.locators_dir),
-        locators=args.locators,
-        pobox=args.pobox,
-        accept_score=args.accept_score,
-    )
+    kw = dict(locators=args.locators, pobox=args.pobox,
+              accept_score=args.accept_score)
+    locs = load_locators(spark, args.locators_dir)
+    if args.pages:
+        result = geocode_pages(spark.read.parquet(args.pages), locs, **kw)
+    else:
+        # Reference CLI shape: header CSV, user-named id/street/zone columns
+        # projected at the scan (geocode.py:324-344); all values read as
+        # strings exactly as csv.DictReader yields them.
+        addr = (
+            spark.read.option("header", True).option("encoding", "utf-8")
+            .csv(args.addresses)
+            .select(
+                F.col(args.id_field).cast("string").alias("id"),
+                F.col(args.street_field).cast("string").alias("street"),
+                F.col(args.zone_field).cast("string").alias("zone"),
+            )
+        )
+        result = geocode(addr, **locs, **kw)
 
     try:
         probe = health_probe(result, probe_count=args.probe_count,
@@ -88,6 +114,19 @@ def main(argv=None) -> int:
         spark, result, args.output, n_batches=args.batches, resume=args.resume,
         log=lambda m: print(m, file=sys.stderr),
     )
+    csv_out = None
+    if args.csv_output:
+        # Timestamped CSV sink (S4/S5 parity, geocode.py:168-174): header-on
+        # CSV directory named geocoding_results_{YYYYmmddHHMMSS}.csv.
+        from geocode_spark.batching import read_results
+
+        csv_out = f"{args.output}/geocoding_results_" \
+                  f"{time.strftime('%Y%m%d%H%M%S')}.csv"
+        (
+            read_results(spark, args.output)
+            .write.option("header", True).mode("overwrite").csv(csv_out)
+        )
+
     elapsed = time.perf_counter() - t0
     print("Job Completed", file=sys.stderr)  # A5 parity, geocode.py:260
     print(json.dumps({
@@ -96,6 +135,7 @@ def main(argv=None) -> int:
         "probe": probe,
         "elapsed": format_time(elapsed),
         "rows_per_sec": round(summary["total"] / elapsed, 1) if elapsed else None,
+        "csv_output": csv_out,
         **summary,
     }))
     spark.stop()

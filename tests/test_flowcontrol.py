@@ -208,3 +208,64 @@ def test_spark_submit_job_end_to_end(fixtures_dir, tmp_path):
     assert summary["status"] == "ok"
     assert summary["total"] > 0 and summary["batches"] == 3
     assert completed_batches(out) == {0, 1, 2}
+
+
+@pytest.mark.slow
+def test_spark_submit_csv_mode(fixtures_dir, tmp_path):
+    """Reference-CLI parity path: header CSV in, user-named columns projected
+    at the scan (geocode.py:324-344), timestamped header-CSV sink
+    (geocode.py:168-174), exact 11-column HEADER (geocode.py:33-36)."""
+    import csv as csvmod
+    import glob
+
+    import pandas as pd
+
+    zip_path = str(tmp_path / "geocode_spark.zip")
+    _build_pyfiles_zip(zip_path)
+    out = str(tmp_path / "csvout")
+
+    addr = pd.read_parquet(f"{fixtures_dir}/addresses.parquet")
+    addr = addr.rename(columns={"id": "OBJECTID", "street": "ADDR", "zone": "ZIP"})
+    csv_in = str(tmp_path / "addresses.csv")
+    addr.to_csv(csv_in, index=False, quoting=csvmod.QUOTE_MINIMAL)
+
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(os.path.dirname(sys.executable)), "bin", "spark-submit"
+    )
+    if not (spark_submit and os.path.exists(spark_submit)):
+        import pyspark
+
+        spark_submit = os.path.join(pyspark.__path__[0], "bin", "spark-submit")
+
+    cmd = [
+        spark_submit, "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "geocode_job.py"),
+        "--addresses", csv_in,
+        "--id-field", "OBJECTID", "--street-field", "ADDR", "--zone-field", "ZIP",
+        "--locators-dir", fixtures_dir,
+        "--output", out, "--batches", "2", "--pobox", "--csv-output",
+    ]
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable,
+           "PYSPARK_DRIVER_PYTHON": sys.executable}
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                          env=env, cwd=str(tmp_path))
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["status"] == "ok"
+    assert summary["total"] == len(addr)
+    assert summary["csv_output"] and "geocoding_results_" in summary["csv_output"]
+
+    parts = sorted(glob.glob(f"{summary['csv_output']}/part-*.csv"))
+    assert parts
+    got = pd.concat([pd.read_csv(p, dtype=str) for p in parts])
+    # exact output header, reference geocode.py:33-36
+    assert list(got.columns) == [
+        "primary_key", "input_street", "input_zone", "x", "y", "score",
+        "locator", "matchAddress", "standardizedAddress", "addressGrid",
+        "message",
+    ]
+    assert len(got) == len(addr)
+    assert set(got["primary_key"]) == set(addr["OBJECTID"].astype(str))
