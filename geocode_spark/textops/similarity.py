@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 LSH_BITS = 8  # 256 buckets from the first 8 dimension signs
+IVF_CENTROIDS = 8  # coarse quantizer: the n lowest-id vectors (deterministic)
+IVF_NPROBE = 2  # query probes its nprobe nearest cells
 
 
 # ------------------------------------------------------------------ Spark side
@@ -66,7 +68,8 @@ def _fold_nsq(m):
 
 
 def _collect_candidates(emb: DataFrame):
-    """Candidate matrix (id-sorted) for broadcast: (ids, matrix, nsq, bucket)."""
+    """Candidate matrix (id-sorted) for broadcast:
+    (ids, matrix, nsq, bucket, ivf_cell)."""
     import numpy as np
 
     pdf = emb.select("vec_id", "embedding").toPandas()
@@ -80,7 +83,16 @@ def _collect_candidates(emb: DataFrame):
         (mat[:, :LSH_BITS] >= 0).astype(np.int64)
         * (1 << np.arange(LSH_BITS, dtype=np.int64))
     ).sum(axis=1)
-    return ids, mat, _fold_nsq(mat), bucket
+    nsq = _fold_nsq(mat)
+    # IVF coarse quantizer: centroids = the IVF_CENTROIDS lowest-id vectors;
+    # every vector is assigned the centroid id maximizing rounded cosine
+    # (ties -> lowest centroid id, matching the oracle's (cos DESC, cid ASC)).
+    nc = min(IVF_CENTROIDS, len(ids))
+    ccos = _round_half_up(
+        _fold_dots(mat, mat[:nc]) / np.sqrt(nsq[:, None] * nsq[None, :nc])
+    )
+    cell = ids[:nc][np.argmax(ccos, axis=1)] if nc else np.zeros(0, np.int64)
+    return ids, mat, nsq, bucket, cell
 
 
 _TOPK_SCHEMA = "vec_id bigint, rank bigint, cand_id bigint, cosine double"
@@ -98,7 +110,7 @@ def _cosine_scan(emb: DataFrame, kernel, schema: str,
         import numpy as np
         import pandas as pd
 
-        cid, cmat, cnsq, cbucket = bc.value
+        cid, cmat, cnsq, cbucket, ccell = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -112,7 +124,8 @@ def _cosine_scan(emb: DataFrame, kernel, schema: str,
                     _fold_dots(qmat[s:e], cmat)
                     / np.sqrt(_fold_nsq(qmat[s:e])[:, None] * cnsq[None, :])
                 )
-                out = kernel(qid[s:e], qmat[s:e], cos, cid, cbucket)
+                out = kernel(qid[s:e], qmat[s:e], cos, cid, cbucket,
+                             ccell, cmat, cnsq)
                 if out is not None:
                     yield out
 
@@ -120,7 +133,7 @@ def _cosine_scan(emb: DataFrame, kernel, schema: str,
 
 
 def _topk_kernel(k: int, bucketed: bool):
-    def kernel(qid, qmat, cos, cid, cbucket):
+    def kernel(qid, qmat, cos, cid, cbucket, *_ctx):
         import numpy as np
         import pandas as pd
 
@@ -154,7 +167,7 @@ def _topk_kernel(k: int, bucketed: bool):
 
 
 def _near_dup_kernel(threshold: float):
-    def kernel(qid, qmat, cos, cid, cbucket):
+    def kernel(qid, qmat, cos, cid, cbucket, *_ctx):
         import numpy as np
         import pandas as pd
 
@@ -165,6 +178,29 @@ def _near_dup_kernel(threshold: float):
         return pd.DataFrame(
             {"id_a": qid[ai], "id_b": cid[bi], "cosine": cos[ai, bi]}
         )
+
+    return kernel
+
+
+def _ivf_kernel(k: int, n_centroids: int, nprobe: int):
+    base = _topk_kernel(k, bucketed=False)
+
+    def kernel(qid, qmat, cos, cid, cbucket, ccell, cmat, cnsq):
+        import numpy as np
+
+        nc = min(n_centroids, len(cid))
+        cent, centnsq, centid = cmat[:nc], cnsq[:nc], cid[:nc]
+        qcos = _round_half_up(
+            _fold_dots(qmat, cent)
+            / np.sqrt(_fold_nsq(qmat)[:, None] * centnsq[None, :])
+        )
+        # probe list: nprobe best cells by (cos DESC, centroid id ASC) —
+        # stable argsort over id-ordered centroids reproduces the oracle order
+        probe = centid[np.argsort(-qcos, axis=1, kind="stable")[:, :nprobe]]
+        keep = (ccell[None, :, None] == probe[:, None, :]).any(axis=2)
+        cos = cos.copy()
+        cos[~keep] = -np.inf
+        return base(qid, qmat, cos, cid, cbucket)
 
     return kernel
 
@@ -183,6 +219,20 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5, query_mod: int = 20) -> DataFrame:
     (sign bits of the first LSH_BITS dimensions — deterministic basis)."""
     return _cosine_scan(
         emb, _topk_kernel(k, bucketed=True), _TOPK_SCHEMA,
+        query_filter=F.col("vec_id") % query_mod == 0,
+    )
+
+
+def ann_ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 20,
+                 n_centroids: int = IVF_CENTROIDS,
+                 nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF top-k: deterministic coarse quantizer (centroids = the
+    n_centroids lowest-id vectors), candidates restricted to the query's
+    nprobe nearest cells — the inverted-file scale path: at 10^9+ vectors the
+    per-cell posting lists replace the full broadcast matrix and each query
+    scans ~nprobe/n_centroids of the data."""
+    return _cosine_scan(
+        emb, _ivf_kernel(k, n_centroids, nprobe), _TOPK_SCHEMA,
         query_filter=F.col("vec_id") % query_mod == 0,
     )
 
@@ -234,6 +284,37 @@ SELECT vec_id, rank, cand_id, cosine FROM (
          c.vec_id AS cand_id, {cos} AS cosine
   FROM n q JOIN n c
     ON q.vec_id % {query_mod} = 0 AND c.vec_id <> q.vec_id{extra}
+) WHERE rank <= {k}
+"""
+
+
+def ann_ivf_topk_oracle_sql(k: int = 5, query_mod: int = 20,
+                            n_centroids: int = IVF_CENTROIDS,
+                            nprobe: int = IVF_NPROBE) -> str:
+    ccos = _cosine_sql("x.e", "t.ce", "x.nsq", "t.cnsq")
+    cos = _cosine_sql("q.e", "c.e", "q.nsq", "c.nsq")
+    return f"""
+WITH {_NORMED_CTE},
+cent AS (SELECT vec_id AS cid, e AS ce, nsq AS cnsq FROM n
+         ORDER BY vec_id LIMIT {n_centroids}),
+assign AS (
+  SELECT x.vec_id, t.cid,
+         row_number() OVER (PARTITION BY x.vec_id
+                            ORDER BY {ccos} DESC, t.cid ASC) AS crank
+  FROM n x CROSS JOIN cent t
+),
+cell AS (SELECT vec_id, cid AS cell_id FROM assign WHERE crank = 1),
+probe AS (SELECT vec_id, cid AS cell_id FROM assign
+          WHERE crank <= {nprobe} AND vec_id % {query_mod} = 0)
+SELECT vec_id, rank, cand_id, cosine FROM (
+  SELECT q.vec_id,
+         CAST(row_number() OVER (PARTITION BY q.vec_id
+                                 ORDER BY {cos} DESC, c.vec_id ASC) AS BIGINT) AS rank,
+         c.vec_id AS cand_id, {cos} AS cosine
+  FROM n q
+  JOIN probe p ON p.vec_id = q.vec_id
+  JOIN cell cc ON cc.cell_id = p.cell_id
+  JOIN n c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
 ) WHERE rank <= {k}
 """
 
