@@ -1,45 +1,76 @@
-"""Embedding similarity search: brute-force cosine top-k + sign-LSH buckets.
+"""Embedding similarity search — distributed candidate generation.
 
 Input: the `embeddings` table (vec_id bigint, embedding array<float>, label).
 
-Scale design:
- - brute-force top-k: the exactness baseline. The candidate side is broadcast
-   (fits executors when candidates are a curated set); the query side streams.
-   The per-query top-k window partitions on the UNIQUE query id — skew-free.
- - sign-LSH: bucket = sign bits of the first 8 dimensions (axis-aligned
-   random-hyperplane LSH with a deterministic basis — no RNG, so both engines
-   derive identical buckets). The equi-join on bucket bounds pair generation
-   to ~1/256 of the cross product; the scale path for 10^9+ vectors.
+Round-1 shape funneled ALL candidates through a driver-side ``toPandas()`` +
+``sc.broadcast`` (a driver OOM at 10^9 vectors). This round distributes the
+candidate side as DATA — the full embeddings table is never materialized on
+the driver by any operator here (pinned by tests/test_textops.py):
+
+ - ann_topk        exact brute force. The QUERY subset (curated, size-guarded)
+                   is broadcast; candidates STREAM through a mapInPandas
+                   kernel that emits per-scan-partition partial top-k, merged
+                   by one window on the unique query id. Candidate partitions
+                   scale with the table; driver holds only the query pack.
+ - ann_lsh_topk    sign-LSH buckets (deterministic axis-aligned basis, same
+                   buckets in both engines). Candidates GROUP by bucket and
+                   queries cogroup with their own bucket; per-bucket top-k is
+                   the final answer. Nothing is broadcast at all. At 10^9
+                   vectors, LSH_BITS grows so each bucket's posting list stays
+                   executor-sized (buckets are the unit of parallelism).
+ - ann_ivf_topk    inverted file. Coarse quantizer = the n_centroids
+                   lowest-id vectors (tiny, metadata-scale — collected via
+                   LIMIT n). Every vector is cell-assigned in an Arrow kernel;
+                   queries probe their nprobe nearest cells; probes cogroup
+                   with per-cell posting lists; per-cell partial top-k rows
+                   (≤ nprobe*k per query) merge through one window. Each query
+                   scans ~nprobe/n_centroids of the data.
+ - embedding_near_dup
+                   banded random-hyperplane LSH (NEAR_DUP_TABLES tables ×
+                   NEAR_DUP_BITS bits, deterministic seeded basis) generates
+                   candidates via an equi-join on (table, bucket); exact
+                   rounded cosine verifies each candidate in Catalyst. Same
+                   bucket-join + verify shape as dedup.minhash_lsh_pairs.
+
+Partial-top-k merge is EXACT: the global comparator is (cosine DESC, cand_id
+ASC); any global top-k candidate is within the top-k of its own partition /
+cell under the same comparator, so the union of partials always contains the
+global answer and the final window re-ranks it.
 
 Floating point: all dot products fold left-to-right in DOUBLE in both engines
-(Spark `aggregate`, DuckDB `list_sum(list_transform(...))`); cosine =
-dot / sqrt(nsq_a * nsq_b) — a single expression shape, rounded to 6 dp at the
-output/ranking boundary so ranking is reproducible across engines.
+(numpy per-dimension accumulation here == Spark `aggregate(zip_with(...))` ==
+DuckDB `list_sum(list_transform(...))`); cosine = dot / sqrt(nsq_a * nsq_b),
+rounded half-away-from-zero to 6 dp at the ranking boundary so ranking is
+reproducible across engines.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
 LSH_BITS = 8  # 256 buckets from the first 8 dimension signs
 IVF_CENTROIDS = 8  # coarse quantizer: the n lowest-id vectors (deterministic)
 IVF_NPROBE = 2  # query probes its nprobe nearest cells
+MAX_QUERY_BROADCAST_ROWS = 100_000  # brute-force query-pack size guard
+
+# near-dup banded hyperplane LSH: miss probability per qualifying pair at
+# cosine >= 0.95 is (1 - p^BITS)^TABLES with p = 1 - acos(0.95)/pi ~ 0.899:
+# (1 - 0.899^8)^16 ~ 1.4e-4; the injected near-dup pairs sit at cosine
+# ~0.9999 (p ~ 0.995) where the miss probability is ~4e-23.
+NEAR_DUP_TABLES = 16
+NEAR_DUP_BITS = 8
+NEAR_DUP_SEED = 11
+
+_TOPK_SCHEMA = "vec_id bigint, rank bigint, cand_id bigint, cosine double"
+_PARTIAL_SCHEMA = "vec_id bigint, cand_id bigint, cosine double"
+_PAIR_SCHEMA = "id_a bigint, id_b bigint, cosine double"
 
 
-# ------------------------------------------------------------------ Spark side
-#
-# All three operators stream the query side through a mapInPandas numpy
-# kernel against a broadcast candidate matrix. The kernel never materializes
-# pair ROWS (the old cross-join + window plan shuffled |Q|*|C| rows and
-# evaluated an interpreted higher-order-function dot per pair); it emits only
-# the k (or matching) rows per query. To stay value-identical to the DuckDB
-# oracle (and the previous Catalyst fold), every sum accumulates dimension-by-
-# dimension left-to-right: `acc += q[:,j]*c[:,j]` performs the same IEEE-754
-# addition sequence per pair as `aggregate(zip_with(...))` / `list_sum`.
-
-
+# ------------------------------------------------------------- shared kernels
 def _round_half_up(a, decimals: int = 6):
     """Spark/DuckDB ROUND (half away from zero) — numpy rounds half-even."""
     import numpy as np
@@ -67,181 +98,398 @@ def _fold_nsq(m):
     return acc
 
 
-def _collect_candidates(emb: DataFrame):
-    """Candidate matrix (id-sorted) for broadcast:
-    (ids, matrix, nsq, bucket, ivf_cell)."""
+def _mat(series):
+    """pandas Series of array<...> -> (n, d) float64 matrix."""
     import numpy as np
 
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    mat = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-    )[order]
-    bucket = (
-        (mat[:, :LSH_BITS] >= 0).astype(np.int64)
-        * (1 << np.arange(LSH_BITS, dtype=np.int64))
-    ).sum(axis=1)
-    nsq = _fold_nsq(mat)
-    # IVF coarse quantizer: centroids = the IVF_CENTROIDS lowest-id vectors;
-    # every vector is assigned the centroid id maximizing rounded cosine
-    # (ties -> lowest centroid id, matching the oracle's (cos DESC, cid ASC)).
-    nc = min(IVF_CENTROIDS, len(ids))
-    ccos = _round_half_up(
-        _fold_dots(mat, mat[:nc]) / np.sqrt(nsq[:, None] * nsq[None, :nc])
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _group_topk(qid, qmat, cid, cmat, cnsq, k, with_rank):
+    """Exact top-k of one (query group, candidate group) block.
+
+    Candidates MUST be pre-sorted by cid so the stable argsort on -cosine
+    reproduces the (cosine DESC, cand_id ASC) window order. Queries chunk in
+    blocks of 512 to bound the (b, n) matrices.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out = []
+    kk = min(k, len(cid))
+    for s in range(0, len(qid), 512):
+        e = min(s + 512, len(qid))
+        cos = _round_half_up(
+            _fold_dots(qmat[s:e], cmat)
+            / np.sqrt(_fold_nsq(qmat[s:e])[:, None] * cnsq[None, :])
+        )
+        cos[qid[s:e, None] == cid[None, :]] = -np.inf  # exclude self
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        top = np.take_along_axis(cos, idx, axis=1)
+        valid = np.isfinite(top)
+        if not valid.any():
+            continue
+        block = {
+            "vec_id": np.repeat(qid[s:e], kk)[valid.ravel()],
+            "cand_id": cid[idx].ravel()[valid.ravel()],
+            "cosine": top.ravel()[valid.ravel()],
+        }
+        if with_rank:
+            ranks = np.tile(np.arange(1, kk + 1), (e - s, 1))
+            block["rank"] = ranks.ravel()[valid.ravel()]
+        out.append(pd.DataFrame(block))
+    if not out:
+        cols = ["vec_id", "rank", "cand_id", "cosine"] if with_rank else [
+            "vec_id", "cand_id", "cosine"
+        ]
+        return pd.DataFrame({c: [] for c in cols})
+    df = pd.concat(out, ignore_index=True)
+    cols = ["vec_id", "rank", "cand_id", "cosine"] if with_rank else [
+        "vec_id", "cand_id", "cosine"
+    ]
+    return df[cols]
+
+
+def _merge_topk(partial: DataFrame, k: int) -> DataFrame:
+    """Merge partial top-k rows: one window keyed on the UNIQUE query id
+    (skew-free); each query contributes at most a handful of partial rows."""
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
     )
-    cell = ids[:nc][np.argmax(ccos, axis=1)] if nc else np.zeros(0, np.int64)
-    return ids, mat, nsq, bucket, cell
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "cand_id", "cosine")
+    )
 
 
-_TOPK_SCHEMA = "vec_id bigint, rank bigint, cand_id bigint, cosine double"
-_PAIR_SCHEMA = "id_a bigint, id_b bigint, cosine double"
+def _sign_bucket_col(emb: Column) -> Column:
+    """Catalyst twin of the oracle's sign-bucket: bits of the first LSH_BITS
+    dimension signs (float32 sign == double sign, so no cast needed)."""
+    terms = [
+        F.when(F.element_at(emb, j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(LSH_BITS)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")
 
 
-def _cosine_scan(emb: DataFrame, kernel, schema: str,
-                 query_filter=None) -> DataFrame:
-    bc = emb.sparkSession.sparkContext.broadcast(_collect_candidates(emb))
-    q = emb.select("vec_id", "embedding")
-    if query_filter is not None:
-        q = q.filter(query_filter)
+# --------------------------------------------------------- brute-force top-k
+def ann_topk(emb: DataFrame, k: int = 5, query_mod: int = 20,
+             max_query_rows: int = MAX_QUERY_BROADCAST_ROWS) -> DataFrame:
+    """Exact cosine top-k: queries = vec_id % query_mod == 0 (the curated
+    subset), candidates = all other vectors.
 
-    def run(batches):
+    The QUERY pack is broadcast (size-guarded collect of the subset only —
+    never the full table); candidates stream through a mapInPandas kernel
+    emitting per-partition partial top-k, merged by one window. This is the
+    exactness baseline; for query sets above the guard use ann_ivf_topk.
+    """
+    import numpy as np
+
+    q = emb.select("vec_id", "embedding").filter(
+        F.col("vec_id") % query_mod == 0
+    )
+    rows = q.collect()
+    if len(rows) > max_query_rows:
+        raise ValueError(
+            f"brute-force query set ({len(rows)} rows) exceeds the broadcast "
+            f"guard ({max_query_rows}); use ann_ivf_topk for large query sets"
+        )
+    qid = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(qid, kind="stable")
+    qid = qid[order]
+    qmat = (
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])[order]
+        if rows else np.zeros((0, 0))
+    )
+    bc = emb.sparkSession.sparkContext.broadcast((qid, qmat))
+    cands = emb.select("vec_id", "embedding")
+
+    def partial(batches):
         import numpy as np
-        import pandas as pd
 
-        cid, cmat, cnsq, cbucket, ccell = bc.value
+        qid, qmat = bc.value
+        if len(qid) == 0:
+            return
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            qid = pdf["vec_id"].to_numpy(dtype=np.int64)
-            qmat = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            for s in range(0, len(pdf), 512):  # bound the (b, n) matrices
-                e = min(s + 512, len(pdf))
-                cos = _round_half_up(
-                    _fold_dots(qmat[s:e], cmat)
-                    / np.sqrt(_fold_nsq(qmat[s:e])[:, None] * cnsq[None, :])
-                )
-                out = kernel(qid[s:e], qmat[s:e], cos, cid, cbucket,
-                             ccell, cmat, cnsq)
-                if out is not None:
-                    yield out
+            pdf = pdf.sort_values("vec_id", kind="stable")
+            cid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cmat = _mat(pdf["embedding"])
+            out = _group_topk(qid, qmat, cid, cmat, _fold_nsq(cmat), k,
+                              with_rank=False)
+            if len(out):
+                yield out
 
-    return q.mapInPandas(run, schema=schema)
+    return _merge_topk(cands.mapInPandas(partial, schema=_PARTIAL_SCHEMA), k)
 
 
-def _topk_kernel(k: int, bucketed: bool):
-    def kernel(qid, qmat, cos, cid, cbucket, *_ctx):
-        import numpy as np
-        import pandas as pd
-
-        cos = cos.copy()
-        cos[qid[:, None] == cid[None, :]] = -np.inf  # exclude self
-        if bucketed:
-            qbucket = (
-                (qmat[:, :LSH_BITS] >= 0).astype(np.int64)
-                * (1 << np.arange(LSH_BITS, dtype=np.int64))
-            ).sum(axis=1)
-            cos[qbucket[:, None] != cbucket[None, :]] = -np.inf
-        # stable sort on -cosine: candidates are id-sorted, so equal cosines
-        # keep cand_id order — the window's (cosine DESC, cand_id ASC).
-        idx = np.argsort(-cos, axis=1, kind="stable")[:, :k]
-        top = np.take_along_axis(cos, idx, axis=1)
-        valid = np.isfinite(top)
-        n_valid = valid.sum(axis=1)
-        if n_valid.sum() == 0:
-            return None
-        ranks = np.tile(np.arange(1, k + 1), (len(qid), 1))
-        return pd.DataFrame(
-            {
-                "vec_id": np.repeat(qid, k)[valid.ravel()],
-                "rank": ranks.ravel()[valid.ravel()],
-                "cand_id": cid[idx].ravel()[valid.ravel()],
-                "cosine": top.ravel()[valid.ravel()],
-            }
-        )
-
-    return kernel
-
-
-def _near_dup_kernel(threshold: float):
-    def kernel(qid, qmat, cos, cid, cbucket, *_ctx):
-        import numpy as np
-        import pandas as pd
-
-        keep = (cos >= threshold) & (qid[:, None] < cid[None, :])
-        ai, bi = np.nonzero(keep)
-        if len(ai) == 0:
-            return None
-        return pd.DataFrame(
-            {"id_a": qid[ai], "id_b": cid[bi], "cosine": cos[ai, bi]}
-        )
-
-    return kernel
-
-
-def _ivf_kernel(k: int, n_centroids: int, nprobe: int):
-    base = _topk_kernel(k, bucketed=False)
-
-    def kernel(qid, qmat, cos, cid, cbucket, ccell, cmat, cnsq):
-        import numpy as np
-
-        nc = min(n_centroids, len(cid))
-        cent, centnsq, centid = cmat[:nc], cnsq[:nc], cid[:nc]
-        qcos = _round_half_up(
-            _fold_dots(qmat, cent)
-            / np.sqrt(_fold_nsq(qmat)[:, None] * centnsq[None, :])
-        )
-        # probe list: nprobe best cells by (cos DESC, centroid id ASC) —
-        # stable argsort over id-ordered centroids reproduces the oracle order
-        probe = centid[np.argsort(-qcos, axis=1, kind="stable")[:, :nprobe]]
-        keep = (ccell[None, :, None] == probe[:, None, :]).any(axis=2)
-        cos = cos.copy()
-        cos[~keep] = -np.inf
-        return base(qid, qmat, cos, cid, cbucket)
-
-    return kernel
-
-
-def ann_topk(emb: DataFrame, k: int = 5, query_mod: int = 20) -> DataFrame:
-    """Exact cosine top-k: queries = vec_id % query_mod == 0, candidates = all
-    other vectors (broadcast matrix)."""
-    return _cosine_scan(
-        emb, _topk_kernel(k, bucketed=False), _TOPK_SCHEMA,
-        query_filter=F.col("vec_id") % query_mod == 0,
-    )
-
-
+# ------------------------------------------------------------ sign-LSH top-k
 def ann_lsh_topk(emb: DataFrame, k: int = 5, query_mod: int = 20) -> DataFrame:
-    """Sign-LSH bucketed top-k: candidates restricted to the query's bucket
-    (sign bits of the first LSH_BITS dimensions — deterministic basis)."""
-    return _cosine_scan(
-        emb, _topk_kernel(k, bucketed=True), _TOPK_SCHEMA,
-        query_filter=F.col("vec_id") % query_mod == 0,
+    """Sign-LSH bucketed top-k: candidates restricted to the query's bucket.
+
+    Buckets are Catalyst-computed (deterministic axis-aligned basis — both
+    engines derive identical buckets); queries COGROUP with their bucket's
+    posting list, so the candidate side is never broadcast or collected.
+    Per-bucket top-k is final (a query's whole candidate set lives in its own
+    bucket)."""
+    base = emb.select(
+        "vec_id", "embedding", _sign_bucket_col(F.col("embedding")).alias("bucket")
+    )
+    # Fresh aliases on the query side: both cogroup children descend from the
+    # same plan, and Spark's self-join attribute dedup otherwise prunes the
+    # right child's duplicated columns out from under the Python kernel.
+    qry = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("bucket").alias("q_bucket"),
+    )
+
+    def bucket_topk(left, right):
+        import numpy as np
+
+        if len(left) == 0 or len(right) == 0:
+            return _group_topk(
+                np.zeros(0, np.int64), np.zeros((0, 1)),
+                np.zeros(0, np.int64), np.zeros((0, 1)), np.zeros(0),
+                k, with_rank=True,
+            )
+        right = right.sort_values("vec_id", kind="stable")
+        qid = left["q_vec_id"].to_numpy(dtype=np.int64)
+        qmat = _mat(left["q_embedding"])
+        cid = right["vec_id"].to_numpy(dtype=np.int64)
+        cmat = _mat(right["embedding"])
+        return _group_topk(qid, qmat, cid, cmat, _fold_nsq(cmat), k,
+                           with_rank=True)
+
+    return (
+        qry.groupBy("q_bucket")
+        .cogroup(base.groupBy("bucket"))
+        .applyInPandas(bucket_topk, schema=_TOPK_SCHEMA)
     )
 
 
+# -------------------------------------------------------------------- IVF
 def ann_ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 20,
                  n_centroids: int = IVF_CENTROIDS,
                  nprobe: int = IVF_NPROBE) -> DataFrame:
-    """IVF top-k: deterministic coarse quantizer (centroids = the
-    n_centroids lowest-id vectors), candidates restricted to the query's
-    nprobe nearest cells — the inverted-file scale path: at 10^9+ vectors the
-    per-cell posting lists replace the full broadcast matrix and each query
-    scans ~nprobe/n_centroids of the data."""
-    return _cosine_scan(
-        emb, _ivf_kernel(k, n_centroids, nprobe), _TOPK_SCHEMA,
-        query_filter=F.col("vec_id") % query_mod == 0,
+    """IVF top-k: deterministic coarse quantizer (centroids = the n_centroids
+    lowest-id vectors), candidates restricted to the query's nprobe nearest
+    cells.
+
+    The inverted file is DATA: vectors cell-assign in an Arrow kernel against
+    the (metadata-scale) broadcast centroids, queries explode into probe
+    rows, and probes cogroup with per-cell posting lists — each query scans
+    ~nprobe/n_centroids of the table and the driver never holds more than the
+    centroid pack. Partial per-cell top-k (≤ nprobe*k rows per query) merges
+    through one window keyed on the unique query id."""
+    import numpy as np
+
+    cent_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_centroids)
+    ).collect()
+    centid = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    centmat = (
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
+        if cent_rows else np.zeros((0, 0))
+    )
+    centnsq = _fold_nsq(centmat)
+    bc = emb.sparkSession.sparkContext.broadcast((centid, centmat, centnsq))
+    base = emb.select("vec_id", "embedding")
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        centid, centmat, centnsq = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _mat(pdf["embedding"])
+            ccos = _round_half_up(
+                _fold_dots(mat, centmat)
+                / np.sqrt(_fold_nsq(mat)[:, None] * centnsq[None, :])
+            )
+            # (cos DESC, centroid id ASC): stable argsort over id-ordered
+            # centroids reproduces the oracle's crank ordering.
+            order = np.argsort(-ccos, axis=1, kind="stable")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "embedding": [
+                        np.asarray(v, dtype=np.float64) for v in pdf["embedding"]
+                    ],
+                    "cell_id": centid[order[:, 0]],
+                    "probes": list(centid[order[:, :nprobe]]),
+                }
+            )
+
+    assigned = base.mapInPandas(
+        assign,
+        schema=(
+            "vec_id bigint, embedding array<double>, cell_id bigint,"
+            " probes array<bigint>"
+        ),
+    )
+    cand = assigned.select("vec_id", "embedding", "cell_id")
+    # fresh aliases: see ann_lsh_topk — same self-cogroup dedup hazard
+    qry = assigned.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.explode("probes").alias("q_cell_id"),
+    )
+
+    def cell_partial(left, right):
+        import numpy as np
+
+        if len(left) == 0 or len(right) == 0:
+            return _group_topk(
+                np.zeros(0, np.int64), np.zeros((0, 1)),
+                np.zeros(0, np.int64), np.zeros((0, 1)), np.zeros(0),
+                k, with_rank=False,
+            )
+        right = right.sort_values("vec_id", kind="stable")
+        qid = left["q_vec_id"].to_numpy(dtype=np.int64)
+        qmat = _mat(left["q_embedding"])
+        cid = right["vec_id"].to_numpy(dtype=np.int64)
+        cmat = _mat(right["embedding"])
+        return _group_topk(qid, qmat, cid, cmat, _fold_nsq(cmat), k,
+                           with_rank=False)
+
+    partial = (
+        qry.groupBy("q_cell_id")
+        .cogroup(cand.groupBy("cell_id"))
+        .applyInPandas(cell_partial, schema=_PARTIAL_SCHEMA)
+    )
+    return _merge_topk(partial, k)
+
+
+# ------------------------------------------------------- embedding near-dup
+NEAR_DUP_INJECT_MOD = 5
+NEAR_DUP_ID_OFFSET = 1_000_000
+_PERTURB_SCALE = 0.001
+
+
+def near_dup_embeddings(emb: DataFrame) -> DataFrame:
+    """embeddings + injected near-copies (vec_id % 5 == 0 -> +1e6, each
+    dimension nudged by 0.001 * ((vec_id*7 + j*13) % 5 - 2)) — identically
+    derived in both engines, because the raw table contains no near-duplicate
+    pairs to exercise (max random pair cosine ~0.51). Mirrors
+    dedup.near_dup_corpus. Injected pairs land at cosine ~0.9999."""
+    vid = F.col("vec_id")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = base.filter(vid % NEAR_DUP_INJECT_MOD == 0).select(
+        (vid + NEAR_DUP_ID_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x
+            + F.lit(_PERTURB_SCALE)
+            * ((vid * 7 + i.cast("bigint") * 13) % 5 - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
+
+
+def emb_corpus_sql(source: str = "embeddings") -> str:
+    """DuckDB twin of near_dup_embeddings (1-based list indexing)."""
+    return f"""(
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM {source}
+  UNION ALL
+  SELECT vec_id + {NEAR_DUP_ID_OFFSET} AS vec_id,
+         list_transform(generate_series(1, len(e)),
+                        i -> e[i] + {_PERTURB_SCALE!r}
+                             * CAST((vec_id*7 + (i-1)*13) % 5 - 2 AS DOUBLE))
+           AS embedding
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {source})
+  WHERE vec_id % {NEAR_DUP_INJECT_MOD} = 0
+)"""
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def _near_dup_table_keys(embedding: pd.Series) -> pd.Series:
+    """Per vector: NEAR_DUP_TABLES bucket keys of NEAR_DUP_BITS sign bits of
+    deterministic random-hyperplane projections (seeded basis — identical on
+    every executor and every run; the oracle never needs the buckets, so the
+    basis only has to be self-consistent)."""
+    import numpy as np
+
+    if len(embedding) == 0:
+        return pd.Series([], dtype="object")
+    mat = _mat(embedding)
+    h = np.random.default_rng(NEAR_DUP_SEED).standard_normal(
+        (NEAR_DUP_TABLES * NEAR_DUP_BITS, mat.shape[1])
+    )
+    bits = (mat @ h.T >= 0).astype(np.int64)
+    weights = 1 << np.arange(NEAR_DUP_BITS, dtype=np.int64)
+    keys = (
+        bits.reshape(len(mat), NEAR_DUP_TABLES, NEAR_DUP_BITS) * weights
+    ).sum(axis=2)
+    return pd.Series(list(keys))
+
+
+def _dot_col(a: Column, b: Column) -> Column:
+    """Left-to-right fold over dimension products — the module's one dot
+    shape (identical IEEE sequence to _fold_dots and DuckDB list_sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
 
 
-def embedding_near_dup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine >= threshold — embedding-space
-    near-duplicate detection."""
-    return _cosine_scan(
-        emb, _near_dup_kernel(threshold), _PAIR_SCHEMA
+def embedding_near_dup(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold over a near-dup
+    corpus (see near_dup_embeddings).
+
+    Candidate generation: banded random-hyperplane LSH — NEAR_DUP_TABLES
+    deterministic projection tables of NEAR_DUP_BITS sign bits each; a pair
+    is a candidate iff it collides in at least one table (equi-join on
+    (table, bucket), the same shape as dedup.minhash_lsh_pairs' band join).
+    Exact rounded-cosine verification runs in Catalyst on candidates only.
+    The oracle is the brute-force all-pairs form; outputs coincide wherever
+    LSH recall is 1 (miss probability ~1.4e-4 per pair at cosine 0.95 and
+    ~4e-23 at the injected pairs' ~0.9999 — see module constants)."""
+    keyed = corpus.select(
+        "vec_id", "embedding",
+        _near_dup_table_keys(F.col("embedding")).alias("keys"),
+    )
+    buckets = keyed.select(
+        "vec_id", F.posexplode("keys").alias("tbl", "bucket")
+    )
+    a = buckets.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+    b = buckets.select(F.col("vec_id").alias("id_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    ea = corpus.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
+    )
+    eb = corpus.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b")
+    )
+    v = cand.join(ea, "id_a").join(eb, "id_b")
+    cos = F.round(
+        _dot_col(F.col("e_a"), F.col("e_b"))
+        / F.sqrt(
+            _dot_col(F.col("e_a"), F.col("e_a"))
+            * _dot_col(F.col("e_b"), F.col("e_b"))
+        ),
+        6,
+    )
+    return (
+        v.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -319,10 +567,15 @@ SELECT vec_id, rank, cand_id, cosine FROM (
 """
 
 
-def embedding_near_dup_oracle_sql(threshold: float = 0.95) -> str:
+def embedding_near_dup_oracle_sql(threshold: float = 0.95,
+                                  source: str = "embeddings") -> str:
+    """Brute-force all-pairs over the derived near-dup corpus — the semantic
+    ground truth for the LSH-bucketed Spark plan."""
     cos = _cosine_sql("a.e", "b.e", "a.nsq", "b.nsq")
     return f"""
-WITH {_NORMED_CTE}
+WITH corpus AS (SELECT * FROM {emb_corpus_sql(source)}),
+n AS (SELECT vec_id, embedding AS e, {_dot_sql('embedding', 'embedding')} AS nsq
+      FROM corpus)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE {cos} >= {threshold!r}
