@@ -79,6 +79,11 @@ def _commit_ledger(out_dir: str, batch_id: int, record: dict) -> None:
 
 def _batch_metrics(spark: SparkSession, batch_dir: str) -> dict:
     """Metrics + per-partition lineage from the committed batch files."""
+    if not os.path.isdir(batch_dir):
+        # an EMPTY batch: partitionBy writes no directory for it — commit a
+        # zero record (failure_rate 100 is the reference's div-by-zero rule)
+        return {"total": 0, "fail": 0, "success": 0, "failure_rate": 100,
+                "average_score": "n/a", "partitions": []}
     df = spark.read.parquet(batch_dir)
     failed = F.col("message").isNotNull()
     rows = (
@@ -122,42 +127,53 @@ def run_resumable(
     """Execute `result_df` (an assembled, unexecuted 11-column geocode plan)
     as n_batches independently-committed, resumable batches.
 
-    The plan must be DETERMINISTIC in its key column: each batch is a
-    separate Spark job re-evaluating the plan under a batch filter, so
-    non-deterministic inputs (``limit()``, sampling, ``rand()``) would give
-    batches inconsistent views of the data. Scans + pure transforms are fine.
+    ONE source pass: every pending batch is written by a single
+    ``partitionBy("batch_id")`` job under dynamic partition overwrite (the
+    previous per-batch-filter loop re-evaluated the full plan n_batches
+    times — n_batches x scan amplification at 100 TB). Committed partitions
+    are untouched on resume (dynamic overwrite replaces only the partitions
+    the job writes; a crashed job left no ledger, so its partial partitions
+    are rewritten wholesale). The per-batch ledger record is committed AFTER
+    the write job from the batch's landed files, so it still describes what
+    is actually on disk.
+
+    The plan must be DETERMINISTIC in its key column (batch membership is a
+    pure key function); non-deterministic inputs (``limit()``, sampling,
+    ``rand()``) would give reruns inconsistent batch membership.
 
     Returns a run summary {batches, skipped, total, fail, success, seconds}.
     """
     t0 = time.perf_counter()
     done = completed_batches(out_dir) if resume else set()
+    pending = [k for k in range(n_batches) if k not in done]
     batched = with_batch_id(result_df, n_batches, key=key).withColumn(
         LINEAGE_COL, F.spark_partition_id()
     )
     summary = {"batches": n_batches, "skipped": sorted(done), "total": 0,
                "fail": 0, "success": 0}
-    for k in range(n_batches):
-        if k in done:
-            continue
-        b0 = time.perf_counter()
-        batch_dir = os.path.join(out_dir, f"batch_id={k}")
+    if pending:
+        w0 = time.perf_counter()
         (
-            batched.filter(F.col("batch_id") == k)
-            .drop("batch_id")
+            batched.filter(F.col("batch_id").isin(pending))
             .write.mode("overwrite")
-            .parquet(batch_dir)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
         )
-        record = {
-            "batch_id": k,
-            "engine": f"{ENGINE_NAME}/{__version__}",
-            "seconds": round(time.perf_counter() - b0, 3),
-            **_batch_metrics(spark, batch_dir),
-        }
-        _commit_ledger(out_dir, k, record)
-        log(
-            f"batch {k}/{n_batches}: {record['total']} rows, "
-            f"{record['fail']} failed, {format_time(record['seconds'])}"
-        )
+        job_seconds = round(time.perf_counter() - w0, 3)
+        for k in pending:
+            batch_dir = os.path.join(out_dir, f"batch_id={k}")
+            record = {
+                "batch_id": k,
+                "engine": f"{ENGINE_NAME}/{__version__}",
+                "seconds": job_seconds,  # the shared single-pass write job
+                **_batch_metrics(spark, batch_dir),
+            }
+            _commit_ledger(out_dir, k, record)
+            log(
+                f"batch {k}/{n_batches}: {record['total']} rows, "
+                f"{record['fail']} failed (job {format_time(job_seconds)})"
+            )
     for k in range(n_batches):
         with open(_ledger_path(out_dir, k)) as fh:
             rec = json.load(fh)
@@ -169,5 +185,13 @@ def run_resumable(
 
 
 def read_results(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Read a completed run back as the 11-column contract (lineage dropped)."""
-    return spark.read.parquet(out_dir).drop(LINEAGE_COL, "batch_id")
+    """Read a completed run back as the 11-column contract (lineage dropped).
+
+    Globs ``batch_id=*`` explicitly (with basePath for partition discovery)
+    so non-partition siblings inside the run dir — a CSV export, the _ledger
+    — can never confuse partition discovery."""
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(os.path.join(out_dir, "batch_id=*"))
+        .drop(LINEAGE_COL, "batch_id")
+    )

@@ -24,6 +24,18 @@ from .grammar import _PARSE_TYPE
 
 ADDRESS_PATTERN = r"((?:[0-9]|PO BOX |P O BOX )[0-9A-Z ]*), ([0-9A-Z][0-9A-Z ]*)\."
 
+# F5/P5 per-row error capture (reference geocode.py:253-254, pinned by its
+# tests/test_geocode.py:158-177): any per-row failure becomes an ERROR ROW
+# with message str(ex)[:500] and the job continues. The deterministic,
+# oracle-mirrorable failure is the street-length guard below; the generic
+# per-row try/except in _extract_parse_batch catches everything else.
+MAX_STREET_LEN = 512
+MSG_TRUNCATE = 500  # reference geocode.py:254
+
+
+def street_too_long_msg(n: int) -> str:
+    return f"street too long: {n} characters"
+
 _OUT_TYPE = StructType(
     [StructField("street", StringType()), StructField("zone", StringType())]
 )
@@ -64,7 +76,28 @@ _FULL_TYPE = StructType(
         StructField("cleansed_zone", StringType()),
     ]
     + list(_PARSE_TYPE.fields)
+    + [StructField("error", StringType())]
 )
+
+
+def _extract_parse_one(t, pd_cleanse_street, pd_cleanse_zone,
+                       parse_street_py, PARSE_FIELDS) -> dict:
+    """Row-at-a-time twin of the vectorized batch path (the per-row error
+    capture fallback) — must produce identical values for healthy rows."""
+    ex = pd.Series([t], dtype="string").str.extract(ADDRESS_PATTERN, expand=True)
+    street, zone = ex.iloc[0, 0], ex.iloc[0, 1]
+    street = None if pd.isna(street) else street
+    zone = "" if pd.isna(zone) else zone
+    cs = pd_cleanse_street(pd.Series([street])).fillna("").iloc[0]
+    cz = pd_cleanse_zone(pd.Series([zone])).fillna("").iloc[0]
+    row = {"street": street, "zone": zone or None,
+           "cleansed_street": cs, "cleansed_zone": cz}
+    row.update(parse_street_py(cs))
+    row["error"] = (
+        street_too_long_msg(len(street))
+        if street is not None and len(street) > MAX_STREET_LEN else None
+    )
+    return row
 
 
 def _extract_parse_batch(text: pd.Series) -> pd.DataFrame:
@@ -74,21 +107,54 @@ def _extract_parse_batch(text: pd.Series) -> pd.DataFrame:
     parse_input (same regex, the tested pd_cleanse_* twins of the Catalyst
     cleansing, the same parse_street_py grammar); fused so the hot path pays
     one JVM<->Python Arrow boundary instead of two.
+
+    Error capture (F5/P5): the vectorized path computes the deterministic
+    street-length guard as a column; if the batch path itself throws, the
+    batch re-runs row-at-a-time and any row that still throws becomes an
+    error row carrying str(ex)[:500] (reference geocode.py:253-254) instead
+    of failing the task — one poisoned row in a trillion must not kill a job.
     """
     from .cleansing import pd_cleanse_street, pd_cleanse_zone
     from .grammar import PARSE_FIELDS, parse_street_py
 
-    out = _extract_batch(text)
-    cs = pd_cleanse_street(out["street"]).fillna("")
-    # missing zone cleanses to '' (cleanse_input coalesces the same way)
-    cz = pd_cleanse_zone(out["zone"].fillna("")).fillna("")
-    out["cleansed_street"] = cs
-    out["cleansed_zone"] = cz
-    parsed = pd.DataFrame(
-        [parse_street_py(v) for v in cs], columns=list(PARSE_FIELDS),
-        index=out.index,
-    )
-    return pd.concat([out, parsed], axis=1)
+    try:
+        out = _extract_batch(text)
+        cs = pd_cleanse_street(out["street"]).fillna("")
+        # missing zone cleanses to '' (cleanse_input coalesces the same way)
+        cz = pd_cleanse_zone(out["zone"].fillna("")).fillna("")
+        out["cleansed_street"] = cs
+        out["cleansed_zone"] = cz
+        parsed = pd.DataFrame(
+            [parse_street_py(v) for v in cs], columns=list(PARSE_FIELDS),
+            index=out.index,
+        )
+        slen = out["street"].str.len()
+        err = pd.Series(
+            [
+                street_too_long_msg(int(n)) if pd.notna(n) and n > MAX_STREET_LEN
+                else None
+                for n in slen
+            ],
+            index=out.index, dtype="object",
+        )
+        return pd.concat([out, parsed, err.rename("error")], axis=1)
+    except Exception:
+        rows = []
+        for t in text:
+            try:
+                rows.append(
+                    _extract_parse_one(t, pd_cleanse_street, pd_cleanse_zone,
+                                       parse_street_py, PARSE_FIELDS)
+                )
+            except Exception as ex:  # the reference's per-row capture
+                row = {
+                    "street": None, "zone": None,
+                    "cleansed_street": "", "cleansed_zone": "",
+                }
+                row.update({f: None for f in PARSE_FIELDS})
+                row["error"] = str(ex)[:MSG_TRUNCATE]
+                rows.append(row)
+        return pd.DataFrame(rows)
 
 
 _extract_parse_udf = F.pandas_udf(_extract_parse_batch, _FULL_TYPE).asNondeterministic()
@@ -120,6 +186,7 @@ def extract_and_parse(pages: DataFrame) -> DataFrame:
         F.col("a.stype").alias("stype"),
         F.col("a.sufdir").alias("sufdir"),
         F.upper(F.col("a.cleansed_zone")).alias("zone_key"),
+        F.col("a.error").alias("error"),
     )
 
 

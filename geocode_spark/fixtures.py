@@ -39,6 +39,16 @@ from .cleansing import py_cleanse_street, py_cleanse_zone
 
 SEED = 42
 FIXTURE_ROOT = Path(os.environ.get("GEOCODE_SPARK_FIXTURES", "/root/repo/.fixtures"))
+# Bump whenever generation changes: the cache dir is keyed on this, so a
+# stale .fixtures tree from an older generator can never leak into a run.
+FIXTURE_VERSION = 2
+
+# Poison cadences (F5 per-row error capture): every POISON_STREET_MOD-th page
+# embeds an address whose street exceeds extraction.MAX_STREET_LEN (an error
+# row, not a task failure); every POISON_IMAGE_MOD-th page carries a payload
+# that is not a valid FIMG container.
+POISON_STREET_MOD = 601
+POISON_IMAGE_MOD = 449
 
 TILE_SIZE = 1000.0
 
@@ -105,7 +115,7 @@ def sf_from_dir(sf_dir: str) -> float:
 
 
 def fixture_dir(sf_dir: str) -> Path:
-    return FIXTURE_ROOT / Path(sf_dir).name
+    return FIXTURE_ROOT / f"{Path(sf_dir).name}-v{FIXTURE_VERSION}"
 
 
 def n_addresses(sf: float) -> int:
@@ -371,6 +381,9 @@ def _gen_pages(rng, sf, addresses: pd.DataFrame):
         pre = salad(langs[i], nw1[i], word_pick[i, 0])
         post = salad(langs[i], nw2[i], word_pick[i, 1])
         frags = [pre]
+        if i % POISON_STREET_MOD == 0:
+            # leftmost match wins -> this page becomes an F5 error row
+            frags.append("1 " + "A" * 600 + ", SALT LAKE CITY.")
         if kind[i] in ("addr", "two"):
             e = embed(a_idx[i])
             if e:
@@ -383,7 +396,10 @@ def _gen_pages(rng, sf, addresses: pd.DataFrame):
         text = " ".join(frags)
         w = 320 + (i % 8) * 160
         h = 240 + (i % 5) * 120
-        html = b"FIMG" + struct.pack(">HH", w, h) + text[:32].encode("utf-8")
+        if i % POISON_IMAGE_MOD == 0:  # not a valid FIMG container
+            html = b"JK"
+        else:
+            html = b"FIMG" + struct.pack(">HH", w, h) + text[:32].encode("utf-8")
         urls.append(f"https://example-{i % 997}.test/page/{i}")
         texts.append(text)
         htmls.append(html)

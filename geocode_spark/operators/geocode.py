@@ -78,10 +78,17 @@ MSG_NO_CANDIDATES = "No address candidates found with a score of {score} or bett
 
 # ------------------------------------------------------------------ cleansing
 def cleanse_input(df: DataFrame, id_col="id", street_col="street", zone_col="zone") -> DataFrame:
-    """Project the reference input relation and attach cleansed columns."""
+    """Project the reference input relation and attach cleansed columns.
+
+    Also attaches the F5/P5 `error` column (per-row failure capture,
+    reference geocode.py:253-254): the deterministic street-length guard —
+    the Catalyst twin of extraction's fused-kernel guard."""
+    from ..extraction import MAX_STREET_LEN
+
+    street = F.col(street_col).cast("string")
     return df.select(
         F.col(id_col).cast("string").alias("primary_key"),
-        F.col(street_col).cast("string").alias("input_street"),
+        street.alias("input_street"),
         F.col(zone_col).cast("string").alias("input_zone"),
         F.coalesce(cleanse_street_col(F.col(street_col)), F.lit("")).alias(
             "cleansed_street"
@@ -89,6 +96,11 @@ def cleanse_input(df: DataFrame, id_col="id", street_col="street", zone_col="zon
         F.coalesce(cleanse_zone_col(F.col(zone_col)), F.lit("")).alias(
             "cleansed_zone"
         ),
+        F.when(
+            F.length(street) > MAX_STREET_LEN,
+            F.concat(F.lit("street too long: "),
+                     F.length(street).cast("string"), F.lit(" characters")),
+        ).alias("error"),
     )
 
 
@@ -335,6 +347,9 @@ def geocode_parsed(
         ),
     )
 
+    if "error" not in base.columns:  # custom callers without the F5 column
+        base = base.withColumn("error", F.lit(None).cast("string"))
+
     j = base.join(
         F.broadcast(packed),
         on=[base.zone_key == packed.zone_key, base.join_name == packed.join_name],
@@ -380,7 +395,12 @@ def geocode_parsed(
             c["x1"].alias("x1"), c["y1"].alias("y1"),
         ),
     )
-    j = j.withColumn("m", F.array_max(ranked)).drop("cands")
+    # F5 precedence: a captured per-row error forces the unmatched error-row
+    # shape (x=0/y=0/score=0, message=error) even if a candidate would match
+    # — the reference's exception capture fires before any match is written.
+    j = j.withColumn(
+        "m", F.when(F.col("error").isNull(), F.array_max(ranked))
+    ).drop("cands")
 
     m = F.col("m")
     # Position along the winning segment; exact matchers are degenerate
@@ -440,7 +460,8 @@ def geocode_parsed(
         F.when(matched, std_addr).alias("standardizedAddress"),
         F.when(matched, m["grid"]).alias("addressGrid"),
         F.when(~matched,
-               F.when(missing, msg_missing).otherwise(msg_404))
+               F.coalesce(F.col("error"),
+                          F.when(missing, msg_missing).otherwise(msg_404)))
         .alias("message"),
     )
     if spatial_reference != 26912:

@@ -223,6 +223,14 @@ def knn_bruteforce(points: DataFrame, candidates: DataFrame, k: int = 3) -> Data
                 scratch.partition(kk - 1)
                 ji = np.flatnonzero(db <= scratch[kk - 1])
                 o = ji[np.lexsort((ji, db[ji]))[:kk]]
+                if len(o) < kk:
+                    # NaN query coords make every distance NaN (no j with
+                    # db <= boundary): degrade to the first kk candidates by
+                    # id — matching what a NaN-laden ORDER BY would emit —
+                    # instead of crashing the stage on a shape mismatch.
+                    o = np.concatenate(
+                        [o, np.arange(kk - len(o), dtype=np.int64)]
+                    )
                 sel[i] = o
                 dist[i] = db[o]
             yield pd.DataFrame(

@@ -75,14 +75,22 @@ def parsed_input_cte(source_sql: str) -> str:
     """CTE text for: cleansed + parsed input relation (named `parsed`).
 
     source_sql: any relation expression with columns (id, street, zone).
+    The `error` column is the oracle twin of the F5 per-row capture's
+    deterministic street-length guard (extraction.MAX_STREET_LEN).
     """
+    from .extraction import MAX_STREET_LEN
+
     return f"""
 input AS (
   SELECT CAST(id AS VARCHAR) AS primary_key,
          CAST(street AS VARCHAR) AS input_street,
          CAST(zone AS VARCHAR) AS input_zone,
          coalesce({cleanse_street_sql('street')}, '') AS cleansed_street,
-         coalesce({cleanse_zone_sql('zone')}, '') AS cleansed_zone
+         coalesce({cleanse_zone_sql('zone')}, '') AS cleansed_zone,
+         CASE WHEN length(CAST(street AS VARCHAR)) > {MAX_STREET_LEN}
+              THEN concat('street too long: ',
+                          CAST(length(CAST(street AS VARCHAR)) AS VARCHAR),
+                          ' characters') END AS error
   FROM {source_sql}
 ),
 parsed AS (
@@ -182,12 +190,15 @@ top1 AS (
   FROM cands GROUP BY primary_key
 )
 SELECT i.primary_key, i.input_street, i.input_zone,
-       coalesce(t.x, 0.0) AS x, coalesce(t.y, 0.0) AS y,
-       coalesce(t.score, 0) AS score,
-       t.locator AS locator, t.matchAddress AS matchAddress,
-       t.standardizedAddress AS standardizedAddress,
-       t.addressGrid AS addressGrid,
-       CASE WHEN t.score IS NULL THEN
+       CASE WHEN i.error IS NOT NULL THEN 0.0 ELSE coalesce(t.x, 0.0) END AS x,
+       CASE WHEN i.error IS NOT NULL THEN 0.0 ELSE coalesce(t.y, 0.0) END AS y,
+       CASE WHEN i.error IS NOT NULL THEN 0 ELSE coalesce(t.score, 0) END AS score,
+       CASE WHEN i.error IS NULL THEN t.locator END AS locator,
+       CASE WHEN i.error IS NULL THEN t.matchAddress END AS matchAddress,
+       CASE WHEN i.error IS NULL THEN t.standardizedAddress END AS standardizedAddress,
+       CASE WHEN i.error IS NULL THEN t.addressGrid END AS addressGrid,
+       CASE WHEN i.error IS NOT NULL THEN i.error
+            WHEN t.score IS NULL THEN
          CASE WHEN i.cleansed_street = '' OR i.cleansed_zone = ''
               THEN concat('Missing required parameters for URL: https://{HOST}/api/v1/geocode/',
                           i.cleansed_street, '/', i.cleansed_zone)

@@ -6,8 +6,11 @@ spark.read (Parquet/Iceberg scan, column-pruned to url+text)
   -> row-local best-candidate selection (higher-order array functions)
   -> 11-column contract
 
-ZERO shuffles end-to-end: every page is processed independently, so the plan
-scales with executors and no key skew can concentrate load.
+No shuffle of the input/probe side: every page is processed independently, so
+the plan scales with executors and no key skew can concentrate load. The only
+exchanges live under the locator-side BroadcastExchange (the small relation is
+aggregated into per-key candidate arrays before broadcast), matching what
+.explain shows.
 """
 
 from __future__ import annotations
@@ -19,13 +22,25 @@ from ..operators.geocode import geocode_parsed
 
 
 def load_locators(spark: SparkSession, fixtures_dir: str) -> dict:
-    return dict(
-        address_points=spark.read.parquet(f"{fixtures_dir}/address_points.parquet"),
-        road_centerlines=spark.read.parquet(
-            f"{fixtures_dir}/road_centerlines.parquet"
-        ),
-        pobox_points=spark.read.parquet(f"{fixtures_dir}/pobox_points.parquet"),
-    )
+    """Load the three locator tables, failing fast with the reference's
+    auth-failure exception type when a table is missing or unreadable.
+
+    F2 parity: the reference raises InvalidAPIKeyException on the API's
+    HTTP-400 config rejection (geocode.py:217-219,299-308); this engine has
+    no API key, so its config-validation failure — unreadable locators — is
+    the path that raises it, with the same message format."""
+    from ..flowcontrol import InvalidAPIKeyException
+
+    out = {}
+    for name in ("address_points", "road_centerlines", "pobox_points"):
+        path = f"{fixtures_dir}/{name}.parquet"
+        try:
+            out[name] = spark.read.parquet(path)
+        except Exception as ex:
+            raise InvalidAPIKeyException(
+                0, None, f"locator table missing or unreadable: {path} ({ex})"
+            ) from ex
+    return out
 
 
 def geocode_pages(

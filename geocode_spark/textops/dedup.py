@@ -185,25 +185,71 @@ FROM {corpus_sql(source)} GROUP BY 1
 
 # -------------------------------------------------------------- n-gram Jaccard
 def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """Exact all-pairs word-3-gram Jaccard >= threshold (id_a < id_b)."""
-    sh = with_shingles(corpus)
+    """Exact word-3-gram Jaccard >= threshold (id_a < id_b) via PREFIX
+    FILTERING (AllPairs/ppjoin candidate generation + exact verification).
+
+    The round-1 form self-joined the FULL inverted index — quadratic in every
+    shingle's posting list with unsalted hot keys on common 3-grams; at a
+    100x corpus it is the first query to fall over. Prefix filtering bounds
+    the join provably: order the shingle universe by ascending global
+    document frequency (rarest first, ties by shingle string); J(A,B) >= t
+    implies |A∩B| >= ceil(t*|A|), and by the prefix lemma any qualifying pair
+    must collide within the first |A| - ceil(t*|A|) + 1 shingles of EACH side
+    under that shared order. Only those prefix postings are joined — common
+    3-grams fall out of candidate generation entirely (a doc keeps a frequent
+    shingle in its prefix only when it has almost no rarer ones), so posting
+    lists stay bounded by the rare tail. Exact jaccard verification on the
+    candidate set (array_intersect on the full shingle sets) removes all
+    false positives, so the output is IDENTICAL to the brute-force oracle.
+
+    prefix_len is computed as n - ceil(t*n - 1e-9) + 1: the epsilon guards
+    against IEEE t*n landing a hair above an integer, which would shorten a
+    prefix and break completeness; erring long only adds candidates.
+
+    The shingle relation is persist()ed (MEMORY_AND_DISK): it feeds four plan
+    branches (prefix, frequency, and both verification sides) and Spark does
+    not materialize common subtrees, so without it the Arrow shingle stage
+    re-runs once per branch.
+    """
+    from pyspark.sql.window import Window
+
+    sh = with_shingles(corpus).persist()
     ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
-    a = ex.select(
-        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(float(threshold)) * F.col("n_sh") - F.lit(1e-9))
+        + 1
     )
-    b = ex.select(
-        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
     )
-    common = (
-        a.join(b, on=[a.shingle == b.shingle, a.id_a < b.id_b])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("common"))
+    pref = (
+        ex.join(freq, "shingle")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select("doc_id", "shingle")
     )
-    jac = F.col("common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("common")
+    a = pref.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = pref.select(F.col("doc_id").alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sa = sh.select(F.col("doc_id").alias("id_a"),
+                   F.col("shingles").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"),
+                   F.col("shingles").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    v = cand.join(sa, "id_a").join(sb, "id_b")
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common.cast("double") / (
+        F.col("n_a") + F.col("n_b") - common
     ).cast("double")
     return (
-        common.withColumn("jaccard", jac)
+        v.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -234,20 +280,45 @@ def _md5_int64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
 
 
+def _md5_u64_unique(strings: np.ndarray) -> np.ndarray:
+    """uint64 md5 prefixes for an array of (unique) strings — the one
+    remaining per-string Python loop; callers dedup first so each distinct
+    string is hashed once per Arrow batch instead of once per occurrence."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+            for s in strings
+        ),
+        dtype=np.uint64,
+        count=len(strings),
+    )
+
+
 @F.pandas_udf(ArrayType(LongType()))
 def minhash_signature(shingles: pd.Series) -> pd.Series:
-    """128-permutation MinHash signature (Arrow batch in, numpy inner loop)."""
+    """128-permutation MinHash signature (Arrow batch in, numpy inner loop).
+
+    md5 is computed once per DISTINCT shingle per batch (np.unique + gather):
+    near-duplicate corpora repeat most shingles across docs, so this cuts the
+    dominant hashing cost several-fold while producing identical signatures.
+    """
     A, B, P = MINHASH_A, MINHASH_B, np.uint64(MINHASH_PRIME)
-    out = []
-    for sh in shingles:
-        if sh is None or len(sh) == 0:
+    docs = [
+        None if sh is None or len(sh) == 0 else np.asarray(sh, dtype=object)
+        for sh in shingles
+    ]
+    live = [d for d in docs if d is not None]
+    if not live:
+        return pd.Series([None] * len(docs))
+    uniq, inv = np.unique(np.concatenate(live), return_inverse=True)
+    hu = _md5_u64_unique(uniq) % P
+    out, pos = [], 0
+    for d in docs:
+        if d is None:
             out.append(None)
             continue
-        h = np.fromiter(
-            (_md5_int64(s) % MINHASH_PRIME for s in sh),
-            dtype=np.uint64,
-            count=len(sh),
-        )
+        h = hu[inv[pos : pos + len(d)]]
+        pos += len(d)
         sig = ((A[:, None] * h[None, :] + B[:, None]) % P).min(axis=1)
         out.append(sig.astype(np.int64).tolist())
     return pd.Series(out)
@@ -257,8 +328,11 @@ def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
     Output equals ngram_jaccard_pairs wherever LSH recall is 1 (which it is,
-    to ~1e-13, for the >=0.85-Jaccard pairs these corpora contain)."""
-    sh = with_shingles(corpus)
+    to ~1e-13, for the >=0.85-Jaccard pairs these corpora contain).
+
+    The shingle relation persist()s for the same reason as in
+    ngram_jaccard_pairs: it feeds the band stage and both verify sides."""
+    sh = with_shingles(corpus).persist()
     sig = sh.withColumn("sig", minhash_signature("shingles"))
 
     bands = sig.select(
@@ -317,7 +391,16 @@ def simhash60(text: pd.Series) -> pd.Series:
 
     Bit i (i=0..59) reads md5 bit (63-i) of each token (MSB-first over the
     first 15 hex nibbles) and lands at output position (59-i) — the exact
-    layout the DuckDB oracle reproduces with hex-digit arithmetic."""
+    layout the DuckDB oracle reproduces with hex-digit arithmetic.
+
+    Vectorized: md5 is computed once per DISTINCT token per batch (token
+    MULTIPLICITY within a row still counts, exactly as the oracle's unnest
+    does). Per-row ±1 bit sums are a (rows, U) token-count matrix times the
+    (U, 60) unique-bit matrix when the vocabulary U is small — a single BLAS
+    call with no token-length intermediate (large fresh gather buffers fault
+    ~100x slower than the arithmetic on this VM class) — falling back to
+    small per-row gathers when U is large.
+    """
     import re
 
     # bit i of the signature reads md5 bit (63-i) == np.unpackbits index i
@@ -325,17 +408,42 @@ def simhash60(text: pd.Series) -> pd.Series:
     weights = np.left_shift(
         np.uint64(1), np.arange(SIMHASH_BITS - 1, -1, -1, dtype=np.uint64)
     )
+    ws = re.compile(r"\s+")
     out = np.zeros(len(text), dtype=np.int64)
-    for row, t in enumerate(text):
-        toks = re.split(r"\s+", t.strip().lower()) if t is not None else [""]
+    vals = text.to_numpy(dtype=object)
+    for s in range(0, len(vals), 2000):
+        chunk = vals[s : s + 2000]
+        toks = [
+            ws.split(t.strip().lower()) if t is not None else [""]
+            for t in chunk
+        ]
+        lens = np.array([len(tk) for tk in toks])  # always >= 1
+        flat = np.concatenate([np.asarray(tk, dtype=object) for tk in toks])
+        uniq, inv = np.unique(flat, return_inverse=True)
         digests = b"".join(
-            hashlib.md5(tok.encode("utf-8")).digest()[:8] for tok in toks
+            hashlib.md5(tok.encode("utf-8")).digest()[:8] for tok in uniq
         )
-        bits = np.unpackbits(
+        bits_u = np.unpackbits(
             np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8), axis=1
-        )[:, :SIMHASH_BITS].astype(np.int32)
-        sums = (2 * bits - 1).sum(axis=0)
-        out[row] = int(((sums >= 0).astype(np.uint64) * weights).sum())
+        )[:, :SIMHASH_BITS].astype(np.float64)
+        pm = 2.0 * bits_u - 1.0  # (U, 60) in ±1
+        if len(uniq) * len(chunk) <= 4_000_000:
+            # counts @ pm: token sums are bounded by tokens-per-row, so the
+            # float64 matmul is exact.
+            row_of = np.repeat(np.arange(len(chunk), dtype=np.int64), lens)
+            counts = np.bincount(
+                row_of * len(uniq) + inv, minlength=len(chunk) * len(uniq)
+            ).reshape(len(chunk), len(uniq)).astype(np.float64)
+            sums = counts @ pm
+        else:  # large vocabulary: small per-row gathers, no big intermediate
+            sums = np.empty((len(chunk), SIMHASH_BITS))
+            pos = 0
+            for r, n in enumerate(lens):
+                sums[r] = pm[inv[pos : pos + n]].sum(axis=0)
+                pos += n
+        out[s : s + len(chunk)] = (
+            ((sums >= 0).astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+        )
     return pd.Series(out)
 
 
@@ -346,8 +454,11 @@ def simhash_signatures(corpus: DataFrame) -> DataFrame:
 def simhash_pairs(corpus: DataFrame,
                   max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
     """Pairs within Hamming distance `max_hamming` (<= 4: chunk join is a
-    complete candidate generator by pigeonhole over 5 x 12-bit chunks)."""
-    sig = simhash_signatures(corpus)
+    complete candidate generator by pigeonhole over 5 x 12-bit chunks).
+
+    Signatures persist(): the relation feeds both sides of the chunk join and
+    Spark would otherwise run the Arrow SimHash stage twice."""
+    sig = simhash_signatures(corpus).persist()
     chunks = sig.select(
         "doc_id", "simhash",
         F.explode(

@@ -54,25 +54,49 @@ _META_SCHEMA = StructType(
         StructField("format", StringType()),
         StructField("width", LongType()),
         StructField("height", LongType()),
+        StructField("error", StringType()),
     ]
 )
+
+MSG_TRUNCATE = 500  # F5/P5: reference geocode.py:253-254
+
+
+def _invalid_container_msg(n: int) -> str:
+    return f"invalid image container: {n} bytes"
 
 
 @F.pandas_udf(_META_SCHEMA)
 def _parse_header(html: pd.Series) -> pd.DataFrame:
-    """Arrow-batched binary header parse (the real-decode integration point)."""
-    fmts, ws, hs = [], [], []
+    """Arrow-batched binary header parse (the real-decode integration point).
+
+    Per-row error capture (F5): a payload that is not a valid container
+    yields a deterministic error message; a payload that makes the decoder
+    THROW yields str(ex)[:500] — an error row either way, never a dead task.
+    """
+    fmts, ws, hs, errs = [], [], [], []
     for b in html:
-        if b is not None and len(b) >= 8 and bytes(b[:4]) == MAGIC:
-            w, h = struct.unpack(">HH", bytes(b[4:8]))
-            fmts.append("FIMG")
-            ws.append(w)
-            hs.append(h)
-        else:
+        try:
+            if b is not None and len(b) >= 8 and bytes(b[:4]) == MAGIC:
+                w, h = struct.unpack(">HH", bytes(b[4:8]))
+                fmts.append("FIMG")
+                ws.append(w)
+                hs.append(h)
+                errs.append(None)
+            else:
+                fmts.append(None)
+                ws.append(None)
+                hs.append(None)
+                errs.append(
+                    _invalid_container_msg(0 if b is None else len(b))
+                )
+        except Exception as ex:  # pragma: no cover - defensive per-row net
             fmts.append(None)
             ws.append(None)
             hs.append(None)
-    return pd.DataFrame({"format": fmts, "width": ws, "height": hs})
+            errs.append(str(ex)[:MSG_TRUNCATE])
+    return pd.DataFrame(
+        {"format": fmts, "width": ws, "height": hs, "error": errs}
+    )
 
 
 def image_meta(pages: DataFrame) -> DataFrame:
@@ -87,6 +111,7 @@ def image_meta(pages: DataFrame) -> DataFrame:
         F.round(
             F.col("m.width").cast("double") / F.col("m.height").cast("double"), 6
         ).alias("aspect"),
+        F.col("m.error").alias("error"),
     )
 
 
@@ -176,29 +201,51 @@ def audio_features(pages: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
 
     def feats(batches):
         for pdf in batches:
-            urls, wins, ns, sums, sqs, peaks = [], [], [], [], [], []
-            for url, payload in zip(pdf["url"], pdf["html"]):
-                if payload is None or len(payload) <= HEADER_BYTES:
-                    continue
-                samples = np.frombuffer(
-                    bytes(payload), dtype=np.uint8, offset=HEADER_BYTES
-                ).astype(np.int64)
-                for w in range(0, len(samples), window):
-                    seg = samples[w : w + window]
-                    urls.append(url)
-                    wins.append(w // window)
-                    ns.append(len(seg))
-                    sums.append(int(seg.sum()))
-                    sqs.append(int((seg * seg).sum()))
-                    peaks.append(int(seg.max()))
+            # Vectorized across the whole Arrow batch: concatenate every
+            # row's samples once, then one ufunc.reduceat per aggregate over
+            # the absolute window-start offsets (window boundaries reset per
+            # row because each row's first start IS the previous row's end).
+            payloads = [
+                bytes(p)
+                for p in pdf["html"]
+                if p is not None and len(p) > HEADER_BYTES
+            ]
+            urls = np.asarray(
+                [
+                    u
+                    for u, p in zip(pdf["url"], pdf["html"])
+                    if p is not None and len(p) > HEADER_BYTES
+                ],
+                dtype=object,
+            )
+            if not payloads:
+                continue
+            sam = [
+                np.frombuffer(p, dtype=np.uint8, offset=HEADER_BYTES)
+                for p in payloads
+            ]
+            lens = np.array([len(s) for s in sam], dtype=np.int64)
+            cat = np.concatenate(sam).astype(np.int64)
+            n_win = -(-lens // window)  # ceil
+            row_start = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=row_start[1:])
+            win_idx = np.concatenate([np.arange(k) for k in n_win])
+            starts = np.repeat(row_start, n_win) + win_idx * window
+            ends = np.append(starts[1:], len(cat))
             yield pd.DataFrame(
                 {
-                    "url": pd.Series(urls, dtype="object"),
-                    "window_idx": pd.Series(wins, dtype="int64"),
-                    "n_samples": pd.Series(ns, dtype="int64"),
-                    "sum_amp": pd.Series(sums, dtype="int64"),
-                    "sumsq_amp": pd.Series(sqs, dtype="int64"),
-                    "peak": pd.Series(peaks, dtype="int64"),
+                    "url": pd.Series(np.repeat(urls, n_win), dtype="object"),
+                    "window_idx": pd.Series(win_idx, dtype="int64"),
+                    "n_samples": pd.Series(ends - starts, dtype="int64"),
+                    "sum_amp": pd.Series(
+                        np.add.reduceat(cat, starts), dtype="int64"
+                    ),
+                    "sumsq_amp": pd.Series(
+                        np.add.reduceat(cat * cat, starts), dtype="int64"
+                    ),
+                    "peak": pd.Series(
+                        np.maximum.reduceat(cat, starts), dtype="int64"
+                    ),
                 }
             )
 
@@ -245,7 +292,10 @@ def image_meta_oracle_sql(fix: str) -> str:
     return f"""
 WITH {_HEX_CTE.format(fix=fix)}
 SELECT url, format, width, height, n_bytes,
-       round(CAST(width AS DOUBLE) / CAST(height AS DOUBLE), 6) AS aspect
+       round(CAST(width AS DOUBLE) / CAST(height AS DOUBLE), 6) AS aspect,
+       CASE WHEN format IS NULL
+            THEN concat('invalid image container: ',
+                        CAST(n_bytes AS VARCHAR), ' bytes') END AS error
 FROM meta
 """
 

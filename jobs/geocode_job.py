@@ -117,10 +117,12 @@ def main(argv=None) -> int:
     csv_out = None
     if args.csv_output:
         # Timestamped CSV sink (S4/S5 parity, geocode.py:168-174): header-on
-        # CSV directory named geocoding_results_{YYYYmmddHHMMSS}.csv.
+        # CSV directory named geocoding_results_{YYYYmmddHHMMSS}.csv, written
+        # BESIDE the parquet run dir ({output}_csv/) so it can never collide
+        # with the batch_id=* partition layout read_results scans.
         from geocode_spark.batching import read_results
 
-        csv_out = f"{args.output}/geocoding_results_" \
+        csv_out = f"{args.output}_csv/geocoding_results_" \
                   f"{time.strftime('%Y%m%d%H%M%S')}.csv"
         (
             read_results(spark, args.output)

@@ -10,7 +10,8 @@ from geocode_spark.session import get_spark  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("geocode-spark-tests", parallelism=8, shuffle_partitions=8)
+    s = get_spark("geocode-spark-tests", parallelism=8, shuffle_partitions=8,
+                  small_input=True)
     yield s
 
 

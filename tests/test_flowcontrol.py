@@ -269,3 +269,84 @@ def test_spark_submit_csv_mode(fixtures_dir, tmp_path):
     ]
     assert len(got) == len(addr)
     assert set(got["primary_key"]) == set(addr["OBJECTID"].astype(str))
+
+
+# ------------------------------------------------- S7 version walk-up (ported)
+# Behavior ports of reference tests/test_geocode.py:36-71.
+def _write_version(tmpdir, version="1.0.0"):
+    from pathlib import Path
+
+    v = Path(tmpdir) / "tool-version.json"
+    v.write_text('{"PRO_VERSION_NUMBER": "%s"}' % version)
+    return v
+
+
+def test_get_local_finds_version_from_src(tmp_path):
+    from geocode_spark import get_local_version
+
+    _write_version(tmp_path)
+    src = tmp_path / "module-folder" / "src" / "geocode.py"
+    src.mkdir(parents=True)
+    assert get_local_version(src) == "1.0.0"
+
+
+def test_get_local_returns_null_3_levels_up(tmp_path):
+    from geocode_spark import get_local_version
+
+    _write_version(tmp_path)
+    src = (tmp_path / "module-folder" / "another-folder" / "more-folders"
+           / "too-many-folders" / "geocode.py")
+    src.mkdir(parents=True)
+    assert get_local_version(src) is None
+
+
+def test_get_local_finds_version_from_sibling(tmp_path):
+    from geocode_spark import get_local_version
+
+    _write_version(tmp_path)
+    assert get_local_version(tmp_path / "geocode.py") == "1.0.0"
+
+
+def test_get_local_default_reads_repo_version():
+    import geocode_spark
+
+    assert geocode_spark.get_local_version() == geocode_spark.__version__
+
+
+# ---------------------------------------------------- F2 invalid-config raise
+def test_missing_locator_dir_raises_invalid_api_key(spark, tmp_path):
+    from geocode_spark.flowcontrol import InvalidAPIKeyException
+    from geocode_spark.plans.pipeline import load_locators
+
+    with pytest.raises(InvalidAPIKeyException) as exc_info:
+        load_locators(spark, str(tmp_path / "nope"))
+    msg = exc_info.value.message
+    # message format parity: reference geocode.py:299-308
+    assert msg.startswith("\n\nError returned for primary_key: None \n")
+    assert "API response message: locator table missing or unreadable" in msg
+    assert "Total rows processed: 0" in msg
+
+
+def test_batch_write_is_single_pass(spark, tmp_path):
+    """The write job evaluates the source plan ONCE for all batches (the old
+    per-batch-filter loop re-ran it n_batches times: n x scan amplification)."""
+    from pyspark.sql import functions as F
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("string")
+    def touch(s):
+        acc.add(1)
+        return s
+
+    n = 1000
+    df = spark.range(n).select(F.col("id").cast("string").alias("primary_key"))
+    result = (
+        df.withColumn("probe", touch("primary_key"))
+        .withColumn("message", F.lit(None).cast("string"))
+        .withColumn("score", F.lit(90).cast("bigint"))
+    )
+    s = run_resumable(spark, result, str(tmp_path / "one-pass"), n_batches=8,
+                      log=lambda m: None)
+    assert s["total"] == n
+    assert acc.value == n  # one evaluation per row, not n_batches per row

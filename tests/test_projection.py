@@ -75,5 +75,56 @@ def test_unsupported_wkid_raises(spark, fixtures_dir):
 
     df = spark.createDataFrame([("a", "s", "z")], "id string, street string, zone string")
     with pytest.raises(ValueError):
-        geocode(df, pobox=True, spatial_reference=3857,
+        geocode(df, pobox=True, spatial_reference=999999,
                 **load_locators(spark, fixtures_dir)).collect()
+
+
+def test_utm_params_families():
+    from geocode_spark.operators.projection import utm_params
+
+    p12 = utm_params(26912)
+    assert p12.lon0_deg == -111.0 and p12.false_northing == 0.0
+    p13 = utm_params(26913)
+    assert p13.lon0_deg == -105.0
+    w12 = utm_params(32612)
+    assert w12.lon0_deg == -111.0 and w12.f != p12.f  # WGS84 vs GRS80
+    s56 = utm_params(32756)
+    assert s56.false_northing == 10_000_000.0
+    with pytest.raises(ValueError):
+        utm_params(12345)
+
+
+def test_web_mercator_anchor():
+    # equator at lon -111 -> x = R*radians(-111), y = 0
+    import math
+
+    from geocode_spark.operators.projection import web_mercator_sql
+
+    wm = web_mercator_sql("lon", "lat")
+    x, y = duckdb.sql(
+        f"SELECT {wm['x']} AS x, {wm['y']} AS y FROM (VALUES (-111.0, 0.0)) t(lon,lat)"
+    ).fetchone()
+    assert abs(x - 6378137.0 * math.radians(-111.0)) < 1e-3
+    assert y == 0.0
+
+
+def test_reproject_3857_and_neighbor_zone(spark, fixtures_dir):
+    """Success rows re-express in web mercator and in UTM zone 13; failure
+    rows keep the 0/0 sentinel in every target."""
+    from geocode_spark.operators.geocode import geocode
+    from geocode_spark.plans.pipeline import load_locators
+
+    rows = [("ok", "669 West 200 South", "84101"), ("bad", "xyzzy", "nowhere")]
+    df = spark.createDataFrame(rows, "id string, street string, zone string")
+    locs = load_locators(spark, fixtures_dir)
+    for wkid, xr, yr in [
+        (3857, (-12_800_000, -12_000_000), (4_300_000, 5_300_000)),
+        (26913, (-300_000, 260_000), (4_100_000, 4_800_000)),
+    ]:
+        res = geocode(df, pobox=True, spatial_reference=wkid, **locs)
+        got = {r["primary_key"]: r for r in res.collect()}
+        assert got["bad"]["x"] == 0.0 and got["bad"]["y"] == 0.0
+        ok = got["ok"]
+        if ok["message"] is None:
+            assert xr[0] < ok["x"] < xr[1], (wkid, ok["x"])
+            assert yr[0] < ok["y"] < yr[1], (wkid, ok["y"])

@@ -138,3 +138,21 @@ def test_tile_assignment_and_rollup(spark):
     r = tile_rollup(df, 1000.0).toPandas()
     row = r[(r.tile_x == 1) & (r.tile_y == 0)].iloc[0]
     assert row.n_points == 2 and row.sum_score == 190
+
+
+def test_knn_bruteforce_nan_query_degrades_gracefully(spark, fixtures_dir):
+    """A NaN-coordinate query row must not crash the stage (ADVICE r01): it
+    emits k rows of arbitrary-but-valid candidates instead."""
+    import math
+
+    from geocode_spark.operators.spatial import knn_bruteforce
+
+    cands = spark.read.parquet(f"{fixtures_dir}/address_points.parquet")
+    pts = spark.createDataFrame(
+        [("nan-row", math.nan, math.nan), ("ok", 425000.0, 4450000.0)],
+        "primary_key string, x double, y double",
+    )
+    out = knn_bruteforce(pts, cands, k=3).toPandas()
+    assert len(out[out.primary_key == "nan-row"]) == 3
+    ok = out[out.primary_key == "ok"]
+    assert len(ok) == 3 and ok["dist_sq"].is_monotonic_increasing

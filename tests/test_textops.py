@@ -217,9 +217,14 @@ def test_image_meta_parses_header(spark):
     fix = str(ensure_fixtures(SF_DIR))
     pages = spark.read.parquet(f"{fix}/pages.parquet")
     out = image_meta(pages).toPandas()
-    assert (out.format == "FIMG").all()
-    assert out.width.between(320, 320 + 7 * 160).all()
-    assert out.height.between(240, 240 + 4 * 120).all()
+    valid = out[out.format.notna()]
+    poisoned = out[out.format.isna()]
+    assert len(valid) > 0 and len(poisoned) > 0  # fixture has both
+    assert (valid.format == "FIMG").all() and valid.error.isna().all()
+    assert valid.width.between(320, 320 + 7 * 160).all()
+    assert valid.height.between(240, 240 + 4 * 120).all()
+    # F5: malformed payloads are error rows, not task failures
+    assert poisoned.error.str.startswith("invalid image container:").all()
 
 
 def test_resize_plan_preserves_aspect_bound(spark):
@@ -229,6 +234,8 @@ def test_resize_plan_preserves_aspect_bound(spark):
     fix = str(ensure_fixtures(SF_DIR))
     pages = spark.read.parquet(f"{fix}/pages.parquet")
     out = resize_plan(pages, max_dim=256).toPandas()
+    out = out[out.width.notna()]  # poisoned containers carry no dims
+    assert len(out) > 0
     assert (out[["target_w", "target_h"]].max(axis=1) <= 256).all()
     small = out[(out.width <= 256) & (out.height <= 256)]
     assert (small.target_w == small.width).all()
