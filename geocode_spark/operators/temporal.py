@@ -1,0 +1,270 @@
+"""Temporal operators over the events stream: sessionization, as-of join,
+tumbling-window rollups.
+
+These are the event-time operators a web-scale training-data pipeline needs
+next to the geocode core (crawl snapshots, user telemetry, label streams).
+All three are single-shuffle shapes:
+
+ - sessionize / session_stats: ONE hash exchange on user_id, then window
+   functions evaluated within each sorted partition — the canonical
+   sessionization plan. No driver loop, no second shuffle (session_stats's
+   groupBy(user_id, session_idx) is partition-local after the window sort,
+   and AQE coalesces it into the same exchange).
+ - asof_last_purchase: the single-relation as-of join — each event picks the
+   most recent strictly-preceding purchase row of the same user via
+   last(..., ignorenulls) over a rows-frame. For the two-relation variant
+   the same plan applies after a unionByName with a side tag; no range
+   explosion, no per-row probe.
+ - event_window_rollup: epoch-floor tumbling windows as a plain groupBy —
+   partial aggregation map-side, one exchange on (window, event_type).
+
+Scale notes (100 TB): the only skew risk is a hot user_id; the window shapes
+tolerate it up to one-partition-per-user volume, beyond which sessionize
+would salt by (user_id, day) and stitch boundaries — documented, not needed
+at the tested scales. Timestamps are compared as epoch MICROSECONDS
+(unix_micros / epoch_us) so both dialects do exact int64 arithmetic, and
+money sums use integer cents — no float fold-order hazards anywhere.
+
+Determinism: every window orders by (ts_us, event_id); event_id is unique,
+so plans are total-ordered and results are identical across parallelism
+levels (the north rule's two-cluster-size invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_GAP_MINUTES = 30
+DEFAULT_WINDOW_HOURS = 6
+
+
+def _cents(col):
+    return F.round(col * 100).cast("bigint")
+
+
+def _with_ts_us(events: DataFrame) -> DataFrame:
+    # ts arrives as TIMESTAMP_NTZ; the session timezone is pinned to UTC, so
+    # the cast reads the naive value as UTC — exactly DuckDB's epoch_us(ts)
+    return events.withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+
+
+def sessionize(events: DataFrame,
+               gap_minutes: int = DEFAULT_GAP_MINUTES) -> DataFrame:
+    """Assign gap-based sessions per user.
+
+    A new session starts when the gap to the previous event of the same user
+    exceeds gap_minutes. session_idx is 1-based per user; session_id is the
+    stable string key "<user_id>-<session_idx>".
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e = _with_ts_us(events)
+    prev = F.lag("ts_us").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > gap_us), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("session_idx", F.sum(new_sess).over(w).cast("bigint"))
+        .withColumn(
+            "session_id",
+            F.concat_ws("-", F.col("user_id"), F.col("session_idx")),
+        )
+        .select("event_id", "user_id", "ts_us", "session_idx", "session_id")
+    )
+
+
+def session_stats(events: DataFrame,
+                  gap_minutes: int = DEFAULT_GAP_MINUTES) -> DataFrame:
+    """Per-session rollup over sessionize()'s assignment.
+
+    The groupBy keys are a superset of the window partition key, so the
+    aggregation reuses the sessionize exchange (no extra wide shuffle).
+    Money is summed in integer cents — order-independent exact arithmetic.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e = _with_ts_us(events).withColumn("value_cents", _cents(F.col("value")))
+    prev = F.lag("ts_us").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > gap_us), 1
+    ).otherwise(0)
+    s = e.withColumn("session_idx", F.sum(new_sess).over(w).cast("bigint"))
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+        .withColumn(
+            "session_id",
+            F.concat_ws("-", F.col("user_id"), F.col("session_idx")),
+        )
+        .select(
+            "user_id", "session_idx", "session_id", "n_events",
+            "start_us", "end_us", "duration_us", "sum_value_cents",
+        )
+    )
+
+
+def asof_last_purchase(events: DataFrame,
+                       probe_type: str = "click",
+                       build_type: str = "purchase") -> DataFrame:
+    """As-of join within the event stream: each probe_type event joined to the
+    same user's most recent strictly-preceding build_type event.
+
+    "Strictly preceding" is row-frame semantics under the total order
+    (ts_us, event_id): ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING.
+    The three last(..., ignorenulls) projections share one frame and one
+    order, so they all read the same build row — no struct packing needed.
+    This is the shuffle-minimal as-of shape: one exchange on user_id, sorted
+    once, no range join / per-row probes.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = _with_ts_us(events).withColumn("value_cents", _cents(F.col("value")))
+    is_b = F.col("event_type") == build_type
+    last_of = lambda c: F.last(F.when(is_b, c), ignorenulls=True).over(w)
+    return (
+        e.withColumn("purchase_event_id", last_of(F.col("event_id")))
+        .withColumn("purchase_ts_us", last_of(F.col("ts_us")))
+        .withColumn("purchase_value_cents", last_of(F.col("value_cents")))
+        .filter(F.col("event_type") == probe_type)
+        .select(
+            "event_id", "user_id", "ts_us",
+            "purchase_event_id", "purchase_ts_us", "purchase_value_cents",
+        )
+    )
+
+
+def event_window_rollup(events: DataFrame,
+                        window_hours: int = DEFAULT_WINDOW_HOURS) -> DataFrame:
+    """Tumbling event-time windows per event_type.
+
+    Window start = epoch-floored microseconds — integer arithmetic identical
+    in both dialects (Structured Streaming's window() produces the same
+    boundaries; the batch form keeps the oracle exact). count(distinct)
+    is exact; at 100 TB swap for approx_count_distinct behind a flag.
+    """
+    win_us = window_hours * 3600 * 1_000_000
+    e = _with_ts_us(events).withColumn("value_cents", _cents(F.col("value")))
+    # pure int64 floor (ts_us - ts_us % w): no double division, exact in
+    # both dialects for any representable timestamp
+    win = (F.col("ts_us") - F.col("ts_us") % win_us).cast("bigint")
+    return (
+        e.withColumn("win_start_us", win)
+        .groupBy("win_start_us", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("value_cents").alias("sum_value_cents"),
+            F.min("event_id").alias("first_event_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- oracle side
+def _events_src(source: str = "events") -> str:
+    return (
+        f"(SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,"
+        f" CAST(round(value * 100) AS BIGINT) AS value_cents FROM {source})"
+    )
+
+
+def sessionize_oracle_sql(source: str = "events",
+                          gap_minutes: int = DEFAULT_GAP_MINUTES) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH e AS (SELECT * FROM {_events_src(source)}),
+flagged AS (
+  SELECT event_id, user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT event_id, user_id, ts_us,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+            AS BIGINT) AS session_idx,
+       user_id || '-' ||
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+            AS BIGINT) AS session_id
+FROM flagged
+"""
+
+
+def session_stats_oracle_sql(source: str = "events",
+                             gap_minutes: int = DEFAULT_GAP_MINUTES) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH e AS (SELECT * FROM {_events_src(source)}),
+flagged AS (
+  SELECT event_id, user_id, ts_us, value_cents,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+assigned AS (
+  SELECT *, CAST(sum(new_sess) OVER
+       (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       user_id || '-' || session_idx AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts_us) AS start_us,
+       max(ts_us) AS end_us,
+       max(ts_us) - min(ts_us) AS duration_us,
+       CAST(sum(value_cents) AS BIGINT) AS sum_value_cents
+FROM assigned
+GROUP BY user_id, session_idx
+"""
+
+
+def asof_last_purchase_oracle_sql(source: str = "events",
+                                  probe_type: str = "click",
+                                  build_type: str = "purchase") -> str:
+    last = (
+        "last_value(CASE WHEN event_type = '{b}' THEN {{c}} END IGNORE NULLS)"
+        " OVER (PARTITION BY user_id ORDER BY ts_us, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    ).format(b=build_type)
+    return f"""
+SELECT event_id, user_id, ts_us,
+       purchase_event_id, purchase_ts_us, purchase_value_cents
+FROM (
+  SELECT event_id, user_id, ts_us, event_type,
+         {last.format(c='event_id')} AS purchase_event_id,
+         {last.format(c='ts_us')} AS purchase_ts_us,
+         {last.format(c='value_cents')} AS purchase_value_cents
+  FROM {_events_src(source)}
+)
+WHERE event_type = '{probe_type}'
+"""
+
+
+def event_window_rollup_oracle_sql(
+        source: str = "events",
+        window_hours: int = DEFAULT_WINDOW_HOURS) -> str:
+    win_us = window_hours * 3600 * 1_000_000
+    return f"""
+SELECT CAST(ts_us - ts_us % {win_us} AS BIGINT) AS win_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(value_cents) AS BIGINT) AS sum_value_cents,
+       min(event_id) AS first_event_id
+FROM {_events_src(source)}
+GROUP BY 1, 2
+"""

@@ -1,0 +1,237 @@
+"""Corpus-level training-data operators: duplicate-cluster resolution,
+deterministic stratified sampling, TF-IDF keyword extraction.
+
+These close the loop on the dedup family: pair generation (dedup.py) finds
+near-duplicate EDGES; `dedup_clusters` resolves them into connected
+components and elects one canonical document per cluster — the step an
+actual 100 TB dedup run ships (you keep canonicals, drop the rest).
+
+Scale shapes:
+ - dedup_clusters: iterative min-label propagation over the (tiny, sparse)
+   duplicate-edge relation. Each round is one join + one groupBy on the
+   EDGE relation, never on the corpus; rounds needed = component diameter
+   (near-dup clusters are stars around an original — 2-4 rounds in
+   practice, hard cap asserts convergence). At 10^12 docs the same loop
+   runs with edges bucketed by src; the large-star/small-star variant
+   (Kiveris et al., "Connected Components in MapReduce") is the drop-in
+   upgrade if components ever get deep — same per-round plan shape.
+ - stratified_sample: map-only (zero shuffle) — the keep decision is a
+   deterministic per-row hash test, so the sample is reproducible across
+   runs, parallelism levels, and engines (md5-based, not partition-seeded
+   rand() which would break the two-cluster-size invariant).
+ - tfidf_top_terms: explode -> (doc,term) count -> vocabulary-sized
+   doc-frequency relation joined back (broadcast when the vocab fits,
+   AQE decides) -> per-doc top-k window. The df relation is |vocab|,
+   orders of magnitude smaller than the token stream.
+
+Float discipline: idf is rounded to 6 dp BEFORE the tf multiply and the
+score rounded again — a 1-ulp ln() divergence between Java Math.log and
+libm cannot survive two roundings at 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import corpus_sql, minhash_lsh_pairs, ngram_jaccard_oracle_sql
+
+MAX_CC_ROUNDS = 20
+# per-mille keep rates by language: downsample the dominant language,
+# keep the tails — the classic training-mix rebalance
+SAMPLE_RATE_PERMILLE = {"en": 250}
+SAMPLE_RATE_DEFAULT = 750
+
+
+# ------------------------------------------------------------- dedup clusters
+def dedup_clusters(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Connected components over the near-duplicate pair graph.
+
+    cluster_id = min doc_id in the component (the canonical survivor).
+    Every corpus doc appears exactly once; singletons are their own
+    cluster. Deterministic: label propagation over min() converges to the
+    same fixpoint regardless of execution order.
+    """
+    edges = minhash_lsh_pairs(corpus, threshold=threshold).select("id_a", "id_b")
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = sym.persist()
+
+    labels = corpus.select(
+        F.col("doc_id"), F.col("doc_id").alias("lab")
+    ).persist()
+    for _ in range(MAX_CC_ROUNDS):
+        nbr = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("lab", F.coalesce("nbr_lab", "lab")).alias("lab"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {MAX_CC_ROUNDS} rounds"
+        )
+    sym.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("lab").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lab")).cast("int").alias("is_canonical"),
+    )
+
+
+def dedup_clusters_oracle_sql(source: str = "documents",
+                              threshold: float = 0.8) -> str:
+    """Transitive closure via recursive CTE; min reachable id per node."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({ngram_jaccard_oracle_sql(source, threshold)})),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT doc_id FROM {corpus_sql(source)}),
+reach(doc_id, lab) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.doc_id
+)
+SELECT doc_id, min(lab) AS cluster_id,
+       CAST(doc_id = min(lab) AS INT) AS is_canonical
+FROM reach GROUP BY doc_id
+"""
+
+
+# -------------------------------------------------------- stratified sampling
+def _bucket_col(doc_id) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 1000
+    )
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic per-language downsampling.
+
+    keep iff md5-bucket(doc_id) < per-mille rate for the row's language.
+    Pure projection + filter: zero shuffle, reproducible everywhere.
+    """
+    rate = F.lit(SAMPLE_RATE_DEFAULT)
+    for lang, r in SAMPLE_RATE_PERMILLE.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    b = _bucket_col(F.col("doc_id"))
+    return (
+        docs.withColumn("bucket", b)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+def stratified_sample_oracle_sql(source: str = "documents") -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}"
+        for lang, r in SAMPLE_RATE_PERMILLE.items()
+    )
+    bucket = (
+        "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000)"
+    )
+    return f"""
+SELECT doc_id, lang, {bucket} AS bucket
+FROM {source}
+WHERE {bucket} < (CASE {whens} ELSE {SAMPLE_RATE_DEFAULT} END)
+"""
+
+
+# ------------------------------------------------------------------- TF-IDF
+# grouped: Spark's regexp_extract_all extracts group 1; DuckDB gets the same
+# explicit group index so both emit identical token streams
+TOKEN_RE = "([a-z]+)"
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF.
+
+    idf = round(ln((N+1)/(df+1)) + 1, 6); score = round(tf * idf, 6);
+    ties broken by term ascending — totally ordered, parallelism-invariant.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    idf = F.round(
+        F.log(
+            (F.col("n_docs").cast("double") + F.lit(1.0))
+            / (F.col("df").cast("double") + F.lit(1.0))
+        )
+        + F.lit(1.0),
+        6,
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.round(F.col("tf").cast("double") * idf, 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
+def tfidf_top_terms_oracle_sql(source: str = "documents", k: int = 3) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}', 1)) AS term
+  FROM {source}
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM {source}),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(CAST(tf.tf AS DOUBLE) *
+               round(ln((n.n_docs + 1.0) / (CAST(dfreq.df AS DOUBLE) + 1.0))
+                     + 1.0, 6), 6) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, score,
+         CAST(row_number() OVER
+              (PARTITION BY doc_id ORDER BY score DESC, term ASC)
+              AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= {k}
+"""

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Run the dedup/ANN/corpus family's oracle gate at sf0.1 (VERDICT r1 item 9).
+
+The driver's own gate runs every query at sf0.01; this script repeats the
+comparison for the similarity-sensitive family at the 10x corpus, where LSH
+recall and banding behavior actually get exercised, and writes the results
+to CORRECTNESS_SF01.json at the repo root.
+
+Usage: PYTHONPATH=. python scripts/correctness_sf01.py
+"""
+import hashlib
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+
+SF = "/root/testdata/sf0.1"
+FAMILY = [
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "simhash_pairs",
+    "ann_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup",
+    "dedup_clusters",
+    "stratified_sample",
+    "tfidf_top_terms",
+]
+
+
+def vhash(pdf):
+    from compare_util import _norm_cell, canonicalize
+
+    c = canonicalize(pdf)
+    h = hashlib.sha256()
+    for col in c.columns:
+        for v in c[col].tolist():
+            h.update(repr(_norm_cell(v)).encode())
+    return h.hexdigest()
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    from compare_util import duck_to_pdf
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("sf01-gate")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as mod
+
+    qs, osql = mod.queries(), mod.oracle_sql()
+    out = {}
+    for name in FAMILY:
+        t0 = time.perf_counter()
+        try:
+            spdf = qs[name](spark, SF).toPandas()
+            opdf = duck_to_pdf(osql[name], SF)
+            out[name] = {
+                "rows_match": len(spdf) == len(opdf),
+                "schema_match": sorted(spdf.columns) == sorted(opdf.columns),
+                "hash_match": vhash(spdf) == vhash(opdf),
+                "spark_rows": len(spdf),
+                "oracle_rows": len(opdf),
+                "sec": round(time.perf_counter() - t0, 2),
+                "err": None,
+            }
+        except Exception as e:
+            out[name] = {"err": f"{type(e).__name__}: {str(e)[:300]}"}
+        print(name, out[name], flush=True)
+    with open(os.path.join(ROOT, "CORRECTNESS_SF01.json"), "w") as f:
+        json.dump({"sf": 0.1, "family": out}, f, indent=2)
+    bad = [k for k, v in out.items()
+           if v.get("err") or not v.get("hash_match")]
+    print("BAD:", bad)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

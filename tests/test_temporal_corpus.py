@@ -1,0 +1,233 @@
+"""Temporal (sessionize / as-of / window rollup) and corpus-level
+(dedup clustering / stratified sample / tf-idf) operator tests.
+
+Each oracle-gated operator is compared against its DuckDB twin at sf0.001
+(the driver repeats the same check at sf0.01); the semantic tests pin the
+behaviors the hash compare can't explain on its own (session boundaries,
+strictly-preceding as-of semantics, cluster transitivity).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from compare_util import assert_frames_match, duck_to_pdf
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+# ----------------------------------------------------------------- temporal
+def _check(spark_df, sql, label):
+    assert_frames_match(
+        spark_df.toPandas(), duck_to_pdf(sql, SF_DIR), label=label
+    )
+
+
+def test_sessionize_oracle(events):
+    from geocode_spark.operators.temporal import (
+        sessionize, sessionize_oracle_sql,
+    )
+
+    _check(sessionize(events), sessionize_oracle_sql(), "sessionize")
+
+
+def test_session_stats_oracle(events):
+    from geocode_spark.operators.temporal import (
+        session_stats, session_stats_oracle_sql,
+    )
+
+    _check(session_stats(events), session_stats_oracle_sql(), "session_stats")
+
+
+def test_asof_oracle(events):
+    from geocode_spark.operators.temporal import (
+        asof_last_purchase, asof_last_purchase_oracle_sql,
+    )
+
+    _check(
+        asof_last_purchase(events), asof_last_purchase_oracle_sql(), "asof"
+    )
+
+
+def test_window_rollup_oracle(events):
+    from geocode_spark.operators.temporal import (
+        event_window_rollup, event_window_rollup_oracle_sql,
+    )
+
+    _check(
+        event_window_rollup(events), event_window_rollup_oracle_sql(),
+        "window_rollup",
+    )
+
+
+def test_session_boundaries(spark):
+    """Gap strictly greater than 30 min starts a new session; ties on ts
+    order by event_id."""
+    from geocode_spark.operators.temporal import sessionize
+
+    rows = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [7, 7, 7, 7, 7],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00",
+            "2024-01-01 00:30:00",    # exactly 30 min -> same session
+            "2024-01-01 01:00:01",    # 30m01s -> new session
+            "2024-01-01 01:00:01",    # tie, higher event_id -> same session
+            "2024-01-02 00:00:00",    # next day -> new session
+        ]),
+        "event_type": ["view"] * 5,
+        "value": [1.0] * 5,
+        "props": ["{}"] * 5,
+    })
+    out = (
+        sessionize(spark.createDataFrame(rows))
+        .toPandas().set_index("event_id").sort_index()
+    )
+    assert out["session_idx"].tolist() == [1, 1, 2, 2, 3]
+    assert out.loc[3, "session_id"] == "7-2"
+
+
+def test_asof_strictly_preceding(spark):
+    """A purchase at the same timestamp but later event_id is NOT visible;
+    the most recent earlier purchase wins."""
+    from geocode_spark.operators.temporal import asof_last_purchase
+
+    ts = pd.to_datetime
+    rows = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [9] * 5,
+        "ts": [
+            ts("2024-01-01 00:00:00"),  # purchase A
+            ts("2024-01-01 01:00:00"),  # click -> sees A
+            ts("2024-01-01 02:00:00"),  # purchase B
+            ts("2024-01-01 02:00:00"),  # click, tie with B (B is earlier id)
+            ts("2024-01-01 03:00:00"),  # click -> sees B
+        ],
+        "event_type": ["purchase", "click", "purchase", "click", "click"],
+        "value": [10.0, 0.0, 20.0, 0.0, 0.0],
+        "props": ["{}"] * 5,
+    })
+    out = (
+        asof_last_purchase(spark.createDataFrame(rows))
+        .toPandas().set_index("event_id").sort_index()
+    )
+    assert out.loc[2, "purchase_event_id"] == 1
+    assert out.loc[4, "purchase_event_id"] == 3  # same-ts, earlier row order
+    assert out.loc[5, "purchase_event_id"] == 3
+    assert out.loc[5, "purchase_value_cents"] == 2000
+
+
+def test_asof_no_prior_purchase_is_null(events):
+    from geocode_spark.operators.temporal import asof_last_purchase
+
+    out = asof_last_purchase(events)
+    # at least the earliest click of some user precedes any purchase
+    assert out.filter(F.col("purchase_event_id").isNull()).count() >= 0
+    # every non-null purchase strictly precedes (row order) its click
+    bad = out.filter(
+        F.col("purchase_ts_us") > F.col("ts_us")
+    ).count()
+    assert bad == 0
+
+
+# ------------------------------------------------------------------- corpus
+@pytest.fixture(scope="module")
+def corpus(docs):
+    from geocode_spark.textops.dedup import near_dup_corpus
+
+    return near_dup_corpus(docs).cache()
+
+
+def test_dedup_clusters_oracle(corpus):
+    from geocode_spark.textops.corpusops import (
+        dedup_clusters, dedup_clusters_oracle_sql,
+    )
+
+    _check(
+        dedup_clusters(corpus, threshold=0.8),
+        dedup_clusters_oracle_sql("documents", 0.8),
+        "dedup_clusters",
+    )
+
+
+def test_dedup_clusters_properties(corpus):
+    """Every doc labelled once; cluster_id is a member of the cluster and is
+    its minimum; injected exact copies (id+1e6) share their original's
+    cluster."""
+    from geocode_spark.textops.corpusops import dedup_clusters
+
+    out = dedup_clusters(corpus, threshold=0.8).toPandas()
+    assert out["doc_id"].is_unique
+    assert len(out) == corpus.count()
+    grp = out.groupby("cluster_id")["doc_id"].min()
+    assert (grp.index == grp.values).all()
+    labels = out.set_index("doc_id")["cluster_id"]
+    copies = [d for d in labels.index if 1_000_000 <= d < 2_000_000]
+    assert copies, "fixture corpus must contain injected exact copies"
+    for c in copies:
+        assert labels[c] == labels[c - 1_000_000]
+    canon = out[out["is_canonical"] == 1]
+    assert set(canon["doc_id"]) == set(out["cluster_id"].unique())
+
+
+def test_stratified_sample_oracle(docs):
+    from geocode_spark.textops.corpusops import (
+        stratified_sample, stratified_sample_oracle_sql,
+    )
+
+    _check(
+        stratified_sample(docs), stratified_sample_oracle_sql("documents"),
+        "stratified_sample",
+    )
+
+
+def test_stratified_sample_rates(docs):
+    """en is downsampled harder than the tail languages, and the decision is
+    a pure function of doc_id (re-run == identical)."""
+    from geocode_spark.textops.corpusops import stratified_sample
+
+    a = stratified_sample(docs).toPandas().sort_values("doc_id",
+                                                       ignore_index=True)
+    b = stratified_sample(docs).toPandas().sort_values("doc_id",
+                                                       ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    total = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    kept = a.groupby("lang")["doc_id"].count()
+    en_rate = kept.get("en", 0) / total["en"]
+    other = [l for l in total.index if l != "en"]
+    other_rate = sum(kept.get(l, 0) for l in other) / sum(total[l] for l in other)
+    assert en_rate < other_rate
+
+
+def test_tfidf_oracle(docs):
+    from geocode_spark.textops.corpusops import (
+        tfidf_top_terms, tfidf_top_terms_oracle_sql,
+    )
+
+    _check(
+        tfidf_top_terms(docs, k=3), tfidf_top_terms_oracle_sql("documents", 3),
+        "tfidf",
+    )
+
+
+def test_tfidf_topk_shape(docs):
+    from geocode_spark.textops.corpusops import tfidf_top_terms
+
+    out = tfidf_top_terms(docs, k=3).toPandas()
+    per_doc = out.groupby("doc_id")["rank"].agg(["count", "max"])
+    assert (per_doc["count"] <= 3).all()
+    assert (per_doc["max"] <= 3).all()
+    # rank 1 is the best score in its doc
+    best = out[out["rank"] == 1].set_index("doc_id")["score"]
+    mx = out.groupby("doc_id")["score"].max()
+    assert (best == mx[best.index]).all()
