@@ -58,9 +58,16 @@ def dedup_clusters(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
     ).unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     sym = sym.persist()
 
-    labels = corpus.select(
-        F.col("doc_id"), F.col("doc_id").alias("lab")
-    ).persist()
+    # propagate only over edge-touched nodes: singletons (the overwhelming
+    # majority of a web corpus) never enter the loop and are stitched back
+    # with label = own id at the end — per-iteration work is O(|edges|),
+    # independent of corpus size
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+        .persist()
+    )
     for _ in range(MAX_CC_ROUNDS):
         nbr = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -90,10 +97,16 @@ def dedup_clusters(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
             f"dedup_clusters did not converge in {MAX_CC_ROUNDS} rounds"
         )
     sym.unpersist()
-    return labels.select(
-        "doc_id",
-        F.col("lab").alias("cluster_id"),
-        (F.col("doc_id") == F.col("lab")).cast("int").alias("is_canonical"),
+    return (
+        corpus.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lab", "doc_id").alias("cluster_id"),
+            (F.col("doc_id") == F.coalesce("lab", "doc_id"))
+            .cast("int")
+            .alias("is_canonical"),
+        )
     )
 
 
