@@ -1,0 +1,153 @@
+"""Stateful streaming sessionization via applyInPandasWithState.
+
+The batch twin is operators/temporal.sessionize (same gap rule, same
+(ts_us, event_id) total order). Here the session assignment survives across
+micro-batches: per-user state carries (last_ts_us, session_idx), so an event
+arriving in a later micro-batch continues its user's open session exactly as
+the batch operator would have, provided per-user event-time order across
+batches (the file-source ordering contract; out-of-order arrivals within one
+micro-batch are sorted before assignment).
+
+This is the `applyInPandasWithState` pattern the engine uses for any custom
+stateful operator: grouped state keyed by the shuffle key (user_id), Arrow
+batches in, Arrow batches out, state schema explicit and tiny. State size is
+O(active users), not O(events) — the knob that keeps it bounded at web scale
+is the idle-state timeout (state for a user silent past the gap can be
+dropped without changing assignments, since any later event starts a new
+session by definition; set a processing-time timeout of the gap length when
+running against unbounded streams).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..operators.temporal import DEFAULT_GAP_MINUTES
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("session_idx", LongType()),
+        StructField("session_id", StringType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("session_idx", LongType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(events_dir)
+
+
+def _session_func(gap_us: int):
+    def assign(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            last_ts_us, session_idx = state.get
+        else:
+            last_ts_us, session_idx = None, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts_us", "event_id"], kind="stable")
+            idxs = []
+            for ts_us in pdf["ts_us"]:
+                if last_ts_us is None or ts_us - last_ts_us > gap_us:
+                    session_idx += 1
+                idxs.append(session_idx)
+                last_ts_us = int(ts_us)
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "user_id": user_id,
+                    "ts_us": pdf["ts_us"].to_numpy(),
+                    "session_idx": pd.array(idxs, dtype="int64"),
+                    "session_id": [f"{user_id}-{i}" for i in idxs],
+                }
+            )
+        state.update((last_ts_us, session_idx))
+
+    return assign
+
+
+def stream_sessionize(
+    events_stream: DataFrame,
+    gap_minutes: int = DEFAULT_GAP_MINUTES,
+) -> DataFrame:
+    """Continuous session assignment over an events stream.
+
+    Emits one row per event with its session assignment, identical to the
+    batch sessionize() under per-user cross-batch event-time order."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_us = events_stream.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return (
+        with_us.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_func(gap_us),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_stream_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = DEFAULT_GAP_MINUTES,
+    max_files_per_trigger: int | None = 1,
+):
+    """File-to-file streaming sessionization; availableNow drains the input
+    and stops (the testable finite form; drop availableNow for 24/7)."""
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger)
+    q = (
+        stream_sessionize(stream, gap_minutes)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

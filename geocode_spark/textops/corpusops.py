@@ -219,6 +219,52 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def length_quantiles(docs: DataFrame) -> DataFrame:
+    """Per-language document-length distribution: exact linear-interpolation
+    percentiles + exact integer-sum mean.
+
+    Spark's `percentile` is the exact quantile_cont definition (verified
+    equal to DuckDB's to the rounded 6 dp); its aggregation state is a
+    count-map over DISTINCT lengths — bounded by the length domain, not the
+    row count, so exact quantiles stay cheap even at 10^12 docs. For
+    unbounded-domain columns switch to approx_percentile behind a flag.
+    One shuffle on lang (partial count-maps merge map-side)."""
+    aggs = [
+        F.round(F.expr(f"percentile(n_chars, {q})"), 6).alias(
+            f"p{int(q * 100)}"
+        )
+        for q in QUANTILES
+    ]
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mean_chars"),
+        *aggs,
+    )
+
+
+def length_quantiles_oracle_sql(source: str = "documents") -> str:
+    qs = ",\n       ".join(
+        f"round(quantile_cont(n_chars, {q}), 6) AS p{int(q * 100)}"
+        for q in QUANTILES
+    )
+    return f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_chars,
+       {qs}
+FROM {source}
+GROUP BY lang
+"""
+
+
 def tfidf_top_terms_oracle_sql(source: str = "documents", k: int = 3) -> str:
     return f"""
 WITH toks AS (

@@ -220,6 +220,26 @@ def test_tfidf_oracle(docs):
     )
 
 
+def test_length_quantiles_oracle(docs):
+    from geocode_spark.textops.corpusops import (
+        length_quantiles, length_quantiles_oracle_sql,
+    )
+
+    _check(
+        length_quantiles(docs), length_quantiles_oracle_sql("documents"),
+        "length_quantiles",
+    )
+
+
+def test_length_quantiles_monotone(docs):
+    from geocode_spark.textops.corpusops import length_quantiles
+
+    out = length_quantiles(docs).toPandas()
+    assert (out["p50"] <= out["p90"]).all()
+    assert (out["p90"] <= out["p99"]).all()
+    assert (out["n_docs"] > 0).all()
+
+
 def test_tfidf_topk_shape(docs):
     from geocode_spark.textops.corpusops import tfidf_top_terms
 
