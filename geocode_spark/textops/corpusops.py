@@ -44,15 +44,22 @@ SAMPLE_RATE_DEFAULT = 750
 
 
 # ------------------------------------------------------------- dedup clusters
-def dedup_clusters(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
+def dedup_clusters(corpus: DataFrame, threshold: float = 0.8,
+                   edges: DataFrame | None = None) -> DataFrame:
     """Connected components over the near-duplicate pair graph.
 
     cluster_id = min doc_id in the component (the canonical survivor).
     Every corpus doc appears exactly once; singletons are their own
     cluster. Deterministic: label propagation over min() converges to the
     same fixpoint regardless of execution order.
+
+    Pass `edges` (id_a, id_b) to reuse an already-materialized pair
+    relation — the pipeline norm, since a dedup run computes pairs once and
+    feeds both reporting and cluster resolution from the same table.
     """
-    edges = minhash_lsh_pairs(corpus, threshold=threshold).select("id_a", "id_b")
+    if edges is None:
+        edges = minhash_lsh_pairs(corpus, threshold=threshold)
+    edges = edges.select("id_a", "id_b")
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -62,34 +69,37 @@ def dedup_clusters(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
     # majority of a web corpus) never enter the loop and are stitched back
     # with label = own id at the end — per-iteration work is O(|edges|),
     # independent of corpus size
-    labels = (
+    pinned = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("lab", F.col("doc_id"))
         .persist()
     )
+    labels = pinned
     for _ in range(MAX_CC_ROUNDS):
         nbr = (
             sym.join(labels, sym.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("lab").alias("nbr_lab"))
         )
+        # one join per round: the new label and the did-anything-change flag
+        # come out of the same pass (nbr_lab < lab detects change directly,
+        # no second old-vs-new join)
         new_labels = (
             labels.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least("lab", F.coalesce("nbr_lab", "lab")).alias("lab"),
+                (F.coalesce("nbr_lab", "lab") < F.col("lab"))
+                .cast("int")
+                .alias("_chg"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
+        pinned.unpersist()
+        pinned = new_labels
+        labels = new_labels.select("doc_id", "lab")
         if changed == 0:
             break
     else:

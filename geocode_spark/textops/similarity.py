@@ -49,7 +49,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 from pyspark.sql.window import Window
 
 LSH_BITS = 8  # 256 buckets from the first 8 dimension signs
@@ -433,14 +433,27 @@ def _near_dup_table_keys(embedding: pd.Series) -> pd.Series:
     return pd.Series(list(keys))
 
 
-def _dot_col(a: Column, b: Column) -> Column:
-    """Left-to-right fold over dimension products — the module's one dot
-    shape (identical IEEE sequence to _fold_dots and DuckDB list_sum)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+@F.pandas_udf(DoubleType())
+def _pair_cosine(e_a: pd.Series, e_b: pd.Series) -> pd.Series:
+    """Rounded pairwise cosine, numpy-vectorized with the module's exact
+    left-to-right dimension fold (== _fold_dots == DuckDB list_sum):
+    Catalyst HOF lambdas are interpreted per element, which at ~1e5
+    candidate pairs x 3 dots x 64 dims dominates the verify stage; this
+    kernel is one fused pass per Arrow batch."""
+    import numpy as np
+
+    if len(e_a) == 0:
+        return pd.Series([], dtype="float64")
+    a = _mat(e_a)
+    b = _mat(e_b)
+    dot = np.zeros(len(a))
+    nsq_a = np.zeros(len(a))
+    nsq_b = np.zeros(len(a))
+    for j in range(a.shape[1]):
+        dot += a[:, j] * b[:, j]
+        nsq_a += a[:, j] * a[:, j]
+        nsq_b += b[:, j] * b[:, j]
+    return pd.Series(_round_half_up(dot / np.sqrt(nsq_a * nsq_b)))
 
 
 def embedding_near_dup(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:
@@ -478,16 +491,8 @@ def embedding_near_dup(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b")
     )
     v = cand.join(ea, "id_a").join(eb, "id_b")
-    cos = F.round(
-        _dot_col(F.col("e_a"), F.col("e_b"))
-        / F.sqrt(
-            _dot_col(F.col("e_a"), F.col("e_a"))
-            * _dot_col(F.col("e_b"), F.col("e_b"))
-        ),
-        6,
-    )
     return (
-        v.withColumn("cosine", cos)
+        v.withColumn("cosine", _pair_cosine(F.col("e_a"), F.col("e_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
