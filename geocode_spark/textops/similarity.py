@@ -498,6 +498,105 @@ def embedding_near_dup(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ input validation
+EXPECTED_DIM = 64
+_VALID_INJECT_TRUNC_MOD = 11
+_VALID_INJECT_NAN_MOD = 13
+_VALID_TRUNC_OFFSET = 3_000_000
+_VALID_NAN_OFFSET = 4_000_000
+
+
+def validation_corpus(emb: DataFrame) -> DataFrame:
+    """embeddings + injected malformed rows (truncated vector for
+    vec_id % 11 == 0, NaN element for vec_id % 13 == 0) — the raw table is
+    fully valid, so the validator needs poisoned twins to exercise, exactly
+    like near_dup_embeddings injects near-copies."""
+    vid = F.col("vec_id")
+    e = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", e.alias("embedding"))
+    trunc = emb.filter(vid % _VALID_INJECT_TRUNC_MOD == 0).select(
+        (vid + _VALID_TRUNC_OFFSET).alias("vec_id"),
+        F.slice(e, 1, EXPECTED_DIM - 1).alias("embedding"),
+    )
+    nan = emb.filter(vid % _VALID_INJECT_NAN_MOD == 0).select(
+        (vid + _VALID_NAN_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.lit(float("nan")).cast("double")),
+            F.slice(e, 2, EXPECTED_DIM - 1),
+        ).alias("embedding"),
+    )
+    return base.unionByName(trunc).unionByName(nan)
+
+
+def embedding_validate(emb: DataFrame,
+                       dim: int = EXPECTED_DIM) -> DataFrame:
+    """Per-row embedding validation — the F5-style error-row pattern for the
+    similarity family (reference geocode.py:253-254 turns per-row failures
+    into error rows; here a malformed vector becomes a diagnosed row, never
+    a task failure). Kernels (_mat / np.stack) assume rectangular non-NaN
+    input; running this validator first keeps them branch-free and fast.
+    Pure Catalyst projection: zero shuffle, scales as a map-only pass."""
+    e = F.col("embedding")
+    n = F.size(e)
+    has_nan = F.exists(e, lambda x: F.isnan(x) | x.isNull())
+    message = (
+        F.when(e.isNull(), F.lit("Error: embedding is null"))
+        .when(
+            n != dim,
+            F.concat(
+                F.lit("Error: expected dimension "),
+                F.lit(str(dim)),
+                F.lit(", got "),
+                n.cast("string"),
+            ),
+        )
+        .when(has_nan, F.lit("Error: embedding contains NaN or null element"))
+    )
+    return emb.select(
+        "vec_id",
+        F.coalesce(n, F.lit(0)).cast("bigint").alias("n_dims"),
+        message.isNull().cast("int").alias("valid"),
+        message.alias("message"),
+    )
+
+
+def validation_corpus_sql(source: str = "embeddings") -> str:
+    d = EXPECTED_DIM
+    return f"""(
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM {source}
+  UNION ALL
+  SELECT vec_id + {_VALID_TRUNC_OFFSET} AS vec_id,
+         (CAST(embedding AS DOUBLE[]))[1:{d - 1}] AS embedding
+  FROM {source} WHERE vec_id % {_VALID_INJECT_TRUNC_MOD} = 0
+  UNION ALL
+  SELECT vec_id + {_VALID_NAN_OFFSET} AS vec_id,
+         list_concat([CAST('nan' AS DOUBLE)],
+                     (CAST(embedding AS DOUBLE[]))[2:{d}]) AS embedding
+  FROM {source} WHERE vec_id % {_VALID_INJECT_NAN_MOD} = 0
+)"""
+
+
+def embedding_validate_oracle_sql(source: str = "embeddings",
+                                  dim: int = EXPECTED_DIM) -> str:
+    msg = (
+        f"CASE WHEN embedding IS NULL THEN 'Error: embedding is null'"
+        f" WHEN len(embedding) != {dim} THEN"
+        f" 'Error: expected dimension {dim}, got ' ||"
+        f" CAST(len(embedding) AS VARCHAR)"
+        f" WHEN len(list_filter(embedding,"
+        f" x -> x IS NULL OR isnan(x))) > 0"
+        f" THEN 'Error: embedding contains NaN or null element'"
+        f" ELSE NULL END"
+    )
+    return f"""
+SELECT vec_id,
+       CAST(coalesce(len(embedding), 0) AS BIGINT) AS n_dims,
+       CAST(({msg}) IS NULL AS INT) AS valid,
+       {msg} AS message
+FROM {validation_corpus_sql(source)}
+"""
+
+
 # ----------------------------------------------------------------- oracle side
 def _dot_sql(a: str, b: str) -> str:
     return (

@@ -1,0 +1,90 @@
+"""Physical-plan regression guards: the scale properties PLANS.md documents
+must stay true as code evolves.
+
+These assert on executed-plan strings (cheap — no job runs), pinning:
+ - exchange counts for the temporal window family (exactly one) and
+   stratified sampling (zero);
+ - the geocode hot path never degrades to a sort-merge join;
+ - no row-at-a-time Python UDF (BatchEvalPython) sneaks onto any query
+   plan — Arrow stages (ArrowEvalPython / mapInPandas / cogroup) only.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(plan: str) -> int:
+    return plan.count("Exchange hashpartitioning")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_temporal_single_shuffle(events):
+    from geocode_spark.operators.temporal import (
+        asof_last_purchase,
+        session_stats,
+        sessionize,
+    )
+
+    for fn in (sessionize, session_stats, asof_last_purchase):
+        assert _n_exchanges(_plan(fn(events))) == 1, fn.__name__
+
+
+def test_stratified_sample_zero_shuffle(docs):
+    from geocode_spark.textops.corpusops import stratified_sample
+
+    assert _n_exchanges(_plan(stratified_sample(docs))) == 0
+
+
+def test_embedding_validate_zero_shuffle(spark):
+    from geocode_spark.textops.similarity import (
+        embedding_validate,
+        validation_corpus,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert _n_exchanges(_plan(embedding_validate(validation_corpus(emb)))) == 0
+
+
+def test_geocode_pages_no_sort_merge_join(spark, fixtures_dir):
+    from geocode_spark.plans.pipeline import geocode_pages, load_locators
+
+    pages = spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+    plan = _plan(geocode_pages(pages, load_locators(spark, fixtures_dir)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # probe side shuffle-free: the only hash exchange builds the locator
+    # relation under the BroadcastExchange
+    assert _n_exchanges(plan) <= 1
+
+
+def test_no_row_at_a_time_python_udf_anywhere(spark):
+    """BatchEvalPython = per-row pickled Python — banned from every query
+    plan. Arrow stages are fine."""
+    import __spark_entry__ as mod
+
+    for name, fn in mod.queries().items():
+        if name == "dedup_clusters":
+            # driver-loop operator: building it runs jobs; its stages are
+            # the same joins/aggregates asserted via minhash_lsh_pairs
+            continue
+        plan = _plan(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name

@@ -262,3 +262,22 @@ def test_frame_sample_stride(spark):
     out = frame_sample(pages, stride=4).toPandas()
     assert (out.frame_idx % 4 == 0).all()
     assert (out.frame_idx < out.n_frames).all()
+
+
+# -------------------------------------------------------- embedding validation
+def test_embedding_validate_oracle(spark, emb):
+    from compare_util import assert_frames_match, duck_to_pdf
+    from geocode_spark.textops.similarity import (
+        embedding_validate,
+        embedding_validate_oracle_sql,
+        validation_corpus,
+    )
+
+    got = embedding_validate(validation_corpus(emb)).toPandas()
+    want = duck_to_pdf(embedding_validate_oracle_sql("embeddings"), SF_DIR)
+    assert_frames_match(got, want, label="embedding_validate")
+    # the injected malformed rows are diagnosed, the base table is clean
+    assert (got[got["vec_id"] < 3_000_000]["valid"] == 1).all()
+    bad = got[got["vec_id"] >= 3_000_000]
+    assert len(bad) > 0 and (bad["valid"] == 0).all()
+    assert bad["message"].str.startswith("Error: ").all()
