@@ -145,6 +145,78 @@ def asof_last_purchase(events: DataFrame,
     )
 
 
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: tuple = ("user_id",),
+    ts_col: str = "ts_us",
+    order_col: str = "event_id",
+    probe_cols: tuple = ("event_id",),
+    build_cols: tuple = ("event_id", "ts_us", "value_cents"),
+    prefix: str = "b_",
+) -> DataFrame:
+    """Generic two-relation as-of join: each probe row picks the latest
+    build row of the same key with build.ts <= probe.ts (inclusive).
+
+    The classic union trick: tag sides, sort one partition per key by
+    (ts, side, order) — build rows sort before probe rows at equal ts, and
+    among equal-ts build rows the largest order_col wins — then a single
+    last(ignorenulls) over a rows-frame resolves every probe row. The build
+    payload travels as ONE struct so the chosen row is atomic even when a
+    payload column is null. ONE exchange on the key, no range join, no
+    per-row probes — the same single-shuffle shape as the self-join form,
+    and the plan a 100 TB as-of (trades joined to quotes, pages joined to
+    crawl snapshots) needs.
+    """
+    keys = list(keys)
+    bstruct_fields = [F.col(c).alias(c) for c in build_cols]
+    b = build.select(
+        *keys,
+        F.col(ts_col).alias("_ts"),
+        F.col(order_col).alias("_ord"),
+        F.lit(0).alias("_side"),
+        F.struct(*bstruct_fields).alias("_bs"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(f"_p_{c}")
+          for c in probe_cols],
+    )
+    bs_type = b.schema["_bs"].dataType
+    p = probe.select(
+        *keys,
+        F.col(ts_col).alias("_ts"),
+        F.col(order_col).alias("_ord"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(bs_type).alias("_bs"),
+        *[F.col(c).alias(f"_p_{c}") for c in probe_cols],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side", "_ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    resolved = p.unionByName(b).withColumn(
+        "_match", F.last("_bs", ignorenulls=True).over(w)
+    )
+    return resolved.filter(F.col("_side") == 1).select(
+        *keys,
+        F.col("_ts").alias(ts_col),
+        *[F.col(f"_p_{c}").alias(c) for c in probe_cols],
+        *[F.col("_match").getField(c).alias(f"{prefix}{c}")
+          for c in build_cols],
+    )
+
+
+def asof_join_events(events: DataFrame,
+                     probe_type: str = "view",
+                     build_type: str = "purchase") -> DataFrame:
+    """The two-relation as-of over the events table: probe_type events
+    joined to the latest same-or-earlier build_type event per user."""
+    e = _with_ts_us(events).withColumn("value_cents", _cents(F.col("value")))
+    return asof_join(
+        e.filter(F.col("event_type") == probe_type),
+        e.filter(F.col("event_type") == build_type),
+    )
+
+
 def event_window_rollup(events: DataFrame,
                         window_hours: int = DEFAULT_WINDOW_HOURS) -> DataFrame:
     """Tumbling event-time windows per event_type.
@@ -251,6 +323,30 @@ FROM (
   FROM {_events_src(source)}
 )
 WHERE event_type = '{probe_type}'
+"""
+
+
+def asof_join_events_oracle_sql(source: str = "events",
+                                probe_type: str = "view",
+                                build_type: str = "purchase") -> str:
+    """DuckDB's native ASOF LEFT JOIN (inclusive >=), with the build side
+    deduped to the max-order row per (key, ts) — the same winner the Spark
+    (ts, side, order) sort produces."""
+    return f"""
+WITH e AS (SELECT * FROM {_events_src(source)}),
+p AS (SELECT * FROM e WHERE event_type = '{probe_type}'),
+b AS (
+  SELECT user_id, ts_us, event_id, value_cents FROM e
+  WHERE event_type = '{build_type}'
+  QUALIFY row_number() OVER
+    (PARTITION BY user_id, ts_us ORDER BY event_id DESC) = 1
+)
+SELECT p.user_id, p.ts_us, p.event_id,
+       b.event_id AS b_event_id,
+       b.ts_us AS b_ts_us,
+       b.value_cents AS b_value_cents
+FROM p ASOF LEFT JOIN b
+  ON p.user_id = b.user_id AND p.ts_us >= b.ts_us
 """
 
 

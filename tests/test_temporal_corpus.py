@@ -251,3 +251,41 @@ def test_tfidf_topk_shape(docs):
     best = out[out["rank"] == 1].set_index("doc_id")["score"]
     mx = out.groupby("doc_id")["score"].max()
     assert (best == mx[best.index]).all()
+
+
+def test_asof_two_relation_oracle(events):
+    from geocode_spark.operators.temporal import (
+        asof_join_events, asof_join_events_oracle_sql,
+    )
+
+    _check(
+        asof_join_events(events), asof_join_events_oracle_sql(),
+        "asof_two_relation",
+    )
+
+
+def test_asof_join_inclusive_and_max_order(spark):
+    """Equal-ts build rows are visible (inclusive) and the max-order build
+    row wins among same-ts duplicates."""
+    import pandas as pd
+
+    from geocode_spark.operators.temporal import asof_join
+
+    ts = pd.to_datetime
+    probe = pd.DataFrame({
+        "event_id": [10, 11],
+        "user_id": [1, 1],
+        "ts_us": [1000, 2000],
+    })
+    build = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "user_id": [1, 1, 1],
+        "ts_us": [1000, 1000, 1500],   # two builds tie at probe 10's ts
+        "value_cents": [111, 222, 333],
+    })
+    out = asof_join(
+        spark.createDataFrame(probe), spark.createDataFrame(build),
+    ).toPandas().set_index("event_id").sort_index()
+    assert out.loc[10, "b_event_id"] == 2      # inclusive, max event_id wins
+    assert out.loc[10, "b_value_cents"] == 222
+    assert out.loc[11, "b_event_id"] == 3
