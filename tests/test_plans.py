@@ -88,3 +88,36 @@ def test_no_row_at_a_time_python_udf_anywhere(spark):
             continue
         plan = _plan(fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_tiled_write_partition_pruning(spark, fixtures_dir, tmp_path):
+    """The tiling sink story: geocoded points written partitioned by tile
+    prune at read time — a tile-filtered query touches only its own
+    directories (the Iceberg-partitioning analog this sandbox can test)."""
+    from pyspark.sql import functions as F
+
+    from geocode_spark.operators.spatial import assign_tiles
+    from geocode_spark.operators.geocode import geocode
+    from geocode_spark.plans.pipeline import load_locators
+
+    addr = spark.read.parquet(f"{fixtures_dir}/addresses.parquet")
+    res = geocode(addr, **load_locators(spark, fixtures_dir), pobox=True)
+    pts = res.filter(F.col("message").isNull()).select(
+        "primary_key", "x", "y", "score"
+    )
+    out = str(tmp_path / "tiled")
+    assign_tiles(pts).write.partitionBy("tile_x", "tile_y").parquet(out)
+
+    back = spark.read.parquet(out)
+    one_tile = back.select("tile_x").distinct().limit(1).collect()[0][0]
+    q = back.filter(F.col("tile_x") == one_tile)
+    plan = _plan(q)
+    assert "PartitionFilters" in plan
+    # the filter reached the partition level: the scan reads strictly fewer
+    # files than the full table holds
+    import glob
+
+    all_files = glob.glob(f"{out}/tile_x=*/tile_y=*/*.parquet")
+    read_files = glob.glob(f"{out}/tile_x={one_tile}/tile_y=*/*.parquet")
+    assert 0 < len(read_files) < len(all_files)
+    assert q.count() == back.filter(F.col("tile_x") == one_tile).count()
