@@ -76,6 +76,89 @@ def sessionize(events: DataFrame,
     )
 
 
+def sessionize_salted(events: DataFrame,
+                      gap_minutes: int = DEFAULT_GAP_MINUTES,
+                      salt_hours: int = 24) -> DataFrame:
+    """Skew-hardened sessionize: identical output, hot-user-proof plan.
+
+    Plain sessionize puts each user in ONE window partition — correct until
+    a single user carries more events than an executor holds (bots, SDK
+    retry storms: the web-telemetry skew case). This variant salts the
+    window by (user_id, time_bucket) so a hot user spreads across
+    buckets, then stitches bucket boundaries with a per-(user, bucket)
+    SUMMARY relation — days-per-user rows, metadata-scale — so the heavy
+    phase never sees an unbounded partition:
+
+      phase 1  local sessionization within (user_id, bucket)   [salted]
+      phase 2  per-bucket summary -> merge flags + index offsets via one
+               tiny window over each user's active buckets
+      phase 3  join offsets back on (user_id, bucket), reindex locally
+
+    A bucket's first local session merges with the previous active
+    bucket's last session iff the boundary gap <= gap (m=1); the global
+    index is offset + local_idx - m, where offset = sessions contributed
+    by all earlier buckets (n_local - m each). Merge cascades across many
+    consecutive buckets resolve in the single ordered summary window.
+    Exactly equals sessionize() on any input (same oracle), pinned by
+    tests.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    salt_us = salt_hours * 3600 * 1_000_000
+    e = _with_ts_us(events).withColumn(
+        "_bucket", (F.col("ts_us") - F.col("ts_us") % salt_us).cast("bigint")
+    )
+    w_local = Window.partitionBy("user_id", "_bucket").orderBy(
+        "ts_us", "event_id"
+    )
+    prev = F.lag("ts_us").over(w_local)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > gap_us), 1
+    ).otherwise(0)
+    local = e.withColumn(
+        "_local_idx", F.sum(new_sess).over(w_local).cast("bigint")
+    )
+
+    summ = local.groupBy("user_id", "_bucket").agg(
+        F.min("ts_us").alias("_first_ts"),
+        F.max("ts_us").alias("_last_ts"),
+        F.max("_local_idx").alias("_n_local"),
+    )
+    w_buckets = Window.partitionBy("user_id").orderBy("_bucket")
+    prev_last = F.lag("_last_ts").over(w_buckets)
+    m = F.when(
+        prev_last.isNotNull()
+        & ((F.col("_first_ts") - prev_last) <= gap_us),
+        1,
+    ).otherwise(0)
+    contrib = F.col("_n_local") - m
+    offsets = summ.select(
+        "user_id",
+        "_bucket",
+        m.alias("_m"),
+        F.coalesce(
+            F.sum(contrib).over(
+                w_buckets.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("_offset"),
+    )
+
+    return (
+        local.join(offsets, ["user_id", "_bucket"])
+        .withColumn(
+            "session_idx",
+            (F.col("_offset") + F.col("_local_idx") - F.col("_m")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "session_id",
+            F.concat_ws("-", F.col("user_id"), F.col("session_idx")),
+        )
+        .select("event_id", "user_id", "ts_us", "session_idx", "session_id")
+    )
+
+
 def session_stats(events: DataFrame,
                   gap_minutes: int = DEFAULT_GAP_MINUTES) -> DataFrame:
     """Per-session rollup over sessionize()'s assignment.

@@ -289,3 +289,44 @@ def test_asof_join_inclusive_and_max_order(spark):
     assert out.loc[10, "b_event_id"] == 2      # inclusive, max event_id wins
     assert out.loc[10, "b_value_cents"] == 222
     assert out.loc[11, "b_event_id"] == 3
+
+
+def test_sessionize_salted_equals_plain(events):
+    from geocode_spark.operators.temporal import sessionize, sessionize_salted
+
+    a = sessionize(events).toPandas().sort_values("event_id",
+                                                  ignore_index=True)
+    # a tiny salt bucket (1h) forces MANY stitches on this data
+    for hours in (1, 24):
+        b = sessionize_salted(events, salt_hours=hours).toPandas() \
+            .sort_values("event_id", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_sessionize_salted_boundary_chain(spark):
+    """A session chain crossing several consecutive salt buckets stitches
+    into one session; an over-gap boundary still splits."""
+    from geocode_spark.operators.temporal import sessionize_salted
+
+    base = pd.Timestamp("2024-01-01 23:50:00")
+    rows = pd.DataFrame({
+        "event_id": range(1, 8),
+        "user_id": [5] * 7,
+        "ts": [
+            base,                                  # bucket A
+            base + pd.Timedelta(minutes=20),       # bucket B (00:10), merges
+            base + pd.Timedelta(minutes=40),       # bucket B, merges
+            base + pd.Timedelta(hours=1, minutes=5),   # bucket C chain-merge
+            base + pd.Timedelta(hours=3),          # gap > 30m -> new session
+            base + pd.Timedelta(hours=3, minutes=10),  # same session
+            base + pd.Timedelta(hours=27),         # next day -> new session
+        ],
+        "event_type": ["view"] * 7,
+        "value": [0.0] * 7,
+        "props": ["{}"] * 7,
+    })
+    out = (
+        sessionize_salted(spark.createDataFrame(rows), salt_hours=1)
+        .toPandas().set_index("event_id").sort_index()
+    )
+    assert out["session_idx"].tolist() == [1, 1, 1, 1, 2, 2, 3]
