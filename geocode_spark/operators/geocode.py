@@ -281,6 +281,7 @@ def geocode(
     pobox: bool = False,
     accept_score: int = DEFAULT_ACCEPT_SCORE,
     spatial_reference: int = 26912,
+    packed: DataFrame | None = None,
 ) -> DataFrame:
     """Full geocode: cleansed+parsed input -> the 11-column result contract.
 
@@ -299,6 +300,34 @@ def geocode(
         pobox=pobox,
         accept_score=accept_score,
         spatial_reference=spatial_reference,
+        packed=packed,
+    )
+
+
+def pack_locators(
+    address_points: DataFrame | None = None,
+    road_centerlines: DataFrame | None = None,
+    pobox_points: DataFrame | None = None,
+    locators: str = "all",
+    pobox: bool = False,
+) -> DataFrame:
+    """The broadcast-side relation: locator rows pre-grouped into per-
+    (zone_key, join_name) candidate arrays so the probe join emits exactly
+    one row per input row. Exposed so callers running many geocode
+    configurations over the same locators build (and persist) it ONCE —
+    in production this is a materialized table, not a per-query groupBy."""
+    loc = unified_locators(
+        address_points, road_centerlines, pobox_points,
+        locators=locators, pobox=pobox,
+    )
+    return loc.groupBy("zone_key", "join_name").agg(
+        F.collect_list(
+            F.struct(
+                "src", "pri", "base_score", "cand_id", "grid",
+                "l_street_name", "l_predir", "l_stype", "l_sufdir",
+                "from_addr", "to_addr", "x0", "y0", "x1", "y1",
+            )
+        ).alias("cands")
     )
 
 
@@ -311,6 +340,7 @@ def geocode_parsed(
     pobox: bool = False,
     accept_score: int = DEFAULT_ACCEPT_SCORE,
     spatial_reference: int = 26912,
+    packed: DataFrame | None = None,
 ) -> DataFrame:
     """geocode() over an already cleansed + parsed relation.
 
@@ -319,22 +349,14 @@ def geocode_parsed(
     parse_input(cleanse_input(df)) produces. Exposed so sources that parse
     inside their own Arrow stage (extraction.extract_and_parse fuses
     extract+cleanse+parse into one Python round trip) skip re-parsing.
+    Pass `packed` (a pack_locators result) to reuse one prebuilt broadcast
+    relation across configurations; locators/pobox are ignored then.
     """
-    loc = unified_locators(
-        address_points, road_centerlines, pobox_points,
-        locators=locators, pobox=pobox,
-    )
-    # Pre-group the locator rows into per-join-key candidate arrays so the
-    # broadcast join emits exactly one row per input row (see module doc).
-    packed = loc.groupBy("zone_key", "join_name").agg(
-        F.collect_list(
-            F.struct(
-                "src", "pri", "base_score", "cand_id", "grid",
-                "l_street_name", "l_predir", "l_stype", "l_sufdir",
-                "from_addr", "to_addr", "x0", "y0", "x1", "y1",
-            )
-        ).alias("cands")
-    )
+    if packed is None:
+        packed = pack_locators(
+            address_points, road_centerlines, pobox_points,
+            locators=locators, pobox=pobox,
+        )
 
     # Probe key: street rows join by street name, PO-box rows by the
     # synthetic PO-box name ('#' can never survive cleansing, so no street

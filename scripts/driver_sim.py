@@ -1,0 +1,76 @@
+"""Driver simulation: entry smoke + full oracle contract at sf0.01."""
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import duckdb
+import pandas as pd
+
+from compare_util import canonicalize, duck_to_pdf, _norm_cell
+
+SF = "/root/testdata/sf0.01"
+
+
+def vhash(pdf: pd.DataFrame) -> str:
+    c = canonicalize(pdf)
+    h = hashlib.sha256()
+    for col in c.columns:
+        for v in c[col].tolist():
+            h.update(repr(_norm_cell(v)).encode())
+    return h.hexdigest()
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-sim")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as mod
+
+    rows = mod.entry(spark).collect()
+    print(f"entry: {len(rows)} rows", flush=True)
+    assert len(rows) >= 0
+
+    qs, osql = mod.queries(), mod.oracle_sql()
+    bad = 0
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            spdf = fn(spark, SF).toPandas()
+            if name in osql:
+                opdf = duck_to_pdf(osql[name], SF)
+                ok = (
+                    len(spdf) == len(opdf)
+                    and sorted(spdf.columns) == sorted(opdf.columns)
+                    and vhash(spdf) == vhash(opdf)
+                )
+            else:
+                ok = len(spdf) >= 0
+            status = "OK " if ok else "MISMATCH"
+            if not ok:
+                bad += 1
+            print(f"{status} {name}: {len(spdf)} rows "
+                  f"{time.perf_counter()-t0:.1f}s", flush=True)
+        except Exception as e:
+            bad += 1
+            print(f"ERR {name}: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+    print(json.dumps({"total": len(qs), "bad": bad}))
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
