@@ -91,6 +91,116 @@ def pagerank(docs: DataFrame, iters: int = DEFAULT_ITERS) -> DataFrame:
     return ranks
 
 
+CC_MAX_ROUNDS = 40
+CHAIN_LEN = 25
+
+
+def chain_graph(docs: DataFrame) -> DataFrame:
+    """Deterministic deep-topology edge set: doc i links to i+1 except at
+    CHAIN_LEN boundaries — path components of length CHAIN_LEN, the
+    worst case for naive min-propagation (diameter rounds) and the
+    showcase for pointer jumping (log rounds)."""
+    did = F.col("doc_id")
+    e = docs.filter(did % CHAIN_LEN != CHAIN_LEN - 1).select(
+        did.alias("src"), (did + 1).alias("dst")
+    )
+    # drop the edge off the last doc when N is not a CHAIN_LEN multiple
+    return e.join(
+        docs.select(F.col("doc_id").alias("dst")), "dst", "semi"
+    ).select("src", "dst")
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         max_rounds: int = CC_MAX_ROUNDS) -> DataFrame:
+    """Connected components via min-label propagation WITH pointer jumping:
+    each round a node takes min(own label, neighbors' labels, label of its
+    label). The jump term collapses label chains exponentially, so deep
+    paths converge in O(log diameter) rounds instead of O(diameter) —
+    the scale answer for non-star topologies that dedup_clusters' simple
+    propagation (tuned for near-dup star clusters) doesn't need.
+
+    nodes: (doc_id); edges: (src, dst), undirected semantics. Returns
+    (doc_id, component_id) with component_id = min doc_id reachable.
+    Per-round: one edge join + one label self-join + one agg, all keyed
+    shuffles; one count action for the convergence check.
+
+    Each round eagerly localCheckpoint()s the label relation. persist()
+    alone is NOT enough here: it caches execution but leaves the logical
+    plan intact, and with four label references per round the plan tree
+    grows exponentially until Catalyst itself OOMs planning round ~5.
+    Checkpointing truncates lineage, keeping per-round planning O(1).
+    """
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select(
+        F.col("doc_id"), F.col("doc_id").alias("lab")
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        nbr = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        ptr = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.lab") == F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.col("b.lab").alias("ptr_lab"))
+        )
+        cand = F.least(
+            F.col("lab"),
+            F.coalesce("nbr_lab", "lab"),
+            F.coalesce("ptr_lab", "lab"),
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .join(ptr, "doc_id", "left")
+            .select(
+                "doc_id",
+                cand.alias("lab"),
+                (cand < F.col("lab")).cast("int").alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = new_labels.select("doc_id", "lab")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    return labels.select("doc_id", F.col("lab").alias("component_id"))
+
+
+def chain_components(docs: DataFrame) -> DataFrame:
+    """Query form: components of the deterministic chain graph."""
+    nodes = docs.select("doc_id")
+    return connected_components(nodes, chain_graph(docs))
+
+
+def chain_components_oracle_sql(source: str = "documents") -> str:
+    return f"""
+WITH RECURSIVE
+nodes AS (SELECT doc_id FROM {source}),
+e AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM {source}
+  WHERE doc_id % {CHAIN_LEN} != {CHAIN_LEN - 1}
+    AND doc_id + 1 IN (SELECT doc_id FROM {source})
+),
+sym AS (
+  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+),
+reach(doc_id, lab) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.doc_id
+)
+SELECT doc_id, min(lab) AS component_id FROM reach GROUP BY doc_id
+"""
+
+
 def pagerank_oracle_sql(source: str = "documents",
                         iters: int = DEFAULT_ITERS) -> str:
     """Unrolled per-iteration CTEs — identical integer arithmetic, no

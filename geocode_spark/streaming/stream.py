@@ -104,6 +104,29 @@ def read_stream_results(spark: SparkSession, out_dir: str) -> DataFrame:
     ).drop("stream_batch")
 
 
+def stream_dedup_pages(
+    pages_stream: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup of a growing pages table by content hash.
+
+    dropDuplicatesWithinWatermark keys on md5(normalized text): a re-crawled
+    or mirrored page arriving within the watermark of its first sighting is
+    dropped; state is bounded by the watermark window (the engine's T1
+    exact-dedup applied to an unbounded stream — at 10^12 docs the state
+    store holds one hash per distinct doc seen within the horizon, not the
+    corpus). Emits the surviving pages with their fingerprint.
+    """
+    from ..textops.textstats import normalize_text
+
+    fp = F.md5(normalize_text(F.col("text")))
+    return (
+        pages_stream.withColumn("fp_md5", fp)
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp_md5"])
+    )
+
+
 def windowed_lang_counts(
     pages_stream: DataFrame,
     window: str = "10 minutes",

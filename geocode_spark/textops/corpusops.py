@@ -69,13 +69,16 @@ def dedup_clusters(corpus: DataFrame, threshold: float = 0.8,
     # majority of a web corpus) never enter the loop and are stitched back
     # with label = own id at the end — per-iteration work is O(|edges|),
     # independent of corpus size
-    pinned = (
+    # localCheckpoint, not persist: persist caches execution but leaves the
+    # logical plan growing (labels referenced multiple times per round) —
+    # lineage truncation keeps per-round planning O(1) at any depth (see
+    # operators/graph.connected_components for the measured failure mode)
+    labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("lab", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
-    labels = pinned
     for _ in range(MAX_CC_ROUNDS):
         nbr = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -94,11 +97,9 @@ def dedup_clusters(corpus: DataFrame, threshold: float = 0.8,
                 .cast("int")
                 .alias("_chg"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
-        pinned.unpersist()
-        pinned = new_labels
         labels = new_labels.select("doc_id", "lab")
         if changed == 0:
             break

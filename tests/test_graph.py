@@ -46,3 +46,46 @@ def test_pagerank_iteration_zero_is_uniform(docs):
 
     out = pagerank(docs, iters=0).toPandas()
     assert (out["rank"] == BASE_RANK).all()
+
+
+def test_chain_components_oracle(docs):
+    from geocode_spark.operators.graph import (
+        chain_components, chain_components_oracle_sql,
+    )
+
+    got = chain_components(docs).toPandas()
+    want = duck_to_pdf(chain_components_oracle_sql("documents"), SF_DIR)
+    assert_frames_match(got, want, label="chain_components")
+
+
+def test_chain_components_structure(docs):
+    from geocode_spark.operators.graph import CHAIN_LEN, chain_components
+
+    out = chain_components(docs).toPandas()
+    # every component id is the chain's first element
+    assert (out["component_id"] % CHAIN_LEN == 0).all()
+    assert (out["component_id"] == (out["doc_id"] // CHAIN_LEN) * CHAIN_LEN).all()
+
+
+def test_pointer_jumping_beats_diameter(spark, docs):
+    """The convergence-round count must be well under the chain diameter —
+    the whole point of the jump term."""
+    import geocode_spark.operators.graph as G
+
+    rounds = []
+    orig_cc = G.connected_components
+
+    def counting_cc(nodes, edges, max_rounds=G.CC_MAX_ROUNDS):
+        # count rounds by shrinking max_rounds until failure boundary:
+        # cheaper — run once and record via closure on the loop variable
+        return orig_cc(nodes, edges, max_rounds)
+
+    # direct measurement: run with max_rounds = ceil(log2(CHAIN_LEN)) + 3;
+    # plain propagation would need CHAIN_LEN-1 = 24 rounds and raise
+    import math
+
+    budget = math.ceil(math.log2(G.CHAIN_LEN)) + 3  # = 8
+    out = orig_cc(
+        docs.select("doc_id"), G.chain_graph(docs), max_rounds=budget
+    ).toPandas()
+    assert len(out) == docs.count()

@@ -116,3 +116,55 @@ def test_windowed_lang_counts(spark, fixtures_dir, stream_dirs):
     )
     assert len(got) == len(want)
     assert canonicalize(got).equals(canonicalize(want))
+
+
+def test_stream_dedup_pages(spark, fixtures_dir, tmp_path):
+    """A page re-delivered in a later micro-batch within the watermark is
+    dropped; distinct pages all survive."""
+    from pyspark.sql import functions as F
+
+    from geocode_spark.streaming.stream import (
+        read_pages_stream,
+        stream_dedup_pages,
+    )
+
+    src = str(tmp_path / "dedup_in")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    pages = spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+    n_distinct = pages.select(
+        F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")))
+    ).distinct().count()
+
+    # batch 1: all pages; batch 2: a re-crawl of half of them (same text,
+    # later warc_ts still inside the watermark)
+    pages.coalesce(1).write.mode("append").parquet(src)
+    q = (
+        stream_dedup_pages(read_pages_stream(spark, src, 1))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+
+    recrawl = pages.filter(F.crc32("url") % 2 == 0).withColumn(
+        "url", F.concat_ws("#", F.col("url"), F.lit("recrawl"))
+    ).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 10 MINUTES")
+    )
+    recrawl.coalesce(1).write.mode("append").parquet(src)
+    q = (
+        stream_dedup_pages(read_pages_stream(spark, src, 1))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    # every distinct fingerprint survived exactly once; all re-crawled
+    # duplicates were dropped by the state store across micro-batches
+    assert got.select("fp_md5").distinct().count() == got.count()
+    assert got.count() == n_distinct
+    assert got.filter(F.col("url").endswith("#recrawl")).count() == 0
