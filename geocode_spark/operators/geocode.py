@@ -493,6 +493,38 @@ def geocode_parsed(
     return result
 
 
+def metrics_rollup(result: DataFrame) -> DataFrame:
+    """OLAP rollup of matched results over (addressGrid, locator):
+    per-combination, per-grid subtotal, and grand-total rows in ONE pass
+    (Catalyst expands the grouping sets map-side; a single exchange).
+
+    grouping_id distinguishes subtotal NULLs from data NULLs — identical
+    semantics to ANSI GROUP BY ROLLUP, which the DuckDB oracle uses
+    directly. Scores aggregate as exact integer sums (scores are whole
+    points), so every cell hash-matches."""
+    matched = result.filter(F.col("message").isNull())
+    return matched.rollup("addressGrid", "locator").agg(
+        F.grouping_id().cast("bigint").alias("grouping_id"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("score").cast("bigint")).alias("sum_score"),
+        F.min(F.col("score").cast("bigint")).alias("min_score"),
+        F.max(F.col("score").cast("bigint")).alias("max_score"),
+    )
+
+
+def metrics_rollup_oracle_sql(result_sql: str) -> str:
+    return f"""
+SELECT addressGrid, locator,
+       CAST(GROUPING(addressGrid, locator) AS BIGINT) AS grouping_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(score AS BIGINT)) AS BIGINT) AS sum_score,
+       CAST(min(CAST(score AS BIGINT)) AS BIGINT) AS min_score,
+       CAST(max(CAST(score AS BIGINT)) AS BIGINT) AS max_score
+FROM ({result_sql}) WHERE message IS NULL
+GROUP BY ROLLUP(addressGrid, locator)
+"""
+
+
 def geocode_metrics(result: DataFrame) -> DataFrame:
     """A1-A3: totals / failure rate / average score (reference geocode.py:136-158).
 

@@ -330,3 +330,29 @@ def test_sessionize_salted_boundary_chain(spark):
         .toPandas().set_index("event_id").sort_index()
     )
     assert out["session_idx"].tolist() == [1, 1, 1, 1, 2, 2, 3]
+
+
+def test_metrics_rollup_oracle(spark):
+    from geocode_spark.fixtures import ensure_fixtures
+    from geocode_spark.operators.geocode import (
+        geocode, metrics_rollup, metrics_rollup_oracle_sql,
+    )
+    from geocode_spark.oracle import geocode_oracle_sql
+    from geocode_spark.plans.pipeline import load_locators
+
+    fix = str(ensure_fixtures(SF_DIR))
+    addr = spark.read.parquet(f"{fix}/addresses.parquet")
+    got = metrics_rollup(
+        geocode(addr, **load_locators(spark, fix), pobox=True)
+    ).toPandas()
+    want = duck_to_pdf(
+        metrics_rollup_oracle_sql(geocode_oracle_sql(fix, pobox=True)), SF_DIR
+    )
+    assert_frames_match(got, want, label="metrics_rollup")
+    # exactly one grand-total row (grouping_id = 3 = both keys rolled up),
+    # and it equals the sum of the leaf cells
+    leaves = got[got["grouping_id"] == 0]
+    total = got[got["grouping_id"] == 3]
+    assert len(total) == 1
+    assert total.iloc[0]["n"] == leaves["n"].sum()
+    assert total.iloc[0]["sum_score"] == leaves["sum_score"].sum()
