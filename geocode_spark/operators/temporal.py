@@ -300,6 +300,65 @@ def asof_join_events(events: DataFrame,
     )
 
 
+def attribution_join(events: DataFrame,
+                     probe_type: str = "click",
+                     build_type: str = "purchase",
+                     window_hours: int = 1) -> DataFrame:
+    """Range (interval) join, bucketed: every probe event within
+    [build_ts, build_ts + window] of a same-user build event — the
+    click-after-purchase attribution shape.
+
+    A naive range join is a per-key cross product with a residual filter —
+    O(|probe|·|build|) per user. The scalable form turns the range into an
+    equi-join: time is cut into buckets of the window length, each build
+    interval replicates into the (at most two) buckets it overlaps, probes
+    land in exactly one bucket, and the join runs on (user_id, bucket) with
+    the BETWEEN as a residual filter. A pair can only meet in the probe's
+    bucket, so no dedup pass is needed. General intervals replicate
+    ceil(len/bucket)+1 times — bounded fan-out, never a cross product.
+    """
+    win_us = window_hours * 3600 * 1_000_000
+    e = _with_ts_us(events)
+    probes = e.filter(F.col("event_type") == probe_type).select(
+        F.col("event_id").alias("probe_event_id"),
+        "user_id",
+        F.col("ts_us").alias("probe_ts_us"),
+        (F.col("ts_us") - F.col("ts_us") % win_us).alias("bucket"),
+    )
+    b = e.filter(F.col("event_type") == build_type).select(
+        F.col("event_id").alias("build_event_id"),
+        "user_id",
+        F.col("ts_us").alias("build_ts_us"),
+    )
+    builds = b.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.col("build_ts_us") - F.col("build_ts_us") % win_us,
+                    (F.col("build_ts_us") + win_us)
+                    - (F.col("build_ts_us") + win_us) % win_us,
+                )
+            )
+        ),
+    )
+    return (
+        probes.join(builds, ["user_id", "bucket"])
+        .filter(
+            (F.col("probe_ts_us") >= F.col("build_ts_us"))
+            & (F.col("probe_ts_us") <= F.col("build_ts_us") + win_us)
+        )
+        .select(
+            "probe_event_id",
+            "user_id",
+            "probe_ts_us",
+            "build_event_id",
+            "build_ts_us",
+            (F.col("probe_ts_us") - F.col("build_ts_us")).alias("delay_us"),
+        )
+    )
+
+
 def event_window_rollup(events: DataFrame,
                         window_hours: int = DEFAULT_WINDOW_HOURS) -> DataFrame:
     """Tumbling event-time windows per event_type.
@@ -430,6 +489,26 @@ SELECT p.user_id, p.ts_us, p.event_id,
        b.value_cents AS b_value_cents
 FROM p ASOF LEFT JOIN b
   ON p.user_id = b.user_id AND p.ts_us >= b.ts_us
+"""
+
+
+def attribution_join_oracle_sql(source: str = "events",
+                                probe_type: str = "click",
+                                build_type: str = "purchase",
+                                window_hours: int = 1) -> str:
+    win_us = window_hours * 3600 * 1_000_000
+    return f"""
+WITH e AS (SELECT * FROM {_events_src(source)})
+SELECT p.event_id AS probe_event_id,
+       p.user_id,
+       p.ts_us AS probe_ts_us,
+       b.event_id AS build_event_id,
+       b.ts_us AS build_ts_us,
+       p.ts_us - b.ts_us AS delay_us
+FROM (SELECT * FROM e WHERE event_type = '{probe_type}') p
+JOIN (SELECT * FROM e WHERE event_type = '{build_type}') b
+  ON p.user_id = b.user_id
+ AND p.ts_us BETWEEN b.ts_us AND b.ts_us + {win_us}
 """
 
 

@@ -356,3 +356,43 @@ def test_metrics_rollup_oracle(spark):
     assert len(total) == 1
     assert total.iloc[0]["n"] == leaves["n"].sum()
     assert total.iloc[0]["sum_score"] == leaves["sum_score"].sum()
+
+
+def test_attribution_join_oracle(events):
+    from geocode_spark.operators.temporal import (
+        attribution_join, attribution_join_oracle_sql,
+    )
+
+    _check(
+        attribution_join(events), attribution_join_oracle_sql(),
+        "attribution_join",
+    )
+
+
+def test_attribution_join_bucket_boundary(spark):
+    """A probe in the bucket AFTER its build (interval crosses the bucket
+    edge) still matches; outside-window probes don't; both window endpoints
+    are inclusive."""
+    import pandas as pd
+
+    from geocode_spark.operators.temporal import attribution_join
+
+    ts = pd.to_datetime
+    rows = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [3] * 5,
+        "ts": [
+            ts("2024-01-01 00:50:00"),  # purchase (bucket 0, window -> 01:50)
+            ts("2024-01-01 01:20:00"),  # click in NEXT bucket, inside window
+            ts("2024-01-01 00:50:00"),  # click at exactly build ts (inclusive)
+            ts("2024-01-01 01:50:00"),  # click at window end (inclusive)
+            ts("2024-01-01 01:50:01"),  # one second past -> no match
+        ],
+        "event_type": ["purchase", "click", "click", "click", "click"],
+        "value": [9.0, 0.0, 0.0, 0.0, 0.0],
+        "props": ["{}"] * 5,
+    })
+    out = attribution_join(spark.createDataFrame(rows)).toPandas()
+    assert sorted(out["probe_event_id"]) == [2, 3, 4]
+    assert (out["build_event_id"] == 1).all()
+    assert out.set_index("probe_event_id").loc[3, "delay_us"] == 0
