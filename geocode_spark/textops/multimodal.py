@@ -377,3 +377,166 @@ FROM (
   FROM read_parquet('{fix}/pages.parquet')
 )
 """
+
+
+# -------------------------------------------------- perceptual byte hashing
+DHASH_BITS = 60  # 61 sampled bytes -> 60 gradient bits (sign-bit free)
+DHASH_CHUNKS = 5  # 12-bit chunks: Hamming<=4 complete by pigeonhole
+DHASH_MAX_HAMMING = 4
+_IMG_DUP_MOD = 9  # md5(url)-based deterministic exact-copy injection
+
+
+def _dhash_cols():
+    """60-bit byte-gradient hash expressions over the hex form of the
+    payload (pure Catalyst — the oracle builds the identical formula).
+
+    Sample 61 evenly spaced payload bytes; bit j = 1 iff byte[j+1] >
+    byte[j]; bit j lands at position 59-j. All index arithmetic is integer
+    (div), identical in both dialects."""
+    def byte_at(j):
+        # 1-based byte index into the full blob, then hex-substr
+        idx = f"({HEADER_BYTES} + 1 + (({j} * (nb - {HEADER_BYTES} - 1))"\
+              f" div {DHASH_BITS}))"
+        return f"CAST(conv(substr(hx, 2 * {idx} - 1, 2), 16, 10) AS BIGINT)"
+
+    bits = " + ".join(
+        f"(CASE WHEN {byte_at(j + 1)} > {byte_at(j)} THEN "
+        f"CAST({1 << (DHASH_BITS - 1 - j)} AS BIGINT) ELSE 0 END)"
+        for j in range(DHASH_BITS)
+    )
+    return F.expr(bits)
+
+
+def image_dup_corpus(pages: DataFrame) -> DataFrame:
+    """pages + injected exact binary copies (deterministic md5(url) mod —
+    the raw corpus has no duplicate payloads to exercise the hash join)."""
+    cond = (
+        F.conv(F.substring(F.md5("url"), 1, 2), 16, 10).cast("bigint")
+        % _IMG_DUP_MOD == 0
+    )
+    base = pages.select("url", "html")
+    dup = pages.filter(cond).select(
+        F.concat(F.col("url"), F.lit("#imgdup")).alias("url"), "html"
+    )
+    return base.unionByName(dup)
+
+
+def image_bytehash(images: DataFrame) -> DataFrame:
+    """60-bit perceptual byte hash per image (url, n_bytes, hash60).
+
+    The pixel-free stand-in for dHash: with a real decoder the same 61
+    samples come from the resized luma plane; the gradient-bit and
+    Hamming-join machinery downstream is identical. Payloads with fewer
+    than 2 post-header bytes hash to NULL. Zero shuffle."""
+    h = images.select(
+        "url",
+        F.hex("html").alias("hx"),
+        F.length("html").cast("bigint").alias("nb"),
+    )
+    ok = F.col("nb") >= HEADER_BYTES + 2
+    return h.select(
+        "url",
+        F.col("nb").alias("n_bytes"),
+        F.when(ok, _dhash_cols()).cast("bigint").alias("hash60"),
+    )
+
+
+def image_hash_pairs(images: DataFrame,
+                     max_hamming: int = DHASH_MAX_HAMMING) -> DataFrame:
+    """Image near-duplicate pairs: Hamming(hash60) <= max_hamming.
+
+    Candidate generation is the SimHash chunk trick: 5 x 12-bit chunk keys
+    — any pair within Hamming 4 agrees on >= 1 whole chunk (pigeonhole),
+    so the equi-join on (chunk_idx, chunk_val) is complete; exact
+    bit_count(xor) verifies. Never all-pairs.
+
+    pytest-gated, not a driver query: the fixture 'html' payloads are
+    word-salad TEXT, whose byte gradients collapse into ~1.6k hash values
+    over 22k docs — Hamming<=4 then yields ~5M (data-realistic but
+    unusable) pairs. On real image bytes the hash is high-entropy; the
+    Hamming-join machinery itself is oracle-gated via simhash_pairs."""
+    sig = image_bytehash(images).filter(F.col("hash60").isNotNull()).select(
+        "url", "hash60"
+    )
+    chunk_w = DHASH_BITS // DHASH_CHUNKS
+    chunks = sig.select(
+        "url", "hash60",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_idx"),
+                    (
+                        F.shiftright("hash60", c * chunk_w)
+                        .bitwiseAND(F.lit((1 << chunk_w) - 1))
+                    ).alias("chunk_val"),
+                )
+                for c in range(DHASH_CHUNKS)
+            ])
+        ).alias("ck"),
+    ).select("url", "hash60", "ck.*")
+    a = chunks.select(F.col("url").alias("url_a"),
+                      F.col("hash60").alias("h_a"),
+                      "chunk_idx", "chunk_val")
+    b = chunks.select(F.col("url").alias("url_b"),
+                      F.col("hash60").alias("h_b"),
+                      "chunk_idx", "chunk_val")
+    cand = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("bigint")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("url_a", "url_b", "hamming")
+    )
+
+
+def _img_corpus_sql(fix: str) -> str:
+    return f"""(
+  SELECT url, html FROM read_parquet('{fix}/pages.parquet')
+  UNION ALL
+  SELECT url || '#imgdup' AS url, html
+  FROM read_parquet('{fix}/pages.parquet')
+  WHERE ('0x' || substr(md5(url), 1, 2))::BIGINT % {_IMG_DUP_MOD} = 0
+)"""
+
+
+def _dhash_sql() -> str:
+    def byte_at(j):
+        idx = f"({HEADER_BYTES} + 1 + (({j} * (nb - {HEADER_BYTES} - 1))"\
+              f" // {DHASH_BITS}))"
+        return f"('0x' || substr(hx, 2 * {idx} - 1, 2))::BIGINT"
+
+    return " + ".join(
+        f"(CASE WHEN {byte_at(j + 1)} > {byte_at(j)} THEN "
+        f"CAST({1 << (DHASH_BITS - 1 - j)} AS BIGINT) ELSE 0 END)"
+        for j in range(DHASH_BITS)
+    )
+
+
+def image_bytehash_oracle_sql(fix: str) -> str:
+    return f"""
+SELECT url, nb AS n_bytes,
+       CASE WHEN nb >= {HEADER_BYTES + 2} THEN CAST({_dhash_sql()} AS BIGINT)
+            END AS hash60
+FROM (SELECT url, hex(html) AS hx,
+             CAST(octet_length(html) AS BIGINT) AS nb
+      FROM {_img_corpus_sql(fix)})
+"""
+
+
+def image_hash_pairs_oracle_sql(fix: str,
+                                max_hamming: int = DHASH_MAX_HAMMING) -> str:
+    """Brute-force all-pairs Hamming — the oracle twin of the chunk join
+    (complete for Hamming <= 4 by pigeonhole, so outputs coincide)."""
+    return f"""
+WITH sig AS (SELECT url, hash60 FROM ({image_bytehash_oracle_sql(fix)})
+             WHERE hash60 IS NOT NULL)
+SELECT a.url AS url_a, b.url AS url_b,
+       CAST(bit_count(xor(a.hash60, b.hash60)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.url < b.url
+WHERE bit_count(xor(a.hash60, b.hash60)) <= {max_hamming}
+"""

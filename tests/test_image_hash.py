@@ -1,0 +1,83 @@
+"""Image perceptual byte hash: oracle parity for the hash, and handcrafted
+Hamming-distance semantics for the chunk-join pair finder."""
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from compare_util import assert_frames_match, duck_to_pdf
+
+SF_DIR = "/root/testdata/sf0.001"
+
+HEADER = 8
+# payload of 61 bytes -> sample j sits exactly at payload offset j
+N_PAYLOAD = 61
+
+
+def _img(payload: list) -> bytes:
+    assert len(payload) == N_PAYLOAD
+    return bytes(range(HEADER)) + bytes(payload)
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    base = [10 if i % 2 == 0 else 200 for i in range(N_PAYLOAD)]
+    near = list(base)
+    near[30] = 10 if near[30] == 200 else 200   # flips bits 29 and 30 only
+    far = [200 if i % 2 == 0 else 10 for i in range(N_PAYLOAD)]  # inverted
+    pdf = pd.DataFrame({
+        "url": ["a", "b", "c"],
+        "html": [_img(base), _img(near), _img(far)],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_image_bytehash_oracle(spark):
+    from geocode_spark.fixtures import ensure_fixtures
+    from geocode_spark.textops.multimodal import (
+        image_bytehash, image_bytehash_oracle_sql, image_dup_corpus,
+    )
+
+    fix = str(ensure_fixtures(SF_DIR))
+    got = image_bytehash(
+        image_dup_corpus(spark.read.parquet(f"{fix}/pages.parquet"))
+    ).toPandas()
+    want = duck_to_pdf(image_bytehash_oracle_sql(fix), SF_DIR)
+    assert_frames_match(got, want, label="image_bytehash")
+    # injected exact copies share their original's hash
+    dups = got[got["url"].str.endswith("#imgdup")]
+    assert len(dups) > 0
+    by_url = got.set_index("url")["hash60"]
+    for u in dups["url"]:
+        assert by_url[u] == by_url[u.removesuffix("#imgdup")]
+
+
+def test_image_hash_pairs_hamming_semantics(crafted):
+    from geocode_spark.textops.multimodal import (
+        image_bytehash, image_hash_pairs,
+    )
+
+    h = image_bytehash(crafted).toPandas().set_index("url")["hash60"]
+    # flipping payload[30] (10 -> 200): bit 29 compares 200>200 (tie, stays
+    # 0) and bit 30 flips 1 -> 0 — exactly ONE gradient bit changes
+    assert bin(h["a"] ^ h["b"]).count("1") == 1
+    assert bin(h["a"] ^ h["c"]).count("1") > 4
+
+    pairs = image_hash_pairs(crafted).toPandas()
+    assert set(zip(pairs["url_a"], pairs["url_b"])) == {("a", "b")}
+    assert pairs.iloc[0]["hamming"] == 1
+
+
+def test_image_hash_short_payload_is_null(spark):
+    from geocode_spark.textops.multimodal import image_bytehash
+
+    pdf = pd.DataFrame({
+        "url": ["tiny", "empty"],
+        "html": [bytes(range(HEADER + 1)), b""],
+    })
+    out = image_bytehash(spark.createDataFrame(pdf)).toPandas()
+    assert out["hash60"].isna().all()
