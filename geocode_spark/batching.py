@@ -85,13 +85,20 @@ def _batch_metrics(spark: SparkSession, batch_dir: str) -> dict:
         return {"total": 0, "fail": 0, "success": 0, "failure_rate": 100,
                 "average_score": "n/a", "partitions": []}
     df = spark.read.parquet(batch_dir)
-    failed = F.col("message").isNotNull()
+    # geocode batches carry (message, score); any other relation (e.g. the
+    # corpus job's canonical docs) still gets per-partition row lineage,
+    # with the failure/score metrics degrading to zero/n-a
+    has_geo = "message" in df.columns and "score" in df.columns
+    failed = (
+        F.col("message").isNotNull() if has_geo else F.lit(False)
+    )
+    score = F.col("score") if has_geo else F.lit(0)
     rows = (
         df.groupBy(LINEAGE_COL)
         .agg(
             F.count("*").alias("rows"),
             F.sum(F.when(failed, 1).otherwise(0)).alias("fail"),
-            F.sum(F.when(~failed, F.col("score"))).alias("score_sum"),
+            F.sum(F.when(~failed, score)).alias("score_sum"),
         )
         .orderBy(LINEAGE_COL)
         .collect()

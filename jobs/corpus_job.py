@@ -39,6 +39,10 @@ def parse_args(argv=None):
                    help="stratified-sample the canonical corpus per language")
     p.add_argument("--stats", action="store_true",
                    help="also write per-language length-quantile stats")
+    p.add_argument("--batches", type=int, default=8,
+                   help="resumable batch count for the canonical write")
+    p.add_argument("--resume", action="store_true",
+                   help="skip canonical batches already in the ledger")
     return p.parse_args(argv)
 
 
@@ -83,7 +87,15 @@ def main(argv=None) -> int:
     if args.sample:
         kept = stratified_sample(canonical).select("doc_id")
         canonical = canonical.join(kept, "doc_id")
-    canonical.write.mode("overwrite").parquet(f"{args.output}/canonical")
+    # canonical write goes through the same checkpoint-resumable batcher as
+    # the geocode job: per-batch _ledger commits + per-partition lineage
+    from geocode_spark.batching import run_resumable
+
+    run_resumable(
+        spark, canonical, f"{args.output}/canonical",
+        n_batches=args.batches, key="doc_id", resume=args.resume,
+        log=lambda m: print(m, file=sys.stderr),
+    )
     n_out = spark.read.parquet(f"{args.output}/canonical").count()
 
     n_clusters = None

@@ -88,3 +88,9 @@ def test_corpus_job_end_to_end(spark, tmp_path):
     # stats stage wrote per-language quantiles over the canonical set
     stats = spark.read.parquet(f"{out}/stats")
     assert stats.count() > 0 and "p99" in stats.columns
+
+    # canonical went through the resumable batcher: full ledger + batch dirs
+    from geocode_spark.batching import completed_batches
+
+    assert completed_batches(f"{out}/canonical") == set(range(8))
+    assert os.path.isdir(f"{out}/canonical/batch_id=0")
