@@ -121,3 +121,38 @@ def test_tiled_write_partition_pruning(spark, fixtures_dir, tmp_path):
     read_files = glob.glob(f"{out}/tile_x={one_tile}/tile_y=*/*.parquet")
     assert 0 < len(read_files) < len(all_files)
     assert q.count() == back.filter(F.col("tile_x") == one_tile).count()
+
+
+def test_bucketed_join_is_shuffle_free(spark, fixtures_dir, tmp_path):
+    """Co-located join via bucketing — the 100 TB answer to repeated joins
+    on the same key: both sides written bucketBy(zone key), the sort-merge
+    join then reads pre-bucketed files with NO exchange on either side."""
+    from pyspark.sql import functions as F
+
+    addr = (
+        spark.read.parquet(f"{fixtures_dir}/addresses.parquet")
+        .withColumn("zone_key", F.upper(F.trim(F.col("zone"))))
+    )
+    pts = (
+        spark.read.parquet(f"{fixtures_dir}/address_points.parquet")
+        .withColumn("zone_key", F.upper(F.col("zip5")))
+    )
+    spark.sql("DROP TABLE IF EXISTS b_addr")
+    spark.sql("DROP TABLE IF EXISTS b_pts")
+    (addr.write.mode("overwrite").bucketBy(8, "zone_key")
+         .sortBy("zone_key").saveAsTable("b_addr"))
+    (pts.write.mode("overwrite").bucketBy(8, "zone_key")
+        .sortBy("zone_key").saveAsTable("b_pts"))
+    try:
+        joined = (
+            spark.table("b_addr").hint("merge")
+            .join(spark.table("b_pts"), "zone_key")
+            .select("zone_key", "id", "cand_id")
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_addr")
+        spark.sql("DROP TABLE IF EXISTS b_pts")
