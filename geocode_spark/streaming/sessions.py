@@ -130,6 +130,70 @@ def stream_sessionize(
     )
 
 
+def stream_attribution(
+    events_stream: DataFrame,
+    probe_type: str = "click",
+    build_type: str = "purchase",
+    window_hours: int = 1,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: clicks within [purchase_ts,
+    purchase_ts + window] of a same-user purchase — the streaming twin of
+    operators.temporal.attribution_join (same output schema and rows on a
+    drained input, pinned by tests).
+
+    Both sides carry an event-time watermark and the join condition bounds
+    probe time to a finite range after build time, so Spark can expire
+    state: a purchase is held only until watermark passes its window end,
+    a click until its own window closes. Without the range bound the state
+    store would grow forever — this is THE pattern for joining two
+    unbounded streams."""
+    win_us = window_hours * 3600 * 1_000_000
+    base = events_stream.select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts_t"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    probes = (
+        base.filter(F.col("event_type") == probe_type)
+        .select(
+            F.col("event_id").alias("probe_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts_t").alias("probe_ts"),
+            F.col("ts_us").alias("probe_ts_us"),
+        )
+        .withWatermark("probe_ts", watermark)
+    )
+    builds = (
+        base.filter(F.col("event_type") == build_type)
+        .select(
+            F.col("event_id").alias("build_event_id"),
+            F.col("user_id").alias("b_user_id"),
+            F.col("ts_t").alias("build_ts"),
+            F.col("ts_us").alias("build_ts_us"),
+        )
+        .withWatermark("build_ts", watermark)
+    )
+    joined = probes.join(
+        builds,
+        F.expr(
+            f"""
+            p_user_id = b_user_id AND
+            probe_ts >= build_ts AND
+            probe_ts <= build_ts + INTERVAL {window_hours} HOURS
+            """
+        ),
+    )
+    return joined.select(
+        "probe_event_id",
+        F.col("p_user_id").alias("user_id"),
+        "probe_ts_us",
+        "build_event_id",
+        "build_ts_us",
+        (F.col("probe_ts_us") - F.col("build_ts_us")).alias("delay_us"),
+    )
+
+
 def run_stream_sessionize(
     spark: SparkSession,
     events_dir: str,

@@ -74,3 +74,33 @@ def test_stream_sessionize_session_continues_across_batches(spark, split_events)
     # informational: how many sessions span the cut (>=0; assignment
     # correctness is pinned by the equality test above either way)
     assert (span >= 1).all()
+
+
+def test_stream_attribution_matches_batch(spark, split_events):
+    """Watermarked stream-stream join drains to exactly the batch
+    attribution_join result."""
+    from geocode_spark.operators.temporal import attribution_join
+    from geocode_spark.streaming.sessions import (
+        read_events_stream, stream_attribution,
+    )
+
+    d = split_events
+    src = f"{d['root']}/attr_in"
+    os.makedirs(src, exist_ok=True)
+    d["events"].coalesce(2).write.mode("append").parquet(src)
+
+    out = f"{d['root']}/attr_out"
+    ckpt = f"{d['root']}/attr_ckpt"
+    q = (
+        stream_attribution(read_events_stream(spark, src, 1))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out).toPandas()
+    want = attribution_join(d["events"]).toPandas()
+    assert_frames_match(got, want, label="stream_attribution")
