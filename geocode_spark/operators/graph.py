@@ -13,7 +13,8 @@ ranks.
 Scale shape: each iteration is one join (edges ⋈ ranks, both partitioned
 by src/doc_id) + one groupBy(dst) + one left join back to the node frame —
 the canonical distributed power iteration. Lineage is truncated with
-localCheckpoint every CHECKPOINT_EVERY iterations: past ~3 chained
+truncate_lineage (localCheckpoint, or reliable checkpoint when a checkpoint
+dir is configured — see lineage.py) every CHECKPOINT_EVERY iterations: past ~3 chained
 iterations, Catalyst/AQE planning cost dominates the per-iteration compute
 (measured 11.4 s fully-lazy vs ~3 s checkpointed for 10 iterations at test
 scale), and at depth the un-truncated plan would grow without bound.
@@ -27,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..lineage import truncate_lineage
 
 BASE_RANK = 1_000_000_000  # initial mass per node, nano-units
 DAMPING_NUM, DAMPING_DEN = 85, 100
@@ -69,7 +72,7 @@ def pagerank(docs: DataFrame, iters: int = DEFAULT_ITERS) -> DataFrame:
         if i and i % CHECKPOINT_EVERY == 0:
             # truncate lineage: past ~3 chained iterations Catalyst/AQE
             # planning cost dominates the (tiny) per-iteration compute
-            ranks = ranks.localCheckpoint()
+            ranks = truncate_lineage(ranks)
         contrib = (
             edges.join(ranks, edges.src == ranks.doc_id)
             .select("dst", F.expr(f"rank div {out_deg}").alias("share"))
@@ -124,18 +127,20 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     Per-round: one edge join + one label self-join + one agg, all keyed
     shuffles; one count action for the convergence check.
 
-    Each round eagerly localCheckpoint()s the label relation. persist()
+    Each round eagerly truncates lineage (lineage.truncate_lineage). persist()
     alone is NOT enough here: it caches execution but leaves the logical
     plan intact, and with four label references per round the plan tree
     grows exponentially until Catalyst itself OOMs planning round ~5.
     Checkpointing truncates lineage, keeping per-round planning O(1).
     """
-    sym = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = nodes.select(
-        F.col("doc_id"), F.col("doc_id").alias("lab")
-    ).localCheckpoint()
+    sym = truncate_lineage(
+        edges.select("src", "dst").unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    labels = truncate_lineage(
+        nodes.select(F.col("doc_id"), F.col("doc_id").alias("lab"))
+    )
     for _ in range(max_rounds):
         nbr = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -153,7 +158,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             F.coalesce("nbr_lab", "lab"),
             F.coalesce("ptr_lab", "lab"),
         )
-        new_labels = (
+        new_labels = truncate_lineage(
             labels.join(nbr, "doc_id", "left")
             .join(ptr, "doc_id", "left")
             .select(
@@ -161,7 +166,6 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                 cand.alias("lab"),
                 (cand < F.col("lab")).cast("int").alias("_chg"),
             )
-            .localCheckpoint()
         )
         changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
         labels = new_labels.select("doc_id", "lab")

@@ -159,12 +159,20 @@ def knn_cell(points: DataFrame, candidates: DataFrame, k: int = 3,
     return _ranked_topk(pairs, k)
 
 
-def knn_bruteforce(points: DataFrame, candidates: DataFrame, k: int = 3) -> DataFrame:
+MAX_CANDIDATE_BROADCAST_ROWS = 2_000_000  # ~48 MB of (id, x, y) doubles
+
+
+def knn_bruteforce(points: DataFrame, candidates: DataFrame, k: int = 3,
+                   max_candidate_rows: int = MAX_CANDIDATE_BROADCAST_ROWS,
+                   ) -> DataFrame:
     """Exact kNN baseline: vectorized scan of broadcast candidates.
 
     O(|points| * |cands|) distance evaluations — exact at any scale where the
-    candidate side fits in a broadcast (the locator contract); knn_cell is the
-    bigger-candidate-side path. Instead of materializing the cross-join as
+    candidate side fits in a broadcast (the locator contract). The collect is
+    SIZE-GUARDED (same contract as similarity.ann_topk): past
+    `max_candidate_rows` it raises instead of OOMing the driver — use
+    knn_cells for large candidate sets. Instead of materializing the
+    cross-join as
     |P|*|C| shuffle rows and window-sorting them, each Arrow batch of query
     points computes the full distance matrix in numpy and emits only k rows
     per query — no shuffle at all. dist_sq = dx*dx+dy*dy in IEEE double,
@@ -174,7 +182,19 @@ def knn_bruteforce(points: DataFrame, candidates: DataFrame, k: int = 3) -> Data
     """
     import numpy as np
 
-    cand = candidates.select("cand_id", "x", "y").toPandas()
+    # limit(max+1) bounds what can ever reach the driver: if the extra row
+    # shows up the table is over-guard and we bail before holding it all.
+    cand = (
+        candidates.select("cand_id", "x", "y")
+        .limit(max_candidate_rows + 1)
+        .toPandas()
+    )
+    if len(cand) > max_candidate_rows:
+        raise ValueError(
+            f"knn_bruteforce candidate side exceeds the broadcast guard "
+            f"({max_candidate_rows} rows); use knn_cells for large "
+            f"candidate sets"
+        )
     order = np.argsort(cand["cand_id"].to_numpy(), kind="stable")
     bc = points.sparkSession.sparkContext.broadcast(
         (

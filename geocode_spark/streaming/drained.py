@@ -1,0 +1,103 @@
+"""Drained streaming runs — the oracle gate for the streaming family.
+
+Each helper materializes a finite input as stream source files, runs the
+real Structured Streaming query with trigger(availableNow=True) across
+MULTIPLE micro-batches (maxFilesPerTrigger=1 over 2 source files, so
+cross-batch state/continuity is actually exercised), drains it to parquet,
+and returns the batch read-back. Because every streaming operator here is
+batch-equivalent on a drained input (pinned by tests/test_stream_sessions.py
+and tests/test_streaming.py), the drained result can be hash-compared against
+the SAME DuckDB oracle as its batch twin — turning the pytest-only streaming
+ops (SURVEY §2.8 T15/T24/T33) into CORRECTNESS-gated queries.
+
+Fresh temp dirs per call: a drained query is a full re-run, never an append
+onto a previous invocation's sink.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _events_source(spark: SparkSession, sf_dir: str, root: str) -> str:
+    """Write the events table as 2 stream-source files (ts normalized to the
+    session-TZ timestamp type the stream schema declares)."""
+    src = f"{root}/src"
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .coalesce(2)
+        .write.parquet(src)
+    )
+    return src
+
+
+def drained_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState sessionization drained over 2 micro-batches;
+    equals operators.temporal.sessionize row-for-row (same oracle)."""
+    from .sessions import read_events_stream, stream_sessionize
+
+    root = tempfile.mkdtemp(prefix="gs_drain_sessionize_")
+    src = _events_source(spark, sf_dir, root)
+    q = (
+        stream_sessionize(read_events_stream(spark, src, max_files_per_trigger=1))
+        .writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{root}/out")
+
+
+def drained_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream attribution join drained over 2
+    micro-batches; equals operators.temporal.attribution_join (same oracle)."""
+    from .sessions import read_events_stream, stream_attribution
+
+    root = tempfile.mkdtemp(prefix="gs_drain_attr_")
+    src = _events_source(spark, sf_dir, root)
+    q = (
+        stream_attribution(read_events_stream(spark, src, max_files_per_trigger=1))
+        .writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{root}/out")
+
+
+def drained_geocode(spark: SparkSession, fixtures_dir: str) -> DataFrame:
+    """foreachBatch incremental geocode drained over 2 micro-batches; equals
+    the batch geocode_pages plan (same oracle) because a url lives in exactly
+    one file, so per-batch top-1 is global top-1."""
+    from ..plans.pipeline import load_locators
+    from .stream import read_stream_results, stream_geocode
+
+    root = tempfile.mkdtemp(prefix="gs_drain_geocode_")
+    src = f"{root}/src"
+    spark.read.parquet(f"{fixtures_dir}/pages.parquet").coalesce(2).write.parquet(src)
+    q = stream_geocode(
+        spark,
+        src,
+        load_locators(spark, fixtures_dir),
+        f"{root}/out",
+        f"{root}/ckpt",
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return read_stream_results(spark, f"{root}/out")

@@ -80,10 +80,17 @@ def _session_func(gap_us: int):
             last_ts_us, session_idx = state.get
         else:
             last_ts_us, session_idx = None, 0
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts_us", "event_id"], kind="stable")
+        # A micro-batch group arrives as MULTIPLE Arrow chunks (one per
+        # spark.sql.execution.arrow.maxRecordsPerBatch records, and chunk
+        # order is not time order). Sorting per chunk would misassign any
+        # group whose rows span chunks, so materialize the whole group and
+        # sort ONCE — safe because per-user-per-micro-batch volume is the
+        # state-store group size, which is already bounded by the trigger.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_us", "event_id"], kind="stable"
+            )
             idxs = []
             for ts_us in pdf["ts_us"]:
                 if last_ts_us is None or ts_us - last_ts_us > gap_us:

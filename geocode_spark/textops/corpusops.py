@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..lineage import truncate_lineage
+
 from .dedup import corpus_sql, minhash_lsh_pairs, ngram_jaccard_oracle_sql
 
 MAX_CC_ROUNDS = 20
@@ -69,15 +71,15 @@ def dedup_clusters(corpus: DataFrame, threshold: float = 0.8,
     # majority of a web corpus) never enter the loop and are stitched back
     # with label = own id at the end — per-iteration work is O(|edges|),
     # independent of corpus size
-    # localCheckpoint, not persist: persist caches execution but leaves the
+    # truncate_lineage, not persist: persist caches execution but leaves the
     # logical plan growing (labels referenced multiple times per round) —
     # lineage truncation keeps per-round planning O(1) at any depth (see
-    # operators/graph.connected_components for the measured failure mode)
-    labels = (
+    # operators/graph.connected_components for the measured failure mode;
+    # lineage.py picks reliable checkpoint when a checkpoint dir is set)
+    labels = truncate_lineage(
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("lab", F.col("doc_id"))
-        .localCheckpoint()
     )
     for _ in range(MAX_CC_ROUNDS):
         nbr = (
@@ -88,7 +90,7 @@ def dedup_clusters(corpus: DataFrame, threshold: float = 0.8,
         # one join per round: the new label and the did-anything-change flag
         # come out of the same pass (nbr_lab < lab detects change directly,
         # no second old-vs-new join)
-        new_labels = (
+        new_labels = truncate_lineage(
             labels.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
@@ -97,7 +99,6 @@ def dedup_clusters(corpus: DataFrame, threshold: float = 0.8,
                 .cast("int")
                 .alias("_chg"),
             )
-            .localCheckpoint()
         )
         changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
         labels = new_labels.select("doc_id", "lab")

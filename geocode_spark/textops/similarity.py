@@ -229,16 +229,39 @@ def ann_topk(emb: DataFrame, k: int = 5, query_mod: int = 20,
 
 
 # ------------------------------------------------------------ sign-LSH top-k
-def ann_lsh_topk(emb: DataFrame, k: int = 5, query_mod: int = 20) -> DataFrame:
+MAX_BUCKET_GROUP_ROWS = 200_000  # candidate rows one cogroup task may hold
+
+
+def ann_lsh_topk(emb: DataFrame, k: int = 5, query_mod: int = 20,
+                 max_bucket_rows: int = MAX_BUCKET_GROUP_ROWS) -> DataFrame:
     """Sign-LSH bucketed top-k: candidates restricted to the query's bucket.
 
     Buckets are Catalyst-computed (deterministic axis-aligned basis — both
     engines derive identical buckets); queries COGROUP with their bucket's
     posting list, so the candidate side is never broadcast or collected.
-    Per-bucket top-k is final (a query's whole candidate set lives in its own
-    bucket)."""
+
+    Per-group size is BOUNDED: a cheap metadata aggregate measures the
+    largest bucket, and when it exceeds `max_bucket_rows` the bucket splits
+    into ceil(max/max_bucket_rows) sub-partitions (candidates by
+    xxhash64(vec_id) % n_subs — a hash, so clustered id ranges inside a hot
+    bucket still spread; each query replicated to every sub-partition of its
+    own bucket — queries are the small side). Each (bucket, sub) task emits a
+    partial top-k and one window keyed on the unique query id merges them —
+    exact under the global (cosine DESC, cand_id ASC) comparator because any
+    global top-k candidate is in the top-k of its own sub-partition. This is
+    what keeps a hot/skewed sign bucket (real embeddings correlate) from
+    becoming a single executor-OOM pandas group at 10^9 vectors."""
+    import math
+
     base = emb.select(
         "vec_id", "embedding", _sign_bucket_col(F.col("embedding")).alias("bucket")
+    )
+    max_bucket = (
+        base.groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
+    ) or 0
+    n_subs = max(1, math.ceil(max_bucket / max_bucket_rows))
+    cand = base.withColumn(
+        "sub", F.pmod(F.xxhash64("vec_id"), F.lit(n_subs)).cast("bigint")
     )
     # Fresh aliases on the query side: both cogroup children descend from the
     # same plan, and Spark's self-join attribute dedup otherwise prunes the
@@ -247,16 +270,19 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5, query_mod: int = 20) -> DataFrame:
         F.col("vec_id").alias("q_vec_id"),
         F.col("embedding").alias("q_embedding"),
         F.col("bucket").alias("q_bucket"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_subs - 1)).cast("array<bigint>")
+        ).alias("q_sub"),
     )
 
-    def bucket_topk(left, right):
+    def bucket_partial(left, right):
         import numpy as np
 
         if len(left) == 0 or len(right) == 0:
             return _group_topk(
                 np.zeros(0, np.int64), np.zeros((0, 1)),
                 np.zeros(0, np.int64), np.zeros((0, 1)), np.zeros(0),
-                k, with_rank=True,
+                k, with_rank=False,
             )
         right = right.sort_values("vec_id", kind="stable")
         qid = left["q_vec_id"].to_numpy(dtype=np.int64)
@@ -264,13 +290,14 @@ def ann_lsh_topk(emb: DataFrame, k: int = 5, query_mod: int = 20) -> DataFrame:
         cid = right["vec_id"].to_numpy(dtype=np.int64)
         cmat = _mat(right["embedding"])
         return _group_topk(qid, qmat, cid, cmat, _fold_nsq(cmat), k,
-                           with_rank=True)
+                           with_rank=False)
 
-    return (
-        qry.groupBy("q_bucket")
-        .cogroup(base.groupBy("bucket"))
-        .applyInPandas(bucket_topk, schema=_TOPK_SCHEMA)
+    partial = (
+        qry.groupBy("q_bucket", "q_sub")
+        .cogroup(cand.groupBy("bucket", "sub"))
+        .applyInPandas(bucket_partial, schema=_PARTIAL_SCHEMA)
     )
+    return _merge_topk(partial, k)
 
 
 # -------------------------------------------------------------------- IVF

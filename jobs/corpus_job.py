@@ -82,8 +82,12 @@ def main(argv=None) -> int:
     canonical_ids = spark.read.parquet(f"{args.output}/clusters").filter(
         F.col("is_canonical") == 1
     ).select("doc_id")
-    canonical = docs.join(F.broadcast(canonical_ids), "doc_id") \
-        if n_in < 10_000_000 else docs.join(canonical_ids, "doc_id")
+    # No broadcast hint: canonical ids are nearly ALL docs in a typical
+    # corpus, so forcing a broadcast (bypassing autoBroadcastJoinThreshold)
+    # would ship a multi-hundred-MB relation to every executor. AQE picks
+    # broadcast on its own when the landed clusters/ files are actually
+    # small, and a co-partitioned shuffle join otherwise.
+    canonical = docs.join(canonical_ids, "doc_id")
     if args.sample:
         kept = stratified_sample(canonical).select("doc_id")
         canonical = canonical.join(kept, "doc_id")

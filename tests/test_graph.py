@@ -3,7 +3,9 @@
 import os
 import sys
 
+import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -89,3 +91,37 @@ def test_pointer_jumping_beats_diameter(spark, docs):
         docs.select("doc_id"), G.chain_graph(docs), max_rounds=budget
     ).toPandas()
     assert len(out) == docs.count()
+
+
+def test_reliable_checkpoint_when_dir_configured(spark, tmp_path):
+    """VERDICT r02 #5: with a checkpoint dir configured, iterative loops use
+    RELIABLE checkpoint() (survives executor loss) instead of
+    localCheckpoint; results are unchanged and checkpoint files land in the
+    configured dir."""
+    import glob
+
+    from geocode_spark.operators.graph import pagerank
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    want = (
+        pagerank(docs, iters=4).toPandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    ckpt = str(tmp_path / "reliable_ckpt")
+    sc = spark.sparkContext
+    sc.setCheckpointDir(ckpt)
+    try:
+        got = (
+            pagerank(docs, iters=4).toPandas().sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        files = glob.glob(f"{ckpt}/*/rdd-*")
+        assert files, "no reliable checkpoint files were written"
+    finally:
+        # clear the dir so the rest of the session stays on localCheckpoint
+        # (Scala var setter is checkpointDir_$eq; no public unset API)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            spark._jvm.scala.Option.empty()
+        )
+    pd.testing.assert_frame_equal(got, want)

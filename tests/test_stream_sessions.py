@@ -24,8 +24,36 @@ def split_events(spark, tmp_path_factory):
     cut = events.agg(
         F.percentile_approx(ts_us, F.lit(0.5)).alias("cut")
     ).collect()[0][0]
+    # Inject a sentinel user whose session is GUARANTEED to straddle the
+    # cut (events 1 minute either side, well inside the 30-min gap) — the
+    # real sf0.001 events are sparse enough around the median that no
+    # organic session spans it, which made the continuity test vacuous
+    # (ADVICE r02).
+    max_id = events.agg(F.max("event_id")).collect()[0][0]
+    minute_us = 60 * 1_000_000
+    sentinel = spark.createDataFrame(
+        [
+            (max_id + 1 + i, off_us)
+            for i, off_us in enumerate(
+                (-2 * minute_us, -minute_us, minute_us, 2 * minute_us)
+            )
+        ],
+        "event_id bigint, off_us bigint",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.lit(cut) + F.col("off_us")).alias("ts"),
+        F.lit(999_983).cast("bigint").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    events = events.select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    ).unionByName(sentinel)
     src = str(root / "events_in")
     os.makedirs(src, exist_ok=True)
+    ts_us = F.unix_micros(F.col("ts"))
     first = events.filter(ts_us <= cut)
     second = events.filter(ts_us > cut)
     return {
@@ -71,9 +99,10 @@ def test_stream_sessionize_session_continues_across_batches(spark, split_events)
     )
     sess["in_first"] = sess["event_id"].isin(first_ids)
     span = sess.groupby(["user_id", "session_idx"])["in_first"].nunique()
-    # informational: how many sessions span the cut (>=0; assignment
-    # correctness is pinned by the equality test above either way)
-    assert (span >= 1).all()
+    # at least one session must have events on BOTH sides of the cut —
+    # otherwise the cross-batch continuity equality above never exercises
+    # carried state (nunique()==2 means the session straddles the boundary)
+    assert (span == 2).any(), "no session spans the micro-batch boundary"
 
 
 def test_stream_attribution_matches_batch(spark, split_events):
@@ -104,3 +133,58 @@ def test_stream_attribution_matches_batch(spark, split_events):
     got = spark.read.parquet(out).toPandas()
     want = attribution_join(d["events"]).toPandas()
     assert_frames_match(got, want, label="stream_attribution")
+
+
+def test_stream_sessionize_multi_chunk_group_sorts_globally(spark, tmp_path):
+    """ADVICE r02: a user's micro-batch rows arrive as MULTIPLE Arrow chunks
+    (maxRecordsPerBatch) in no particular order; assignment must sort the
+    whole group, not each chunk. One user, 600 events written in REVERSE
+    time order with chunk size 64 — per-chunk sorting would walk time
+    backwards across chunks and invent sessions at every chunk seam."""
+    import numpy as np
+    import pandas as pd
+
+    from geocode_spark.operators.temporal import sessionize
+    from geocode_spark.streaming.sessions import run_stream_sessionize
+
+    n = 600
+    base = pd.Timestamp("2025-06-01 00:00:00")
+    # 3 sessions of 200 events: 1-min strides inside a block (span 199 min),
+    # 5-hour block stride => ~1h41m inter-block gap > the 30-min session gap
+    ts = [
+        base
+        + pd.Timedelta(minutes=int(i % 200))
+        + pd.Timedelta(hours=5 * int(i // 200))
+        for i in range(n)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": ts,
+            "user_id": np.int64(1),
+            "event_type": "click",
+            "value": 0.0,
+            "props": "",
+        }
+    ).iloc[::-1]  # reverse: chunk 1 holds the LATEST events
+    events = spark.createDataFrame(
+        pdf,
+        schema="event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    src = str(tmp_path / "in")
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        run_stream_sessionize(
+            spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    want = sessionize(events).toPandas()
+    assert_frames_match(got, want, label="stream_sessionize_chunks")
+    assert got["session_idx"].nunique() == 3

@@ -281,3 +281,56 @@ def test_embedding_validate_oracle(spark, emb):
     bad = got[got["vec_id"] >= 3_000_000]
     assert len(bad) > 0 and (bad["valid"] == 0).all()
     assert bad["message"].str.startswith("Error: ").all()
+
+
+def test_ann_lsh_oversize_buckets_split_exactly(spark):
+    """VERDICT r02 #3 + #7: a hot sign bucket must not become one unbounded
+    pandas group. Adversarial fixture: ALL 2000 vectors have positive
+    leading dimensions, so every one lands in sign bucket 255 — the
+    worst-case correlated-embedding skew. With max_bucket_rows=100 the
+    bucket must split ~20 ways, each sub-group hash-bounded, and the
+    partial-top-k + window merge must reproduce the unsplit answer
+    row-for-row."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geocode_spark.textops.similarity import _sign_bucket_col, ann_lsh_topk
+
+    n, d = 2000, 16
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda j: 0.1
+            + ((F.col("id") * 31 + j.cast("bigint") * 17) % 97).cast("double")
+            / 97.0,
+        ).alias("embedding"),
+    )
+    base = emb.select(
+        "vec_id", _sign_bucket_col(F.col("embedding")).alias("bucket")
+    )
+    sizes = base.groupBy("bucket").count().toPandas()
+    assert len(sizes) == 1 and int(sizes["count"].max()) == n  # one hot bucket
+
+    cap = 100
+    n_subs = math.ceil(n / cap)
+    cols = ["vec_id", "rank", "cand_id", "cosine"]
+    want = ann_lsh_topk(emb, k=3).toPandas()[cols]
+    got = ann_lsh_topk(emb, k=3, max_bucket_rows=cap).toPandas()[cols]
+    want = want.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    got = got.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    # the hash split bounds the largest cogroup candidate group: binomial
+    # around cap with sd ~sqrt(cap) — 2x cap is a >10-sigma ceiling
+    split_sizes = (
+        base.withColumn(
+            "sub", F.pmod(F.xxhash64("vec_id"), F.lit(n_subs)).cast("bigint")
+        )
+        .groupBy("bucket", "sub")
+        .count()
+        .toPandas()
+    )
+    assert len(split_sizes) == n_subs
+    assert int(split_sizes["count"].max()) <= 2 * cap
