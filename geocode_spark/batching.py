@@ -156,31 +156,44 @@ def run_resumable(
     batched = with_batch_id(result_df, n_batches, key=key).withColumn(
         LINEAGE_COL, F.spark_partition_id()
     )
-    summary = {"batches": n_batches, "skipped": sorted(done), "total": 0,
-               "fail": 0, "success": 0}
     if pending:
-        w0 = time.perf_counter()
-        (
-            batched.filter(F.col("batch_id").isin(pending))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_dir)
+        _write_pending_and_commit(
+            spark,
+            batched.filter(F.col("batch_id").isin(pending)),
+            out_dir, pending, n_batches, log,
         )
-        job_seconds = round(time.perf_counter() - w0, 3)
-        for k in pending:
-            batch_dir = os.path.join(out_dir, f"batch_id={k}")
-            record = {
-                "batch_id": k,
-                "engine": f"{ENGINE_NAME}/{__version__}",
-                "seconds": job_seconds,  # the shared single-pass write job
-                **_batch_metrics(spark, batch_dir),
-            }
-            _commit_ledger(out_dir, k, record)
-            log(
-                f"batch {k}/{n_batches}: {record['total']} rows, "
-                f"{record['fail']} failed (job {format_time(job_seconds)})"
-            )
+    return _summarize(out_dir, n_batches, sorted(done), t0)
+
+
+def _write_pending_and_commit(spark, pending_df, out_dir, pending, n_batches,
+                              log) -> None:
+    """The shared single-pass write + post-commit ledger step."""
+    w0 = time.perf_counter()
+    (
+        pending_df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+    job_seconds = round(time.perf_counter() - w0, 3)
+    for k in pending:
+        batch_dir = os.path.join(out_dir, f"batch_id={k}")
+        record = {
+            "batch_id": k,
+            "engine": f"{ENGINE_NAME}/{__version__}",
+            "seconds": job_seconds,  # the shared single-pass write job
+            **_batch_metrics(spark, batch_dir),
+        }
+        _commit_ledger(out_dir, k, record)
+        log(
+            f"batch {k}/{n_batches}: {record['total']} rows, "
+            f"{record['fail']} failed (job {format_time(job_seconds)})"
+        )
+
+
+def _summarize(out_dir: str, n_batches: int, skipped: list, t0: float) -> dict:
+    summary = {"batches": n_batches, "skipped": skipped, "total": 0,
+               "fail": 0, "success": 0}
     for k in range(n_batches):
         with open(_ledger_path(out_dir, k)) as fh:
             rec = json.load(fh)
@@ -189,6 +202,67 @@ def run_resumable(
         summary["success"] += rec["success"]
     summary["seconds"] = round(time.perf_counter() - t0, 3)
     return summary
+
+
+# ------------------------------------------------- bucket-aligned staged runs
+def stage_batched_source(spark: SparkSession, df: DataFrame, staged_dir: str,
+                         n_batches: int, key: str = "primary_key") -> str:
+    """Land the INPUT relation partitioned by batch_id — the sandbox analog
+    of an Iceberg ``bucket(N, url)`` partition spec (same deterministic hash
+    batching, hive-style directories instead of Iceberg manifests).
+
+    Staging costs one extra pass, but buys resume-time file pruning: a
+    resumed run's pending-batch filter becomes a PARTITION filter on this
+    layout and reads only the pending directories, instead of hash-filtering
+    a full scan of the raw source — at 100 TB the difference between
+    re-scanning everything to recover one crashed batch and reading 1/N of
+    the files."""
+    with_batch_id(df, n_batches, key=key).write.mode("overwrite").partitionBy(
+        "batch_id"
+    ).parquet(staged_dir)
+    return staged_dir
+
+
+def read_staged_batches(spark: SparkSession, staged_dir: str,
+                        batch_ids: list) -> DataFrame:
+    """Read only the given batches from a staged source — the filter lands
+    as PartitionFilters (file pruning), pinned by tests/test_flowcontrol."""
+    return (
+        spark.read.option("basePath", staged_dir)
+        .parquet(os.path.join(staged_dir, "batch_id=*"))
+        .filter(F.col("batch_id").isin(batch_ids))
+    )
+
+
+def run_resumable_staged(
+    spark: SparkSession,
+    staged_dir: str,
+    out_dir: str,
+    transform=None,
+    n_batches: int = 16,
+    key: str = "primary_key",
+    resume: bool = True,
+    log=print,
+) -> dict:
+    """run_resumable over a bucket-aligned staged source: pending batches are
+    read with partition pruning (only their directories are scanned), pushed
+    through ``transform`` (e.g. the geocode plan builder; identity when
+    None), and committed exactly like run_resumable. batch_id is re-derived
+    from the key after the transform — it is a pure key function, so staged
+    assignment and output assignment always agree."""
+    t0 = time.perf_counter()
+    done = completed_batches(out_dir) if resume else set()
+    pending = [k for k in range(n_batches) if k not in done]
+    if pending:
+        src = read_staged_batches(spark, staged_dir, pending).drop("batch_id")
+        result = transform(src) if transform is not None else src
+        batched = with_batch_id(result, n_batches, key=key).withColumn(
+            LINEAGE_COL, F.spark_partition_id()
+        )
+        _write_pending_and_commit(
+            spark, batched, out_dir, pending, n_batches, log
+        )
+    return _summarize(out_dir, n_batches, sorted(done), t0)
 
 
 def read_results(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -238,3 +238,136 @@ def pagerank_oracle_sql(source: str = "documents",
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT doc_id, rank FROM iter{iters}"
     )
+
+
+# ---------------------------------------------------- large-star / small-star
+# The two-operation alternating CC algorithm (Kiveris et al., "Connected
+# Components in MapReduce and Beyond", SoCC'14): each round rewires edges
+# toward per-neighborhood minima; converges to star graphs (every node
+# pointing at its component's minimum) in O(log n) rounds with per-round
+# cost O(|edges|) — no label relation is carried at all, which is the
+# documented upgrade over pointer jumping for DEEP, high-degree topologies
+# (corpusops.py:15-17 / PLANS.md): the edge set itself contracts, so hub
+# nodes never accumulate a giant label neighborhood.
+STAR_MAX_ROUNDS = 30
+
+
+def _dedup_edges(e: DataFrame) -> DataFrame:
+    return e.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """For each node u: connect every STRICTLY LARGER neighbor v to
+    m = min(N(u) + {u}). sym must hold both directions of each edge."""
+    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("mn", F.col("u")).alias("m"))
+    return _dedup_edges(
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient each edge large->small, then connect every small neighbor
+    (and u itself) to m = min of u's small neighborhood."""
+    d = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = d.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edge = m.select("u", F.col("m").alias("v"))
+    return _dedup_edges(rewired.unionAll(self_edge))
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple:
+    """Order-insensitive exact summary of an edge set for the convergence
+    check: (count, sum of per-edge hashes). One metadata-scale row."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) accumulator: int64 hash sums overflow under ANSI
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return (row["n"], str(row["h"]))
+
+
+def cc_star(nodes: DataFrame, edges: DataFrame,
+            max_rounds: int = STAR_MAX_ROUNDS) -> DataFrame:
+    """Connected components via alternating large-star/small-star edge
+    contraction. nodes: (doc_id); edges: (src, dst) undirected semantics.
+    Returns (doc_id, component_id), component_id = min reachable doc_id.
+
+    Per round: two groupBy(min) + two joins over the CURRENT edge set (which
+    only shrinks toward n_nodes star edges) — no carried label relation, no
+    per-node neighborhood materialization beyond the aggregate. Lineage is
+    truncated every round (see lineage.py; reliable checkpoint under a
+    configured dir)."""
+    e = truncate_lineage(
+        _dedup_edges(
+            edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        )
+    )
+    fp = _edge_fingerprint(e)
+    for _ in range(max_rounds):
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        e = truncate_lineage(_small_star(_large_star(sym)))
+        nfp = _edge_fingerprint(e)
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError(f"cc_star did not converge in {max_rounds} rounds")
+    # converged: e is a star graph (child -> component min). Stitch
+    # singletons back with label = own id.
+    labels = e.groupBy(F.col("u").alias("doc_id")).agg(
+        F.min("v").alias("lab")
+    )
+    return nodes.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.least(
+            F.coalesce("lab", F.col("doc_id")), F.col("doc_id")
+        ).alias("component_id"),
+    )
+
+
+# deterministic deep random forest: node i>0 takes parent
+# (13 i^2 + 7 i + 5) mod i  (uniform-ish in [0, i) -> expected depth ~ln i),
+# except roots at i % TREE_CUT_MOD == 0 — a forest of ~n/TREE_CUT_MOD deep
+# random trees; component min == root by construction (parents are smaller).
+TREE_CUT_MOD = 101
+
+
+def deep_tree_graph(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return docs.filter((did > 0) & (did % TREE_CUT_MOD != 0)).select(
+        did.alias("src"),
+        ((did * did * 13 + did * 7 + 5) % did).alias("dst"),
+    )
+
+
+def deep_components(docs: DataFrame) -> DataFrame:
+    """Query form: large-star/small-star components of the deep random
+    forest."""
+    return cc_star(docs.select("doc_id"), deep_tree_graph(docs))
+
+
+def deep_components_oracle_sql(source: str = "documents") -> str:
+    return f"""
+WITH RECURSIVE
+nodes AS (SELECT doc_id FROM {source}),
+e AS (
+  SELECT doc_id AS child,
+         (doc_id * doc_id * 13 + doc_id * 7 + 5) % doc_id AS parent
+  FROM {source}
+  WHERE doc_id > 0 AND doc_id % {TREE_CUT_MOD} != 0
+),
+r(doc_id, cur) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION ALL
+  SELECT r.doc_id, e.parent FROM r JOIN e ON r.cur = e.child
+)
+SELECT doc_id, CAST(min(cur) AS BIGINT) AS component_id
+FROM r GROUP BY doc_id
+"""

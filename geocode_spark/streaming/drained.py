@@ -17,9 +17,31 @@ onto a previous invocation's sink.
 from __future__ import annotations
 
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Stateful streaming cost is dominated by STATE STORE COUNT, not data:
+# every shuffle partition carries its own versioned store per stateful
+# operator (4 per stream-stream join side-pair), each fsyncing per
+# micro-batch. Drained verification runs are small-data by construction, so
+# they pin a small state partitioning (measured at sf0.1: the attribution
+# drain is 104 s at 32 partitions, 17 s at 8 — same rows). A production
+# 24/7 stream sizes this to state VOLUME instead.
+DRAIN_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def _drain_partitions(spark: SparkSession):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(DRAIN_SHUFFLE_PARTITIONS)
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _events_source(spark: SparkSession, sf_dir: str, root: str) -> str:
@@ -49,15 +71,18 @@ def drained_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = tempfile.mkdtemp(prefix="gs_drain_sessionize_")
     src = _events_source(spark, sf_dir, root)
-    q = (
-        stream_sessionize(read_events_stream(spark, src, max_files_per_trigger=1))
-        .writeStream.format("parquet")
-        .option("path", f"{root}/out")
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_partitions(spark):
+        q = (
+            stream_sessionize(
+                read_events_stream(spark, src, max_files_per_trigger=1)
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(f"{root}/out")
 
 
@@ -68,15 +93,18 @@ def drained_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = tempfile.mkdtemp(prefix="gs_drain_attr_")
     src = _events_source(spark, sf_dir, root)
-    q = (
-        stream_attribution(read_events_stream(spark, src, max_files_per_trigger=1))
-        .writeStream.format("parquet")
-        .option("path", f"{root}/out")
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_partitions(spark):
+        q = (
+            stream_attribution(
+                read_events_stream(spark, src, max_files_per_trigger=1)
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(f"{root}/out")
 
 
@@ -90,14 +118,15 @@ def drained_geocode(spark: SparkSession, fixtures_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="gs_drain_geocode_")
     src = f"{root}/src"
     spark.read.parquet(f"{fixtures_dir}/pages.parquet").coalesce(2).write.parquet(src)
-    q = stream_geocode(
-        spark,
-        src,
-        load_locators(spark, fixtures_dir),
-        f"{root}/out",
-        f"{root}/ckpt",
-        available_now=True,
-        max_files_per_trigger=1,
-    )
-    q.awaitTermination()
+    with _drain_partitions(spark):
+        q = stream_geocode(
+            spark,
+            src,
+            load_locators(spark, fixtures_dir),
+            f"{root}/out",
+            f"{root}/ckpt",
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
     return read_stream_results(spark, f"{root}/out")

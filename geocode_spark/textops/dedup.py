@@ -184,6 +184,39 @@ FROM {corpus_sql(source)} GROUP BY 1
 
 
 # -------------------------------------------------------------- n-gram Jaccard
+def ngram_prefix_candidates(sh: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """AllPairs/ppjoin prefix-filter candidate pairs over a shingle relation
+    (doc_id, shingles, n_sh). Exposed separately so skew tests can pin the
+    candidate COUNT: a corpus-wide hot shingle (template boilerplate) must
+    fall out of every prefix, keeping candidates bounded by the rare tail."""
+    from pyspark.sql.window import Window
+
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(float(threshold)) * F.col("n_sh") - F.lit(1e-9))
+        + 1
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    pref = (
+        ex.join(freq, "shingle")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+    a = pref.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = pref.select(F.col("doc_id").alias("id_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact word-3-gram Jaccard >= threshold (id_a < id_b) via PREFIX
     FILTERING (AllPairs/ppjoin candidate generation + exact verification).
@@ -211,33 +244,8 @@ def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
     not materialize common subtrees, so without it the Arrow shingle stage
     re-runs once per branch.
     """
-    from pyspark.sql.window import Window
-
     sh = with_shingles(corpus).persist()
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
-    freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
-    prefix_len = (
-        F.col("n_sh")
-        - F.ceil(F.lit(float(threshold)) * F.col("n_sh") - F.lit(1e-9))
-        + 1
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("df").asc(), F.col("shingle").asc()
-    )
-    pref = (
-        ex.join(freq, "shingle")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= prefix_len)
-        .select("doc_id", "shingle")
-    )
-    a = pref.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = pref.select(F.col("doc_id").alias("id_b"), "shingle")
-    cand = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = ngram_prefix_candidates(sh, threshold)
 
     sa = sh.select(F.col("doc_id").alias("id_a"),
                    F.col("shingles").alias("sh_a"), F.col("n_sh").alias("n_a"))
@@ -324,17 +332,14 @@ def minhash_signature(shingles: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """LSH candidate generation + exact-Jaccard verification.
-
-    Output equals ngram_jaccard_pairs wherever LSH recall is 1 (which it is,
-    to ~1e-13, for the >=0.85-Jaccard pairs these corpora contain).
-
-    The shingle relation persist()s for the same reason as in
-    ngram_jaccard_pairs: it feeds the band stage and both verify sides."""
-    sh = with_shingles(corpus).persist()
+def minhash_band_candidates(sh: DataFrame) -> DataFrame:
+    """Banded-signature equi-join candidate pairs over a shingle relation
+    (doc_id, shingles). Exposed separately so skew tests can pin the
+    candidate COUNT under a corpus-wide hot template: band keys are whole
+    signature slices, so boilerplate shared by dissimilar docs does not put
+    them in one bucket — candidates scale with s^BAND_ROWS per band, not
+    with the hot shingle's posting list."""
     sig = sh.withColumn("sig", minhash_signature("shingles"))
-
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -356,12 +361,24 @@ def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
                         *[f"k{r}" for r in range(BAND_ROWS)])
     right = bands.select(F.col("doc_id").alias("id_b"), "band",
                          *[f"k{r}" for r in range(BAND_ROWS)])
-    cand = (
+    return (
         left.join(right, on=["band"] + [f"k{r}" for r in range(BAND_ROWS)])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    Output equals ngram_jaccard_pairs wherever LSH recall is 1 (which it is,
+    to ~1e-13, for the >=0.85-Jaccard pairs these corpora contain).
+
+    The shingle relation persist()s for the same reason as in
+    ngram_jaccard_pairs: it feeds the band stage and both verify sides."""
+    sh = with_shingles(corpus).persist()
+    cand = minhash_band_candidates(sh)
 
     # exact verification on the candidate set only
     sa = sh.select(F.col("doc_id").alias("id_a"),

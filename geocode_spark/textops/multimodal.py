@@ -450,11 +450,12 @@ def image_hash_pairs(images: DataFrame,
     so the equi-join on (chunk_idx, chunk_val) is complete; exact
     bit_count(xor) verifies. Never all-pairs.
 
-    pytest-gated, not a driver query: the fixture 'html' payloads are
-    word-salad TEXT, whose byte gradients collapse into ~1.6k hash values
-    over 22k docs — Hamming<=4 then yields ~5M (data-realistic but
-    unusable) pairs. On real image bytes the hash is high-entropy; the
-    Hamming-join machinery itself is oracle-gated via simhash_pairs."""
+    Oracle-gated as driver query `image_hash_pairs` over
+    synthetic_image_corpus (high-entropy md5-chain payloads + injected
+    byte-flip near-copies) against a brute-force all-pairs DuckDB twin.
+    The fixture's own word-salad 'html' payloads stay out of the gate: their
+    byte gradients collapse into ~1.6k hash values over 22k docs, making
+    corpus-wide Hamming<=4 degenerate by construction."""
     sig = image_bytehash(images).filter(F.col("hash60").isNotNull()).select(
         "url", "hash60"
     )
@@ -535,6 +536,91 @@ def image_hash_pairs_oracle_sql(fix: str,
     return f"""
 WITH sig AS (SELECT url, hash60 FROM ({image_bytehash_oracle_sql(fix)})
              WHERE hash60 IS NOT NULL)
+SELECT a.url AS url_a, b.url AS url_b,
+       CAST(bit_count(xor(a.hash60, b.hash60)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.url < b.url
+WHERE bit_count(xor(a.hash60, b.hash60)) <= {max_hamming}
+"""
+
+
+# ----------------------------------------- synthetic high-entropy image corpus
+# The fixture 'html' payloads are word-salad TEXT whose byte gradients
+# collapse (~1.6k distinct hashes over 22k docs), so corpus-wide Hamming<=4
+# used to be degenerate and image_hash_pairs stayed pytest-gated. This corpus
+# fixes the ENTROPY, not the machinery: payloads are md5-chain bytes (pure
+# function of url — both engines derive them independently), and near-dups
+# are injected by overwriting ONE payload byte, which can flip at most the
+# two gradient bits that read it (Hamming <= 2 <= DHASH_MAX_HAMMING), while
+# unrelated 60-bit hashes collide within Hamming 4 with prob ~4.5e-13.
+SYN_IMG_MOD = 8        # 1-in-8 urls carry a synthetic image
+SYN_DUP_MOD = 4        # 1-in-4 of those gets a byte-flip near-copy
+SYN_IMG_WORDS = 5      # payload = 5 chained md5 blocks = 80 bytes
+SYN_FLIP_HEX_POS = 47  # 1-indexed hex char; overwrites payload byte 24
+
+
+def _syn_hex_col(url):
+    return F.concat(
+        *[F.md5(F.concat(url, F.lit(f"#{w}"))) for w in range(SYN_IMG_WORDS)]
+    )
+
+
+def synthetic_image_corpus(pages: DataFrame) -> DataFrame:
+    """(url, html) with high-entropy 80-byte payloads + injected <=2-bit
+    near-copies (url suffix '#syndup')."""
+    sel = pages.filter(
+        F.conv(F.substring(F.md5("url"), 1, 2), 16, 10).cast("bigint")
+        % SYN_IMG_MOD == 0
+    ).select("url")
+    hx = _syn_hex_col(F.col("url"))
+    base = sel.select("url", F.unhex(hx).alias("html"))
+    flipped = F.concat(
+        F.substring(hx, 1, SYN_FLIP_HEX_POS - 1),
+        F.lit("ff"),
+        F.substring(hx, SYN_FLIP_HEX_POS + 2, 10_000),
+    )
+    dup = sel.filter(
+        F.conv(F.substring(F.md5("url"), 3, 2), 16, 10).cast("bigint")
+        % SYN_DUP_MOD == 0
+    ).select(
+        F.concat(F.col("url"), F.lit("#syndup")).alias("url"),
+        F.unhex(flipped).alias("html"),
+    )
+    return base.unionByName(dup)
+
+
+def _syn_corpus_sql(fix: str) -> str:
+    """DuckDB twin of synthetic_image_corpus, as (url, hx, nb) — the hash
+    reads hex anyway, so the oracle never round-trips through binary."""
+    md5s = " || ".join(
+        f"md5(url || '#{w}')" for w in range(SYN_IMG_WORDS)
+    )
+    nb = 16 * SYN_IMG_WORDS
+    return f"""(
+  WITH sel AS (
+    SELECT url FROM read_parquet('{fix}/pages.parquet')
+    WHERE ('0x' || substr(md5(url), 1, 2))::BIGINT % {SYN_IMG_MOD} = 0
+  )
+  SELECT url, {md5s} AS hx, CAST({nb} AS BIGINT) AS nb FROM sel
+  UNION ALL
+  SELECT url || '#syndup' AS url,
+         substr(hx, 1, {SYN_FLIP_HEX_POS - 1}) || 'ff'
+           || substr(hx, {SYN_FLIP_HEX_POS + 2}) AS hx,
+         CAST({nb} AS BIGINT) AS nb
+  FROM (SELECT url, {md5s} AS hx FROM sel)
+  WHERE ('0x' || substr(md5(url), 3, 2))::BIGINT % {SYN_DUP_MOD} = 0
+)"""
+
+
+def synthetic_image_hash_pairs_oracle_sql(
+    fix: str, max_hamming: int = DHASH_MAX_HAMMING
+) -> str:
+    """Brute-force all-pairs Hamming over the synthetic corpus — complete
+    oracle twin of the chunk join (pigeonhole completeness at <= 4)."""
+    return f"""
+WITH sig AS (
+  SELECT url, CAST({_dhash_sql()} AS BIGINT) AS hash60
+  FROM {_syn_corpus_sql(fix)}
+)
 SELECT a.url AS url_a, b.url AS url_b,
        CAST(bit_count(xor(a.hash60, b.hash60)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.url < b.url

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -91,12 +92,20 @@ def main(argv=None) -> int:
     if args.sample:
         kept = stratified_sample(canonical).select("doc_id")
         canonical = canonical.join(kept, "doc_id")
-    # canonical write goes through the same checkpoint-resumable batcher as
-    # the geocode job: per-batch _ledger commits + per-partition lineage
-    from geocode_spark.batching import run_resumable
+    # canonical write goes through the checkpoint-resumable batcher, with the
+    # source STAGED bucket-aligned by the batch key first (the Iceberg
+    # bucket(N, doc_id) analog): a resumed run prunes straight to the
+    # pending batch directories instead of re-running the canonical join
+    # and hash-filtering a full corpus scan
+    from geocode_spark.batching import run_resumable_staged, stage_batched_source
 
-    run_resumable(
-        spark, canonical, f"{args.output}/canonical",
+    staged = f"{args.output}/canonical_staged"
+    if not (args.resume and os.path.exists(f"{staged}/_SUCCESS")):
+        stage_batched_source(
+            spark, canonical, staged, n_batches=args.batches, key="doc_id"
+        )
+    run_resumable_staged(
+        spark, staged, f"{args.output}/canonical",
         n_batches=args.batches, key="doc_id", resume=args.resume,
         log=lambda m: print(m, file=sys.stderr),
     )

@@ -32,6 +32,22 @@ FAMILY = [
     "dedup_clusters",
     "stratified_sample",
     "tfidf_top_terms",
+    # round-3 extension (VERDICT r02 #9): the temporal / graph / corpus /
+    # rollup families at the 10x corpus, where window partition sizes,
+    # iteration counts and salting actually move
+    "sessionize",
+    "sessionize_salted",
+    "session_stats",
+    "asof_last_purchase",
+    "asof_join_two_relation",
+    "attribution_range_join",
+    "event_window_rollup",
+    "pagerank",
+    "connected_components_chain",
+    "connected_components_deep",
+    "length_quantiles",
+    "metrics_rollup",
+    "metrics_by_grid_salted",
 ]
 
 
@@ -64,6 +80,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as mod
 
+    # oracle_sql() renders fixture paths from ORACLE_SF_DIR at call time;
+    # point it at the sf0.1 fixtures so the metrics/geocode-family oracles
+    # read the same scale the Spark queries run at
+    mod.ORACLE_SF_DIR = SF
     qs, osql = mod.queries(), mod.oracle_sql()
     out = {}
     for name in FAMILY:

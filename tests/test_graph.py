@@ -125,3 +125,36 @@ def test_reliable_checkpoint_when_dir_configured(spark, tmp_path):
             spark._jvm.scala.Option.empty()
         )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_cc_star_matches_pointer_jumping_on_chain(spark, docs):
+    """large-star/small-star and pointer-jumping CC must agree on the chain
+    topology (both equal min-reachable-id)."""
+    from geocode_spark.operators.graph import (
+        cc_star,
+        chain_graph,
+        connected_components,
+    )
+
+    nodes = docs.select("doc_id")
+    edges = chain_graph(docs)
+    a = cc_star(nodes, edges).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        connected_components(nodes, edges)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_deep_components_oracle(spark, docs):
+    """cc_star on the deep random forest vs the recursive-CTE oracle."""
+    from geocode_spark.operators.graph import (
+        deep_components,
+        deep_components_oracle_sql,
+    )
+
+    got = deep_components(docs).toPandas()
+    want = duck_to_pdf(deep_components_oracle_sql("documents"), SF_DIR)
+    assert_frames_match(got, want, label="deep_components")
+    # the forest is genuinely deep and multi-component
+    assert got["component_id"].nunique() > 1
