@@ -306,3 +306,136 @@ ranked AS (
 )
 SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= {k}
 """
+
+
+# ----------------------------------------------------------- decontamination
+# Benchmark-overlap decontamination — the training-data op that removes eval
+# contamination before a corpus ships: drop/flag every document sharing an
+# n-gram with a held-out benchmark set. Production pipelines use 8-13-gram
+# windows; this implementation reuses the engine's word-3-gram shingle
+# machinery (the operator is n-agnostic — the shingle kernel is the only
+# n-dependent piece). The benchmark set here is derived deterministically
+# from the corpus (doc_id % DECON_BENCH_MOD == 0) so both engines see the
+# same held-out docs without external data.
+#
+# Scale shape: the banned relation is benchmark-sized (tiny next to the
+# corpus) -> AQE broadcasts it under the semi/inner join; the corpus side is
+# one explode + one keyed groupBy on the UNIQUE doc_id (skew-free); nothing
+# all-pairs, nothing collected.
+DECON_BENCH_MOD = 97
+
+
+def decontaminate(docs: DataFrame,
+                  bench_mod: int = DECON_BENCH_MOD) -> DataFrame:
+    """(doc_id, n_hits, is_contaminated) for every NON-benchmark doc:
+    n_hits = distinct benchmark 3-grams the doc contains."""
+    from .dedup import with_shingles
+
+    sh = with_shingles(docs)
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    banned = (
+        ex.filter(F.col("doc_id") % bench_mod == 0)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        ex.filter(F.col("doc_id") % bench_mod != 0)
+        .join(banned, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_hits"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % bench_mod != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int")
+            .alias("is_contaminated"),
+        )
+    )
+
+
+def decontaminate_oracle_sql(source: str = "documents",
+                             bench_mod: int = DECON_BENCH_MOD) -> str:
+    from .dedup import _shingle_rows_cte
+
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM {source}),
+{_shingle_rows_cte('corpus')},
+banned AS (
+  SELECT DISTINCT shingle FROM shx WHERE doc_id % {bench_mod} = 0
+),
+hits AS (
+  SELECT s.doc_id, CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_hits
+  FROM shx s JOIN banned b ON s.shingle = b.shingle
+  WHERE s.doc_id % {bench_mod} != 0
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+         AS is_contaminated
+FROM (SELECT doc_id FROM corpus WHERE doc_id % {bench_mod} != 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# -------------------------------------------------------- repetition scoring
+def doc_repetition(docs: DataFrame) -> DataFrame:
+    """Intra-document repetition (the Gopher-style boilerplate signal):
+    1 - distinct/total word-3-grams. Highly repetitive docs (chant pages,
+    keyword stuffing, templated spam) score near 1 and get filtered by a
+    downstream threshold. Pure per-row column arithmetic — no shuffle, no
+    Python (the shingle kernel is the one Arrow stage)."""
+    from .dedup import WS, with_shingles
+
+    n_total = (
+        F.size(F.split(F.lower(F.trim(F.col("text"))), WS)) - F.lit(2)
+    ).cast("bigint")
+    base = docs.select("doc_id", n_total.alias("n_grams_total"))
+    sh = with_shingles(docs).select(
+        "doc_id", F.col("n_sh").cast("bigint").alias("n_grams_distinct")
+    )
+    return base.join(sh, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("n_grams_total") >= 1, F.col("n_grams_total"))
+        .otherwise(F.lit(0)).alias("n_grams_total"),
+        F.coalesce("n_grams_distinct", F.lit(0)).alias("n_grams_distinct"),
+        F.when(
+            F.col("n_grams_total") >= 1,
+            F.round(
+                1.0
+                - F.coalesce("n_grams_distinct", F.lit(0)).cast("double")
+                / F.col("n_grams_total").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("repetition_ratio"),
+    )
+
+
+def doc_repetition_oracle_sql(source: str = "documents") -> str:
+    from .dedup import WS
+
+    toks = f"string_split_regex(lower(trim(text)), '{WS}')"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({toks}) - 2 AS BIGINT) AS n_total,
+         CAST(CASE WHEN len({toks}) >= 3
+              THEN len(list_distinct(list_transform(
+                     generate_series(1, len({toks}) - 2),
+                     i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])))
+              ELSE 0 END AS BIGINT) AS n_distinct
+  FROM {source}
+)
+SELECT doc_id,
+       CASE WHEN n_total >= 1 THEN n_total ELSE 0 END AS n_grams_total,
+       n_distinct AS n_grams_distinct,
+       CASE WHEN n_total >= 1
+            THEN round(1.0 - CAST(n_distinct AS DOUBLE)
+                       / CAST(n_total AS DOUBLE), 6)
+            ELSE 0.0 END AS repetition_ratio
+FROM base
+"""

@@ -456,8 +456,16 @@ def image_hash_pairs(images: DataFrame,
     The fixture's own word-salad 'html' payloads stay out of the gate: their
     byte gradients collapse into ~1.6k hash values over 22k docs, making
     corpus-wide Hamming<=4 degenerate by construction."""
-    sig = image_bytehash(images).filter(F.col("hash60").isNotNull()).select(
-        "url", "hash60"
+    # persist() the signature relation: it feeds BOTH join sides and the
+    # verify pass, and Catalyst's projection collapse would otherwise inline
+    # the ~60-comparison dhash expression tree into every chunk branch
+    # (recomputing the hash per reference and blowing up codegen) — same
+    # reason dedup persists its shingle relation
+    sig = (
+        image_bytehash(images)
+        .filter(F.col("hash60").isNotNull())
+        .select("url", "hash60")
+        .persist()
     )
     chunk_w = DHASH_BITS // DHASH_CHUNKS
     chunks = sig.select(

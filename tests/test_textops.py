@@ -334,3 +334,43 @@ def test_ann_lsh_oversize_buckets_split_exactly(spark):
     )
     assert len(split_sizes) == n_subs
     assert int(split_sizes["count"].max()) <= 2 * cap
+
+
+def test_decontaminate_flags_benchmark_overlap(spark, docs):
+    from geocode_spark.textops.corpusops import DECON_BENCH_MOD, decontaminate
+
+    n = docs.count()
+    # inject a doc that copies a benchmark doc's text verbatim — it MUST be
+    # flagged (the operator's whole purpose)
+    bench_text = docs.filter(F.col("doc_id") == 0).select("text").collect()[0][0]
+    injected = spark.createDataFrame(
+        [(9_999_991, bench_text)], "doc_id bigint, text string"
+    )
+    out = decontaminate(
+        docs.select("doc_id", "text").unionByName(injected)
+    ).toPandas()
+    # benchmark docs themselves are excluded from the output
+    assert (out["doc_id"] % DECON_BENCH_MOD != 0).all()
+    assert len(out) == n - len([1 for i in range(0, n, DECON_BENCH_MOD)]) + 1
+    inj = out[out["doc_id"] == 9_999_991].iloc[0]
+    assert inj["is_contaminated"] == 1 and inj["n_hits"] > 0
+    # flag is exactly n_hits > 0
+    assert ((out["n_hits"] > 0) == (out["is_contaminated"] == 1)).all()
+
+
+def test_doc_repetition_scores_repeats(spark):
+    from geocode_spark.textops.corpusops import doc_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 50),            # one distinct 3-gram, 48 total
+            (2, " ".join(f"w{i}" for i in range(50))),  # all distinct
+            (3, "too short"),              # < 3 tokens -> zeros
+        ],
+        "doc_id bigint, text string",
+    )
+    out = doc_repetition(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "repetition_ratio"] > 0.9
+    assert out.loc[2, "repetition_ratio"] == 0.0
+    assert out.loc[3, "n_grams_total"] == 0
+    assert out.loc[3, "repetition_ratio"] == 0.0
