@@ -316,6 +316,16 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 20,
     through one window keyed on the unique query id."""
     import numpy as np
 
+    centid, centmat, centnsq = _seed_centroids(emb, n_centroids)
+    return _ivf_search(emb, centid, centmat, centnsq, k=k,
+                       query_mod=query_mod, nprobe=nprobe)
+
+
+def _seed_centroids(emb: DataFrame, n_centroids: int):
+    """Deterministic coarse-quantizer seeds: the n_centroids lowest-id
+    vectors (metadata-scale collect via LIMIT n)."""
+    import numpy as np
+
     cent_rows = (
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_centroids)
     ).collect()
@@ -324,7 +334,12 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 20,
         np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
         if cent_rows else np.zeros((0, 0))
     )
-    centnsq = _fold_nsq(centmat)
+    return centid, centmat, _fold_nsq(centmat)
+
+
+def _ivf_search(emb: DataFrame, centid, centmat, centnsq, k: int,
+                query_mod: int, nprobe: int) -> DataFrame:
+    """Probe/cogroup/merge phase shared by the seeded and k-means IVFs."""
     bc = emb.sparkSession.sparkContext.broadcast((centid, centmat, centnsq))
     base = emb.select("vec_id", "embedding")
 
@@ -393,6 +408,162 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 20,
         .applyInPandas(cell_partial, schema=_PARTIAL_SCHEMA)
     )
     return _merge_topk(partial, k)
+
+
+
+# --------------------------------------------------- k-means-refined IVF
+FIXED_POINT_SCALE = 1_000_000
+IVF_KMEANS_ITERS = 2
+
+
+def ann_ivf_kmeans_topk(emb: DataFrame, k: int = 5, query_mod: int = 20,
+                        n_centroids: int = IVF_CENTROIDS,
+                        nprobe: int = IVF_NPROBE,
+                        iters: int = IVF_KMEANS_ITERS) -> DataFrame:
+    """IVF with Lloyd-refined centroids — the real inverted-file quantizer
+    (the seeded ann_ivf_topk is its degenerate 0-iteration form).
+
+    Each Lloyd iteration is one distributed pass: an Arrow kernel assigns
+    every vector to its nearest centroid AND emits per-batch partial
+    per-(cell, dim) sums (map-side combine), a tiny groupBy folds them, and
+    the driver collects only n_centroids x dim rows to rebuild the centroid
+    pack. Centroid means are computed in FIXED-POINT int64 (elements scaled
+    by 1e6, summed associatively, divided once in double) — the same
+    integer-arithmetic trick as PageRank, which is what makes an ITERATIVE
+    float algorithm hash-exact against the DuckDB oracle at any parallelism:
+    int64 sums are order-independent where float sums are not. Empty cells
+    keep their previous centroid. Search phase = the shared _ivf_search
+    probe/cogroup/merge."""
+    import numpy as np
+
+    centid, centmat, centnsq = _seed_centroids(emb, n_centroids)
+    base = emb.select("vec_id", "embedding")
+    sc = emb.sparkSession.sparkContext
+    for _ in range(iters):
+        bc = sc.broadcast((centid, centmat, centnsq))
+
+        def partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            cid, cmat, cnsq = bc.value
+            ncent, d = cmat.shape
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = _mat(pdf["embedding"])
+                ccos = _round_half_up(
+                    _fold_dots(mat, cmat)
+                    / np.sqrt(_fold_nsq(mat)[:, None] * cnsq[None, :])
+                )
+                cell = np.argsort(-ccos, axis=1, kind="stable")[:, 0]
+                ints = _round_half_up(
+                    mat * FIXED_POINT_SCALE, 0
+                ).astype(np.int64)
+                rows = []
+                for j in range(ncent):
+                    m = cell == j
+                    c = int(m.sum())
+                    if not c:
+                        continue
+                    rows.append(pd.DataFrame({
+                        "cell_id": np.int64(cid[j]),
+                        "dim": np.arange(d, dtype=np.int64),
+                        "s": ints[m].sum(axis=0),
+                        "c": np.int64(c),
+                    }))
+                if rows:
+                    yield pd.concat(rows, ignore_index=True)
+
+        agg = (
+            base.mapInPandas(
+                partials, schema="cell_id bigint, dim bigint, s bigint, c bigint"
+            )
+            .groupBy("cell_id", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .collect()
+        )
+        sums: dict = {}
+        for r in agg:
+            sums.setdefault(r["cell_id"], {})[r["dim"]] = (r["s"], r["c"])
+        new = centmat.copy()
+        for j, cidv in enumerate(centid):
+            per_dim = sums.get(int(cidv))
+            if not per_dim:
+                continue  # empty cell keeps its previous centroid
+            for dim, (sm, cnt) in per_dim.items():
+                new[j, dim] = (float(sm) / cnt) / FIXED_POINT_SCALE
+        centmat = new
+        centnsq = _fold_nsq(centmat)
+    return _ivf_search(emb, centid, centmat, centnsq, k=k,
+                       query_mod=query_mod, nprobe=nprobe)
+
+
+def ann_ivf_kmeans_oracle_sql(k: int = 5, query_mod: int = 20,
+                              n_centroids: int = IVF_CENTROIDS,
+                              nprobe: int = IVF_NPROBE,
+                              iters: int = IVF_KMEANS_ITERS,
+                              dim: int = 64) -> str:
+    """Unrolled Lloyd iterations (same trick as the PageRank oracle):
+    per-iteration CTEs reproduce the fixed-point centroid update exactly."""
+    scale = FIXED_POINT_SCALE
+    ccos = _cosine_sql("x.e", "c.ce", "x.nsq", "c.cnsq")
+    ctes = [
+        f"cent0 AS (SELECT vec_id AS cid, e AS ce, nsq AS cnsq FROM n"
+        f" ORDER BY vec_id LIMIT {n_centroids})"
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(f"""assign{t} AS (
+  SELECT x.vec_id, c.cid,
+         row_number() OVER (PARTITION BY x.vec_id
+                            ORDER BY {ccos} DESC, c.cid ASC) AS crank
+  FROM n x CROSS JOIN cent{p} c
+)""")
+        ctes.append(f"""sums{t} AS (
+  SELECT a.cid, g.i,
+         sum(CAST(round(x.e[g.i] * {scale}) AS BIGINT)) AS s,
+         count(*) AS c
+  FROM assign{t} a
+  JOIN n x ON x.vec_id = a.vec_id
+  CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) g
+  WHERE a.crank = 1
+  GROUP BY a.cid, g.i
+)""")
+        ctes.append(f"""centl{t} AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / c / {scale}.0 ORDER BY i) AS ce
+  FROM sums{t} GROUP BY cid
+)""")
+        ctes.append(f"""cent{t} AS (
+  SELECT cid, ce, {_dot_sql('ce', 'ce')} AS cnsq FROM centl{t}
+  UNION ALL
+  SELECT p.cid, p.ce, p.cnsq FROM cent{p} p
+  WHERE p.cid NOT IN (SELECT cid FROM centl{t})
+)""")
+    cos = _cosine_sql("q.e", "c.e", "q.nsq", "c.nsq")
+    return f"""
+WITH {_NORMED_CTE},
+{','.join(ctes)},
+assignF AS (
+  SELECT x.vec_id, c.cid,
+         row_number() OVER (PARTITION BY x.vec_id
+                            ORDER BY {ccos} DESC, c.cid ASC) AS crank
+  FROM n x CROSS JOIN cent{iters} c
+),
+cell AS (SELECT vec_id, cid AS cell_id FROM assignF WHERE crank = 1),
+probe AS (SELECT vec_id, cid AS cell_id FROM assignF
+          WHERE crank <= {nprobe} AND vec_id % {query_mod} = 0)
+SELECT vec_id, rank, cand_id, cosine FROM (
+  SELECT q.vec_id,
+         CAST(row_number() OVER (PARTITION BY q.vec_id
+                                 ORDER BY {cos} DESC, c.vec_id ASC) AS BIGINT) AS rank,
+         c.vec_id AS cand_id, {cos} AS cosine
+  FROM n q
+  JOIN probe p ON p.vec_id = q.vec_id
+  JOIN cell cc ON cc.cell_id = p.cell_id
+  JOIN n c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+) WHERE rank <= {k}
+"""
 
 
 # ------------------------------------------------------- embedding near-dup

@@ -189,3 +189,114 @@ SELECT {id_col},
             ELSE 'fr' END AS lang_pred
 FROM {source}
 """
+
+
+# -------------------------------------------------------------- PII redaction
+# Pre-training PII scrub: count and strip email addresses and phone numbers
+# before a corpus ships. Both patterns are RE2-and-Java-compatible ASCII
+# classes so Spark (Java regex) and DuckDB (RE2) match identical spans; the
+# redacted text is emitted as an md5 so the oracle can verify the FULL
+# rewritten string without shipping it. The fixture word-salads carry no
+# organic PII, so pii_corpus injects a deterministic contact sentence into
+# every 4th doc — identically derived in both engines.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_INJECT_MOD = 4
+
+
+def pii_corpus(docs: DataFrame) -> DataFrame:
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" today"),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % PII_INJECT_MOD == 0, contact)
+        .otherwise(F.col("text")).alias("text"),
+    )
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_phones, clean_md5): match counts + md5 of the
+    text with every email -> <EMAIL> and phone -> <PHONE>. Pure Catalyst
+    regex projection — zero shuffle, zero Python."""
+    t = F.col("text")
+    clean = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(f"({EMAIL_RE})"), 1))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(f"({PHONE_RE})"), 1))
+        .cast("bigint").alias("n_phones"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def pii_corpus_sql(source: str = "documents") -> str:
+    return f"""(
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_INJECT_MOD} = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.com or call 555-867-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ' today'
+              ELSE text END AS text
+  FROM {source}
+)"""
+
+
+def pii_redact_oracle_sql(source: str = "documents") -> str:
+    email, phone = EMAIL_RE, PHONE_RE
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '({email})', 1)) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '({phone})', 1)) AS BIGINT)
+         AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                          '{phone}', '<PHONE>', 'g')) AS clean_md5
+FROM {pii_corpus_sql(source)}
+"""
+
+
+# --------------------------------------------------------------- domain stats
+HOST_RE = r"^[a-z]+://([^/]+)"
+
+
+def domain_stats(pages: DataFrame) -> DataFrame:
+    """Per-registered-host corpus profile: pages, languages, total text
+    volume. The crawl-curation roll-up that decides which domains to keep,
+    throttle or drop. One keyed shuffle on host (medium cardinality — at
+    web scale the hot-domain tail is exactly what sessionize_salted's
+    salting pattern handles if a single host ever dominates)."""
+    host = F.regexp_extract("url", HOST_RE, 1)
+    return (
+        pages.select(
+            host.alias("host"),
+            "lang",
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+def domain_stats_oracle_sql(pages_source: str) -> str:
+    return f"""
+SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM {pages_source}
+GROUP BY 1
+"""

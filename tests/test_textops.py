@@ -374,3 +374,72 @@ def test_doc_repetition_scores_repeats(spark):
     assert out.loc[2, "repetition_ratio"] == 0.0
     assert out.loc[3, "n_grams_total"] == 0
     assert out.loc[3, "repetition_ratio"] == 0.0
+
+
+def test_pii_redact_counts_and_rewrites(spark):
+    import hashlib
+
+    from geocode_spark.textops.textstats import pii_redact
+
+    text = ("mail a@b.com and c.d@e.org then call 555-123-4567 "
+            "or 555.123.4567 x")
+    df = spark.createDataFrame([(1, text), (2, "no pii here")],
+                               "doc_id bigint, text string")
+    out = pii_redact(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_emails"] == 2 and out.loc[1, "n_phones"] == 2
+    want = ("mail <EMAIL> and <EMAIL> then call <PHONE> "
+            "or <PHONE> x")
+    assert out.loc[1, "clean_md5"] == hashlib.md5(want.encode()).hexdigest()
+    assert out.loc[2, "n_emails"] == 0 and out.loc[2, "n_phones"] == 0
+    assert (out.loc[2, "clean_md5"]
+            == hashlib.md5(b"no pii here").hexdigest())
+
+
+def test_domain_stats_partitions_corpus(spark, fixtures_dir):
+    from geocode_spark.textops.textstats import domain_stats
+
+    pages = spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+    out = domain_stats(pages).toPandas()
+    assert out["n_pages"].sum() == pages.count()
+    assert (out["host"].str.len() > 0).all()
+    assert out["host"].is_unique
+
+
+def test_ann_ivf_kmeans_refines_and_stays_exact(spark, emb):
+    """Lloyd refinement must (a) actually move centroids (different cell
+    partition than the seeded IVF for at least some vectors), (b) keep the
+    top-k contract (ranks contiguous, cosine non-increasing), and (c) keep
+    every returned neighbor out of the query's own id."""
+    from geocode_spark.textops.similarity import (
+        ann_ivf_kmeans_topk,
+        ann_ivf_topk,
+    )
+
+    refined = ann_ivf_kmeans_topk(emb, k=3).toPandas()
+    seeded = ann_ivf_topk(emb, k=3).toPandas()
+    key = lambda d: set(map(tuple, d[["vec_id", "cand_id"]].values))
+    assert key(refined) != key(seeded)  # refinement moved the partition
+    for vid, g in refined.groupby("vec_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert g["cosine"].is_monotonic_decreasing
+        assert (g["cand_id"] != vid).all()
+
+
+def test_ann_ivf_kmeans_zero_iters_equals_seeded(spark, emb):
+    """iters=0 degenerates to the seeded IVF exactly — the refinement is a
+    strict extension, not a different operator."""
+    import pandas as pd
+
+    from geocode_spark.textops.similarity import (
+        ann_ivf_kmeans_topk,
+        ann_ivf_topk,
+    )
+
+    a = ann_ivf_kmeans_topk(emb, k=3, iters=0).toPandas()
+    b = ann_ivf_topk(emb, k=3).toPandas()
+    cols = ["vec_id", "rank", "cand_id", "cosine"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(["vec_id", "rank"]).reset_index(drop=True),
+        b[cols].sort_values(["vec_id", "rank"]).reset_index(drop=True),
+    )
