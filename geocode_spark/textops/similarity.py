@@ -14,10 +14,12 @@ the driver by any operator here (pinned by tests/test_textops.py):
                    scale with the table; driver holds only the query pack.
  - ann_lsh_topk    sign-LSH buckets (deterministic axis-aligned basis, same
                    buckets in both engines). Candidates GROUP by bucket and
-                   queries cogroup with their own bucket; per-bucket top-k is
-                   the final answer. Nothing is broadcast at all. At 10^9
-                   vectors, LSH_BITS grows so each bucket's posting list stays
-                   executor-sized (buckets are the unit of parallelism).
+                   queries cogroup with their own bucket. Nothing is
+                   broadcast at all, and per-task group size is BOUNDED: a
+                   metadata aggregate measures the largest bucket and
+                   oversize buckets hash-split into sub-partitions whose
+                   partial top-k merge exactly (so a hot/correlated sign
+                   bucket can never OOM one executor).
  - ann_ivf_topk    inverted file. Coarse quantizer = the n_centroids
                    lowest-id vectors (tiny, metadata-scale — collected via
                    LIMIT n). Every vector is cell-assigned in an Arrow kernel;
@@ -25,6 +27,12 @@ the driver by any operator here (pinned by tests/test_textops.py):
                    with per-cell posting lists; per-cell partial top-k rows
                    (≤ nprobe*k per query) merge through one window. Each query
                    scans ~nprobe/n_centroids of the data.
+ - ann_ivf_kmeans_topk
+                   the same inverted file with Lloyd-refined centroids:
+                   per-iteration distributed assign + map-side-combined
+                   FIXED-POINT int64 centroid sums (associative, so the
+                   iterative float algorithm stays hash-exact vs an unrolled
+                   SQL oracle); driver holds only n_centroids x dim rows.
  - embedding_near_dup
                    banded random-hyperplane LSH (NEAR_DUP_TABLES tables ×
                    NEAR_DUP_BITS bits, deterministic seeded basis) generates
@@ -314,8 +322,6 @@ def ann_ivf_topk(emb: DataFrame, k: int = 5, query_mod: int = 20,
     ~nprobe/n_centroids of the table and the driver never holds more than the
     centroid pack. Partial per-cell top-k (≤ nprobe*k rows per query) merges
     through one window keyed on the unique query id."""
-    import numpy as np
-
     centid, centmat, centnsq = _seed_centroids(emb, n_centroids)
     return _ivf_search(emb, centid, centmat, centnsq, k=k,
                        query_mod=query_mod, nprobe=nprobe)

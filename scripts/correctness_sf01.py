@@ -48,6 +48,14 @@ FAMILY = [
     "length_quantiles",
     "metrics_rollup",
     "metrics_by_grid_salted",
+    # round-3 operators
+    "ann_ivf_kmeans",
+    "decontaminate",
+    "doc_repetition",
+    "pii_redact",
+    "domain_stats",
+    "stream_sessionize_drained",
+    "stream_attribution_drained",
 ]
 
 

