@@ -16,6 +16,7 @@ onto a previous invocation's sink.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from contextlib import contextmanager
 
@@ -108,6 +109,34 @@ def drained_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{root}/out")
 
 
+def _pages_stream_source(spark: SparkSession, fixtures_dir: str) -> str:
+    """Stage the pages table as 2 stream-source files, REUSED across calls
+    (keyed by fixtures_dir — the fixture corpus is immutable). The html
+    binary column is nulled at the staging boundary: the geocode pipeline
+    projects only (url, text), so shipping the payload bytes into the
+    stream source would be pure write amplification the batch plan's own
+    column pruning already avoids."""
+    import hashlib
+
+    key = hashlib.md5(fixtures_dir.encode()).hexdigest()[:12]
+    src = f"{tempfile.gettempdir()}/gs_drain_pages_{key}"
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        (
+            spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+            .select(
+                "url",
+                "warc_ts",
+                F.lit(None).cast("binary").alias("html"),
+                "text",
+                "lang",
+            )
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+    return src
+
+
 def drained_geocode(spark: SparkSession, fixtures_dir: str) -> DataFrame:
     """foreachBatch incremental geocode drained over 2 micro-batches; equals
     the batch geocode_pages plan (same oracle) because a url lives in exactly
@@ -116,8 +145,7 @@ def drained_geocode(spark: SparkSession, fixtures_dir: str) -> DataFrame:
     from .stream import read_stream_results, stream_geocode
 
     root = tempfile.mkdtemp(prefix="gs_drain_geocode_")
-    src = f"{root}/src"
-    spark.read.parquet(f"{fixtures_dir}/pages.parquet").coalesce(2).write.parquet(src)
+    src = _pages_stream_source(spark, fixtures_dir)
     with _drain_partitions(spark):
         q = stream_geocode(
             spark,

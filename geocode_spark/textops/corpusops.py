@@ -387,29 +387,27 @@ def doc_repetition(docs: DataFrame) -> DataFrame:
     """Intra-document repetition (the Gopher-style boilerplate signal):
     1 - distinct/total word-3-grams. Highly repetitive docs (chant pages,
     keyword stuffing, templated spam) score near 1 and get filtered by a
-    downstream threshold. Pure per-row column arithmetic — no shuffle, no
-    Python (the shingle kernel is the one Arrow stage)."""
-    from .dedup import WS, with_shingles
+    downstream threshold. ONE projection over the scan — zero shuffle, zero
+    joins; the shingle kernel is the single Arrow stage (plan-pinned by
+    tests/test_plans.py)."""
+    from .dedup import WS, _shingle_udf
 
-    n_total = (
-        F.size(F.split(F.lower(F.trim(F.col("text"))), WS)) - F.lit(2)
-    ).cast("bigint")
-    base = docs.select("doc_id", n_total.alias("n_grams_total"))
-    sh = with_shingles(docs).select(
-        "doc_id", F.col("n_sh").cast("bigint").alias("n_grams_distinct")
+    toks = F.split(F.lower(F.trim(F.col("text"))), WS)
+    raw_total = (F.size(toks) - F.lit(2)).cast("bigint")
+    n_total = F.when(raw_total >= 1, raw_total).otherwise(F.lit(0).cast("bigint"))
+    n_distinct = (
+        F.when(F.size(toks) >= 3, F.size(_shingle_udf(toks)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
     )
-    return base.join(sh, "doc_id", "left").select(
+    return docs.select(
         "doc_id",
-        F.when(F.col("n_grams_total") >= 1, F.col("n_grams_total"))
-        .otherwise(F.lit(0)).alias("n_grams_total"),
-        F.coalesce("n_grams_distinct", F.lit(0)).alias("n_grams_distinct"),
+        n_total.alias("n_grams_total"),
+        n_distinct.alias("n_grams_distinct"),
         F.when(
-            F.col("n_grams_total") >= 1,
+            n_total >= 1,
             F.round(
-                1.0
-                - F.coalesce("n_grams_distinct", F.lit(0)).cast("double")
-                / F.col("n_grams_total").cast("double"),
-                6,
+                1.0 - n_distinct.cast("double") / n_total.cast("double"), 6
             ),
         ).otherwise(F.lit(0.0)).alias("repetition_ratio"),
     )

@@ -157,3 +157,19 @@ def test_bucketed_join_is_shuffle_free(spark, fixtures_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_addr")
         spark.sql("DROP TABLE IF EXISTS b_pts")
+
+
+def test_round3_projection_ops_zero_shuffle(docs, spark, fixtures_dir):
+    """doc_repetition and pii_redact are per-row metrics — their plans must
+    be single projections over the scan (zero exchanges); domain_stats is
+    one keyed aggregation (<= 1 hash exchange)."""
+    from geocode_spark.textops.corpusops import doc_repetition
+    from geocode_spark.textops.textstats import domain_stats, pii_redact
+
+    assert _n_exchanges(_plan(doc_repetition(docs))) == 0
+    assert _n_exchanges(_plan(pii_redact(docs))) == 0
+    pages = spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+    # two exchanges: keyed agg + the exact count-distinct re-partition (the
+    # same documented trade as event_window_rollup — approx_count_distinct
+    # would drop it to one)
+    assert _n_exchanges(_plan(domain_stats(pages))) <= 2
