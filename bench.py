@@ -102,6 +102,9 @@ def run_bench() -> dict:
 
 
 SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "64"))
+# the documents table is 40x smaller than pages, so the corpus protocol
+# replicates harder to keep fixed costs amortized at the high level
+CORPUS_SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL_CORPUS", "512"))
 SCALE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "128"))
 
 
@@ -181,8 +184,86 @@ def run_scaling() -> dict:
     }
 
 
+def _scaled_docs(spark, sf_dir: str, repl: int):
+    """Deterministically replicate the documents table `repl` times with
+    distinct doc_ids and a per-replica text suffix (so replicas are NOT
+    exact duplicates and the dedup key space stays realistic)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    docs = docs.repartition(SCALE_PARTITIONS, "doc_id")
+    if repl > 1:
+        docs = (
+            docs.withColumn(
+                "_r", F.explode(F.sequence(F.lit(0), F.lit(repl - 1)))
+            )
+            .select(
+                (
+                    F.col("doc_id")
+                    + F.col("_r").cast("bigint") * F.lit(100_000_000).cast("bigint")
+                ).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" r"), F.col("_r")).alias("text"),
+                "lang",
+            )
+        )
+    return docs
+
+
+def run_scaling_corpus() -> dict:
+    """Second scaling protocol: the corpus-curation hot path (repetition
+    scoring + PII redaction + exact dedup) at task-slot counts N and 4N —
+    evidence that the training-data side of the engine, not just the
+    geocode flagship, meets the >=0.8 efficiency criterion. Same identical
+    input and plan at both levels; the pipeline is two Arrow projections
+    (zero shuffle) plus one hash-groupBy (the dedup shuffle)."""
+    lo = max(2, CPUS // 8)
+    hi = max(2 * lo, CPUS // 2)
+    res = {}
+    for cpus in (lo, hi):
+        spark = _session(cpus, f"geocode-spark-scaling-corpus-{cpus}")
+        spark.conf.set("spark.sql.shuffle.partitions", str(SCALE_PARTITIONS))
+        spark.sparkContext.setLogLevel("ERROR")
+        from geocode_spark.textops.corpusops import doc_repetition
+        from geocode_spark.textops.dedup import dedup_exact
+        from geocode_spark.textops.textstats import pii_redact
+
+        docs = _scaled_docs(spark, SF_DIR, CORPUS_SCALE_REPL)
+        n = docs.count()
+
+        def _run():
+            _force_full(doc_repetition(docs))
+            _force_full(pii_redact(docs))
+            _force_full(dedup_exact(docs))
+
+        _run()  # warm: codegen + python workers + page cache
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _run()
+            best = min(best, time.perf_counter() - t0)
+        res[cpus] = {"sec": round(best, 4),
+                     "docs_per_sec": round(n / best, 1), "docs_in": n}
+        spark.stop()
+    speedup = res[lo]["sec"] / res[hi]["sec"]
+    eff = speedup / (hi / lo)
+    return {
+        "metric": "corpus-curation scaling efficiency (local[%d] -> local[%d])"
+                  % (lo, hi),
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "levels": res,
+        "speedup": round(speedup, 3),
+        "repl": CORPUS_SCALE_REPL,
+        "sf_dir": SF_DIR,
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-corpus" in sys.argv:
+        print(json.dumps(run_scaling_corpus()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
