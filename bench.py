@@ -88,14 +88,11 @@ def run_bench() -> dict:
                      "BENCH_DETAIL.json"), "w"
     ) as f:
         json.dump(detail, f, indent=1)
+    # compact stdout line = detail minus the rows map, times at 3dp
     out = {
-        "metric": "total headline-query wall time",
-        "value": total,
-        "unit": "sec",
+        **{k: v for k, v in detail.items() if k != "rows"},
         "n_queries": len(qtimes),
         "queries": {k: round(v, 3) for k, v in qtimes.items()},
-        "sf": sf,
-        "cpus": CPUS,
     }
     spark.stop()
     return out

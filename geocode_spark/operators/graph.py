@@ -333,17 +333,28 @@ def cc_star(nodes: DataFrame, edges: DataFrame,
 
 
 # deterministic deep random forest: node i>0 takes parent
-# (13 i^2 + 7 i + 5) mod i  (uniform-ish in [0, i) -> expected depth ~ln i),
-# except roots at i % TREE_CUT_MOD == 0 — a forest of ~n/TREE_CUT_MOD deep
-# random trees; component min == root by construction (parents are smaller).
+# ((i * KNUTH + 40503) mod MERSENNE) mod i — a multiplicative hash, NOT a
+# polynomial in i (a polynomial p(i) mod i collapses algebraically to its
+# constant term, degenerating the forest to a shallow star; round-3 review
+# finding). The hash is uniform-ish in [0, i), giving expected root-path
+# depth ~ln i (~8 levels at 5k nodes — pinned by test_graph). Roots at
+# i % TREE_CUT_MOD == 0 cut the forest into ~n/TREE_CUT_MOD trees;
+# component min == root by construction (parents are strictly smaller).
 TREE_CUT_MOD = 101
+TREE_HASH_A = 2654435761  # Knuth multiplicative constant
+TREE_HASH_B = 40503
+TREE_HASH_M = 2147483647  # 2^31 - 1
 
 
 def deep_tree_graph(docs: DataFrame) -> DataFrame:
     did = F.col("doc_id")
     return docs.filter((did > 0) & (did % TREE_CUT_MOD != 0)).select(
         did.alias("src"),
-        ((did * did * 13 + did * 7 + 5) % did).alias("dst"),
+        (
+            (did * F.lit(TREE_HASH_A).cast("bigint") + F.lit(TREE_HASH_B))
+            % TREE_HASH_M
+            % did
+        ).alias("dst"),
     )
 
 
@@ -359,7 +370,8 @@ WITH RECURSIVE
 nodes AS (SELECT doc_id FROM {source}),
 e AS (
   SELECT doc_id AS child,
-         (doc_id * doc_id * 13 + doc_id * 7 + 5) % doc_id AS parent
+         ((doc_id * {TREE_HASH_A} + {TREE_HASH_B}) % {TREE_HASH_M}) % doc_id
+           AS parent
   FROM {source}
   WHERE doc_id > 0 AND doc_id % {TREE_CUT_MOD} != 0
 ),

@@ -171,7 +171,7 @@ def knn_bruteforce(points: DataFrame, candidates: DataFrame, k: int = 3,
     candidate side fits in a broadcast (the locator contract). The collect is
     SIZE-GUARDED (same contract as similarity.ann_topk): past
     `max_candidate_rows` it raises instead of OOMing the driver — use
-    knn_cells for large candidate sets. Instead of materializing the
+    knn_cell for large candidate sets. Instead of materializing the
     cross-join as
     |P|*|C| shuffle rows and window-sorting them, each Arrow batch of query
     points computes the full distance matrix in numpy and emits only k rows
@@ -192,7 +192,7 @@ def knn_bruteforce(points: DataFrame, candidates: DataFrame, k: int = 3,
     if len(cand) > max_candidate_rows:
         raise ValueError(
             f"knn_bruteforce candidate side exceeds the broadcast guard "
-            f"({max_candidate_rows} rows); use knn_cells for large "
+            f"({max_candidate_rows} rows); use knn_cell for large "
             f"candidate sets"
         )
     order = np.argsort(cand["cand_id"].to_numpy(), kind="stable")

@@ -46,31 +46,42 @@ def _drain_partitions(spark: SparkSession):
 
 
 def _events_source(spark: SparkSession, sf_dir: str, root: str) -> str:
-    """Write the events table as 2 stream-source files (ts normalized to the
-    session-TZ timestamp type the stream schema declares)."""
+    """Write the events table as 2 TIME-SPLIT stream-source files.
+
+    The split must be explicit (round-3 review: the events table is one
+    small parquet file -> one scan partition, so a bare coalesce(2) yields
+    ONE output file and the drain would run as a single micro-batch,
+    leaving the cross-batch state path unexercised). The two halves are
+    written SEQUENTIALLY around the median event time — FileStreamSource
+    orders files by modification time, so micro-batch 1 carries the earlier
+    half and batch 2 the later half, the per-user cross-batch order
+    contract under which streaming equals batch."""
     src = f"{root}/src"
-    (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select(
-            "event_id",
-            F.col("ts").cast("timestamp").alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
-        )
-        .coalesce(2)
-        .write.parquet(src)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
     )
+    ts_us = F.unix_micros(F.col("ts"))
+    cut = events.agg(
+        F.percentile_approx(ts_us, F.lit(0.5)).alias("cut")
+    ).collect()[0][0]
+    events.filter(ts_us <= cut).coalesce(1).write.mode("append").parquet(src)
+    events.filter(ts_us > cut).coalesce(1).write.mode("append").parquet(src)
     return src
 
 
-def drained_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def drained_sessionize(spark: SparkSession, sf_dir: str,
+                       root: str | None = None) -> DataFrame:
     """applyInPandasWithState sessionization drained over 2 micro-batches;
-    equals operators.temporal.sessionize row-for-row (same oracle)."""
+    equals operators.temporal.sessionize row-for-row (same oracle). `root`
+    (tests) pins the run directory so the checkpoint can be inspected."""
     from .sessions import read_events_stream, stream_sessionize
 
-    root = tempfile.mkdtemp(prefix="gs_drain_sessionize_")
+    root = root or tempfile.mkdtemp(prefix="gs_drain_sessionize_")
     src = _events_source(spark, sf_dir, root)
     with _drain_partitions(spark):
         q = (

@@ -331,7 +331,11 @@ def decontaminate(docs: DataFrame,
     n_hits = distinct benchmark 3-grams the doc contains."""
     from .dedup import with_shingles
 
-    sh = with_shingles(docs)
+    # persist: the exploded shingle relation feeds BOTH the banned side and
+    # the hits side, and Catalyst does not materialize common subtrees —
+    # without it the Arrow shingle kernel runs twice over the corpus (the
+    # same trap ngram_jaccard_pairs documents and fixes the same way)
+    sh = with_shingles(docs).persist()
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     banned = (
         ex.filter(F.col("doc_id") % bench_mod == 0)

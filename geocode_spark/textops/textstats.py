@@ -220,21 +220,38 @@ def pii_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
-def pii_redact(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_emails, n_phones, clean_md5): match counts + md5 of the
-    text with every email -> <EMAIL> and phone -> <PHONE>. Pure Catalyst
-    regex projection — zero shuffle, zero Python."""
-    t = F.col("text")
+def with_pii_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """THE shared redaction kernel: match counts (computed on the ORIGINAL
+    text) + the text column rewritten email->-<EMAIL> then phone-><PHONE>.
+    Both the oracle-gated pii_redact query and jobs/curation_job.py go
+    through this one function so the shipped corpus can never drift from
+    the gated semantics (pattern constants, count-on-original, replace
+    order)."""
+    t = F.col(text_col)
     clean = F.regexp_replace(
         F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
     )
-    return docs.select(
-        "doc_id",
-        F.size(F.regexp_extract_all(t, F.lit(f"({EMAIL_RE})"), 1))
-        .cast("bigint").alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(f"({PHONE_RE})"), 1))
-        .cast("bigint").alias("n_phones"),
-        F.md5(clean).alias("clean_md5"),
+    return (
+        df.withColumn(
+            "n_emails",
+            F.size(F.regexp_extract_all(t, F.lit(f"({EMAIL_RE})"), 1))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "n_phones",
+            F.size(F.regexp_extract_all(t, F.lit(f"({PHONE_RE})"), 1))
+            .cast("bigint"),
+        )
+        .withColumn(text_col, clean)
+    )
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_phones, clean_md5): match counts + md5 of the
+    redacted text. Pure Catalyst regex projection — zero shuffle, zero
+    Python."""
+    return with_pii_columns(docs).select(
+        "doc_id", "n_emails", "n_phones", F.md5("text").alias("clean_md5")
     )
 
 

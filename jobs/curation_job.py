@@ -76,40 +76,32 @@ def main(argv=None) -> int:
         doc_repetition,
         stratified_sample,
     )
-    from geocode_spark.textops.textstats import EMAIL_RE, PHONE_RE
+    from geocode_spark.textops.textstats import with_pii_columns
 
     t0 = time.perf_counter()
     docs = spark.read.parquet(args.documents)
     n_in = docs.count()
 
-    # 1. decontamination (also excludes the benchmark docs themselves)
-    decon = decontaminate(docs, bench_mod=args.bench_mod)
+    # 1. decontamination (also excludes the benchmark docs themselves).
+    # persist: the relation feeds the summary count AND the survivors join
+    # — without it the n-gram overlap pipeline re-runs per consumer.
+    decon = decontaminate(docs, bench_mod=args.bench_mod).persist()
     clean_ids = decon.filter(F.col("is_contaminated") == 0).select("doc_id")
     n_benchmark = docs.filter(F.col("doc_id") % args.bench_mod == 0).count()
     n_contaminated = decon.filter(F.col("is_contaminated") == 1).count()
 
-    # 2. repetition filter
+    # 2. repetition filter (persisted for the same two-consumer reason)
     keep_rep = doc_repetition(docs).filter(
         F.col("repetition_ratio") <= args.max_repetition
-    ).select("doc_id")
+    ).select("doc_id").persist()
     n_repetitive = (n_in - keep_rep.count())
 
     survivors = docs.join(clean_ids, "doc_id").join(keep_rep, "doc_id")
 
-    # 3. PII redaction on the survivors (audit counts kept as columns)
-    t = F.col("text")
-    redacted = survivors.withColumn(
-        "n_emails",
-        F.size(F.regexp_extract_all(t, F.lit(f"({EMAIL_RE})"), 1)).cast("bigint"),
-    ).withColumn(
-        "n_phones",
-        F.size(F.regexp_extract_all(t, F.lit(f"({PHONE_RE})"), 1)).cast("bigint"),
-    ).withColumn(
-        "text",
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-        ),
-    )
+    # 3. PII redaction on the survivors — the SAME kernel as the
+    # oracle-gated pii_redact query (textstats.with_pii_columns), so the
+    # shipped corpus cannot drift from the gated semantics
+    redacted = with_pii_columns(survivors)
 
     # 4. optional per-language downsampling
     if args.sample:
@@ -128,6 +120,8 @@ def main(argv=None) -> int:
         log=lambda m: print(m, file=sys.stderr),
     )
     n_out = spark.read.parquet(f"{args.output}/curated").count()
+    decon.unpersist()
+    keep_rep.unpersist()
 
     print(json.dumps({
         "status": "ok",

@@ -149,12 +149,35 @@ def test_cc_star_matches_pointer_jumping_on_chain(spark, docs):
 def test_deep_components_oracle(spark, docs):
     """cc_star on the deep random forest vs the recursive-CTE oracle."""
     from geocode_spark.operators.graph import (
+        TREE_CUT_MOD,
         deep_components,
         deep_components_oracle_sql,
+        deep_tree_graph,
     )
 
     got = deep_components(docs).toPandas()
     want = duck_to_pdf(deep_components_oracle_sql("documents"), SF_DIR)
     assert_frames_match(got, want, label="deep_components")
-    # the forest is genuinely deep and multi-component
     assert got["component_id"].nunique() > 1
+
+    # the forest must be GENUINELY deep (round-3 review: a polynomial parent
+    # formula collapsed algebraically to a constant, making the 'deep' gate
+    # a shallow star): follow parent pointers in pandas and require real
+    # root-path depth, not just multiple components
+    edges = deep_tree_graph(docs).toPandas()
+    parent = dict(zip(edges["src"], edges["dst"]))
+    max_depth = 0
+    for node in parent:
+        d, j = 0, node
+        while j in parent and d < 10_000:
+            j = parent[j]
+            d += 1
+        max_depth = max(max_depth, d)
+    assert max_depth >= 6, f"forest max depth {max_depth} — not deep"
+    # every chain terminates at a cut root or node 0
+    assert all(
+        (j % TREE_CUT_MOD == 0) or (j == 0)
+        for j in set(
+            got["component_id"]
+        )
+    )

@@ -166,7 +166,7 @@ def test_knn_bruteforce_candidate_collect_is_guarded(spark, fixtures_dir):
     pts = spark.createDataFrame(
         [("ok", 425000.0, 4450000.0)], "primary_key string, x double, y double"
     )
-    with pytest.raises(ValueError, match="knn_cells"):
+    with pytest.raises(ValueError, match="knn_cell"):
         knn_bruteforce(pts, cands, k=1, max_candidate_rows=5)
     # guard sized just above the table: identical answer to the default path
     n = cands.count()

@@ -188,3 +188,22 @@ def test_stream_sessionize_multi_chunk_group_sorts_globally(spark, tmp_path):
     want = sessionize(events).toPandas()
     assert_frames_match(got, want, label="stream_sessionize_chunks")
     assert got["session_idx"].nunique() == 3
+
+
+def test_drained_sessionize_runs_multiple_micro_batches(spark, tmp_path):
+    """Round-3 review: a single-file source would drain in ONE micro-batch,
+    making the drained gate's cross-batch claim vacuous (coalesce on a
+    1-partition read cannot split). Pin that the drained run commits >= 2
+    micro-batches AND still equals the batch operator."""
+    from geocode_spark.operators.temporal import sessionize
+    from geocode_spark.streaming.drained import drained_sessionize
+
+    root = str(tmp_path / "drain")
+    got = drained_sessionize(spark, SF_DIR, root=root).toPandas()
+    committed = [
+        f for f in os.listdir(f"{root}/ckpt/offsets") if not f.startswith(".")
+    ]
+    assert len(committed) >= 2, f"only micro-batches {committed} committed"
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = sessionize(events).toPandas()
+    assert_frames_match(got, want, label="drained_sessionize_batches")
