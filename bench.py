@@ -211,10 +211,12 @@ def _scaled_docs(spark, sf_dir: str, repl: int):
 def run_scaling_corpus() -> dict:
     """Second scaling protocol: the corpus-curation hot path (repetition
     scoring + PII redaction + exact dedup) at task-slot counts N and 4N —
-    evidence that the training-data side of the engine, not just the
-    geocode flagship, meets the >=0.8 efficiency criterion. Same identical
-    input and plan at both levels; the pipeline is two Arrow projections
-    (zero shuffle) plus one hash-groupBy (the dedup shuffle)."""
+    measures how the training-data side of the engine scales (recorded in
+    BASELINE.md: 0.769, right at this box's 0.77 pure-multiprocessing
+    ceiling; the geocode flagship protocol is the north-rule >=0.8
+    criterion-bearer). Same identical input and plan at both levels; the
+    pipeline is two Arrow projections (zero shuffle) plus one hash-groupBy
+    (the dedup shuffle)."""
     lo = max(2, CPUS // 8)
     hi = max(2 * lo, CPUS // 2)
     res = {}

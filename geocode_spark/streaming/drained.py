@@ -56,6 +56,8 @@ def _events_source(spark: SparkSession, sf_dir: str, root: str) -> str:
     orders files by modification time, so micro-batch 1 carries the earlier
     half and batch 2 the later half, the per-user cross-batch order
     contract under which streaming equals batch."""
+    from pyspark.sql.window import Window
+
     src = f"{root}/src"
     events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id",
@@ -65,12 +67,22 @@ def _events_source(spark: SparkSession, sf_dir: str, root: str) -> str:
         "value",
         "props",
     )
-    ts_us = F.unix_micros(F.col("ts"))
-    cut = events.agg(
-        F.percentile_approx(ts_us, F.lit(0.5)).alias("cut")
-    ).collect()[0][0]
-    events.filter(ts_us <= cut).coalesce(1).write.mode("append").parquet(src)
-    events.filter(ts_us > cut).coalesce(1).write.mode("append").parquet(src)
+    # split by RANK, not by a median value: a value cut degenerates to one
+    # non-empty half whenever >=50% of events tie at the max timestamp
+    # (ingest-stamped imports), silently re-creating the single-batch
+    # vacuousness. The rank split guarantees both halves non-empty for any
+    # n >= 2. The global window is one task — fine for a gate-sized input;
+    # production streams never take this path.
+    w = Window.orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
+    ranked = events.withColumn("_rn", F.row_number().over(w))
+    n = ranked.count()
+    if n < 2:
+        raise ValueError(f"events source has {n} rows — cannot 2-batch split")
+    half = n // 2
+    first = ranked.filter(F.col("_rn") <= half).drop("_rn")
+    second = ranked.filter(F.col("_rn") > half).drop("_rn")
+    first.coalesce(1).write.mode("append").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
     return src
 
 
@@ -129,11 +141,20 @@ def _pages_stream_source(spark: SparkSession, fixtures_dir: str) -> str:
     column pruning already avoids."""
     import hashlib
 
-    key = hashlib.md5(fixtures_dir.encode()).hexdigest()[:12]
+    # cache key includes the source file's (mtime, size) fingerprint, so a
+    # regenerated fixture corpus invalidates the staging automatically; the
+    # staged dir is written to a private tmp path and atomically rename()d
+    # in, so concurrent runs never observe a half-written source.
+    pages_path = f"{fixtures_dir}/pages.parquet"
+    st = os.stat(pages_path)
+    key = hashlib.md5(
+        f"{fixtures_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
     src = f"{tempfile.gettempdir()}/gs_drain_pages_{key}"
     if not os.path.exists(f"{src}/_SUCCESS"):
+        tmp = f"{src}.tmp-{os.getpid()}"
         (
-            spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+            spark.read.parquet(pages_path)
             .select(
                 "url",
                 "warc_ts",
@@ -143,8 +164,16 @@ def _pages_stream_source(spark: SparkSession, fixtures_dir: str) -> str:
             )
             .coalesce(2)
             .write.mode("overwrite")
-            .parquet(src)
+            .parquet(tmp)
         )
+        try:
+            os.rename(tmp, src)
+        except OSError:
+            # another process won the race; its copy is complete (rename is
+            # atomic and only happens after a full write)
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return src
 
 

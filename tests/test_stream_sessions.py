@@ -204,6 +204,16 @@ def test_drained_sessionize_runs_multiple_micro_batches(spark, tmp_path):
         f for f in os.listdir(f"{root}/ckpt/offsets") if not f.startswith(".")
     ]
     assert len(committed) >= 2, f"only micro-batches {committed} committed"
+    # both source halves must carry rows (a value-based split can leave the
+    # second half empty under timestamp ties — the rank split cannot)
+    import glob
+
+    import pandas as pd
+
+    halves = sorted(glob.glob(f"{root}/src/part-*.parquet"))
+    assert len(halves) == 2
+    for h in halves:
+        assert len(pd.read_parquet(h)) > 0, f"empty stream-source half {h}"
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     want = sessionize(events).toPandas()
     assert_frames_match(got, want, label="drained_sessionize_batches")
