@@ -552,3 +552,137 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+# ------------------------------------------------------- incremental dedup
+# The production incremental-ingest scenario: an EXISTING canonical corpus
+# and a NEW crawl batch; every new doc near-duplicating an existing doc is
+# dropped before it ever enters the corpus. Candidate generation is the
+# same banded-MinHash equi-join as minhash_lsh_pairs, restricted to
+# CROSS-source pairs (existing bands x new bands — never existing x
+# existing, the whole point of incremental over full-corpus dedup: the big
+# side is touched once for signatures and no intra-side pairs are
+# generated). Exact-Jaccard verification on candidates only; match =
+# lowest-id qualifying existing doc (deterministic).
+INCR_NEW_MOD = 3  # query-form split: doc_id % 3 == 0 is the "new crawl"
+INCR_COPY_MOD = 7  # 1-in-7 existing docs get an injected copy in the batch
+INCR_COPY_OFFSET = 3_000_000
+
+
+def incremental_dedup(new_docs: DataFrame, existing_docs: DataFrame,
+                      threshold: float = 0.8) -> DataFrame:
+    """(doc_id, is_dup, match_id) for every NEW doc: is_dup=1 with the
+    lowest-id existing match when some existing doc has word-3-gram
+    Jaccard >= threshold; (0, NULL) otherwise."""
+    sh_ex = with_shingles(existing_docs).persist()
+    sh_new = with_shingles(new_docs).persist()
+    sig = lambda sh: sh.withColumn("sig", minhash_signature("shingles"))
+
+    def bands(sh, side):
+        return sig(sh).select(
+            F.col("doc_id").alias(f"{side}_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            *[
+                                F.get("sig", b * BAND_ROWS + r).alias(f"k{r}")
+                                for r in range(BAND_ROWS)
+                            ],
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(f"{side}_id", "bk.*")
+
+    keys = ["band"] + [f"k{r}" for r in range(BAND_ROWS)]
+    cand = (
+        bands(sh_ex, "ex").join(bands(sh_new, "new"), keys)
+        .select("ex_id", "new_id")
+        .distinct()
+    )
+    v = (
+        cand.join(
+            sh_ex.select(F.col("doc_id").alias("ex_id"),
+                         F.col("shingles").alias("sh_a"),
+                         F.col("n_sh").alias("n_a")),
+            "ex_id",
+        )
+        .join(
+            sh_new.select(F.col("doc_id").alias("new_id"),
+                          F.col("shingles").alias("sh_b"),
+                          F.col("n_sh").alias("n_b")),
+            "new_id",
+        )
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common.cast("double") / (
+        F.col("n_a") + F.col("n_b") - common
+    ).cast("double")
+    matches = (
+        v.filter(jac >= threshold)
+        .groupBy("new_id")
+        .agg(F.min("ex_id").alias("match_id"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(matches, new_docs.doc_id == matches.new_id, "left")
+        .select(
+            "doc_id",
+            (F.col("match_id").isNotNull()).cast("int").alias("is_dup"),
+            F.col("match_id").cast("bigint").alias("match_id"),
+        )
+    )
+
+
+def incremental_split(docs: DataFrame):
+    """Query-form derivation: existing = doc_id % 3 != 0; new batch =
+    doc_id % 3 == 0 PLUS injected verbatim copies of 1-in-7 existing docs
+    (id + 3e6) — identically derived in both engines, because the raw split
+    contains no cross-side near-dups to exercise."""
+    did = F.col("doc_id")
+    existing = docs.filter(did % INCR_NEW_MOD != 0).select("doc_id", "text")
+    new = docs.filter(did % INCR_NEW_MOD == 0).select("doc_id", "text")
+    copies = existing.filter(did % INCR_COPY_MOD == 0).select(
+        (did + INCR_COPY_OFFSET).alias("doc_id"), "text"
+    )
+    return new.unionByName(copies), existing
+
+
+def incremental_dedup_oracle_sql(source: str,
+                                 threshold: float = 0.8) -> str:
+    """Brute-force cross-side Jaccard — the semantic ground truth for the
+    banded cross-join (recall 1 to ~1e-13 at the >=0.85 pairs the split
+    contains, exactly the minhash_lsh_pairs argument)."""
+    return f"""
+WITH existing AS (
+  SELECT doc_id, text FROM {source} WHERE doc_id % {INCR_NEW_MOD} != 0
+),
+newdocs AS (
+  SELECT doc_id, text FROM {source} WHERE doc_id % {INCR_NEW_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {INCR_COPY_OFFSET} AS doc_id, text FROM existing
+  WHERE doc_id % {INCR_COPY_MOD} = 0
+),
+exsh AS (
+  SELECT doc_id, {_shingles_sql('text')} AS sh FROM existing
+),
+newsh AS (
+  SELECT doc_id, {_shingles_sql('text')} AS sh FROM newdocs
+),
+matches AS (
+  SELECT b.doc_id AS new_id, CAST(min(a.doc_id) AS BIGINT) AS match_id
+  FROM exsh a JOIN newsh b
+    ON len(list_intersect(a.sh, b.sh)) > 0
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+               AS DOUBLE) >= {threshold!r}
+  GROUP BY b.doc_id
+)
+SELECT n.doc_id,
+       CASE WHEN m.match_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+       m.match_id
+FROM newdocs n LEFT JOIN matches m ON m.new_id = n.doc_id
+"""

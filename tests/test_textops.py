@@ -443,3 +443,29 @@ def test_ann_ivf_kmeans_zero_iters_equals_seeded(spark, emb):
         a[cols].sort_values(["vec_id", "rank"]).reset_index(drop=True),
         b[cols].sort_values(["vec_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_incremental_dedup_flags_cross_corpus_copies(spark, docs):
+    """Every injected copy of an existing doc must be flagged against its
+    source; new docs are never matched against other NEW docs (the
+    incremental contract: no intra-batch pairs)."""
+    from geocode_spark.textops.dedup import (
+        INCR_COPY_OFFSET,
+        INCR_NEW_MOD,
+        incremental_dedup,
+        incremental_split,
+    )
+
+    new, existing = incremental_split(docs.select("doc_id", "text"))
+    out = incremental_dedup(new, existing, threshold=0.8).toPandas()
+    assert len(out) == new.count()
+    inj = out[out["doc_id"] >= INCR_COPY_OFFSET]
+    assert len(inj) > 0
+    assert (inj["is_dup"] == 1).all()
+    # an injected verbatim copy matches its own source id (the minimum
+    # qualifying existing doc can only be <= the source, and the source
+    # always qualifies at jaccard 1.0)
+    assert (inj["match_id"] <= inj["doc_id"] - INCR_COPY_OFFSET).all()
+    # match ids always come from the EXISTING side
+    matched = out[out["is_dup"] == 1]
+    assert (matched["match_id"] % INCR_NEW_MOD != 0).all()
