@@ -133,39 +133,65 @@ def drained_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pages_stream_source(spark: SparkSession, fixtures_dir: str) -> str:
-    """Stage the pages table as 2 stream-source files, REUSED across calls
-    (keyed by fixtures_dir — the fixture corpus is immutable). The html
-    binary column is nulled at the staging boundary: the geocode pipeline
-    projects only (url, text), so shipping the payload bytes into the
-    stream source would be pure write amplification the batch plan's own
-    column pruning already avoids."""
+    """Stage the pages table as 2 RANK-SPLIT stream-source files, REUSED
+    across calls (keyed by fixtures_dir — the fixture corpus is immutable).
+
+    The split must be explicit, exactly like _events_source: the fixture
+    pages table is typically ONE small parquet file -> one scan partition,
+    so a bare coalesce(2) = min(2, 1) yields ONE output file and the drain
+    silently runs as a single micro-batch, leaving the cross-batch path
+    unexercised (round-3 verdict item #1 — a degenerate one-file staging
+    artifact was observed on disk). The two halves are split by row_number
+    over url (unique key, so both halves are non-empty for any n >= 2) and
+    written SEQUENTIALLY so FileStreamSource's mtime ordering assigns one
+    half per micro-batch.
+
+    The html binary column is nulled at the staging boundary: the geocode
+    pipeline projects only (url, text), so shipping the payload bytes into
+    the stream source would be pure write amplification the batch plan's
+    own column pruning already avoids."""
     import hashlib
 
+    from pyspark.sql.window import Window
+
     # cache key includes the source file's (mtime, size) fingerprint, so a
-    # regenerated fixture corpus invalidates the staging automatically; the
-    # staged dir is written to a private tmp path and atomically rename()d
-    # in, so concurrent runs never observe a half-written source.
+    # regenerated fixture corpus invalidates the staging automatically, and
+    # a staging-format version, so pre-rank-split (coalesce-based) dirs
+    # from older engine versions are never reused; the staged dir is
+    # written to a private tmp path and atomically rename()d in, so
+    # concurrent runs never observe a half-written source.
     pages_path = f"{fixtures_dir}/pages.parquet"
     st = os.stat(pages_path)
     key = hashlib.md5(
-        f"{fixtures_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+        f"{fixtures_dir}|{st.st_mtime_ns}|{st.st_size}|ranksplit-v2".encode()
     ).hexdigest()[:16]
     src = f"{tempfile.gettempdir()}/gs_drain_pages_{key}"
-    if not os.path.exists(f"{src}/_SUCCESS"):
+    if not os.path.exists(f"{src}/_HALVES_OK"):
         tmp = f"{src}.tmp-{os.getpid()}"
-        (
-            spark.read.parquet(pages_path)
-            .select(
-                "url",
-                "warc_ts",
-                F.lit(None).cast("binary").alias("html"),
-                "text",
-                "lang",
-            )
-            .coalesce(2)
-            .write.mode("overwrite")
-            .parquet(tmp)
+        pages = spark.read.parquet(pages_path).select(
+            "url",
+            "warc_ts",
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            "lang",
         )
+        # one-task global window — fine for a gate-sized staging input;
+        # production streams arrive pre-split into many files and never
+        # take this path.
+        w = Window.orderBy("url")
+        ranked = pages.withColumn("_rn", F.row_number().over(w))
+        n = ranked.count()
+        if n < 2:
+            raise ValueError(f"pages source has {n} rows — cannot 2-batch split")
+        half = n // 2
+        first = ranked.filter(F.col("_rn") <= half).drop("_rn")
+        second = ranked.filter(F.col("_rn") > half).drop("_rn")
+        first.coalesce(1).write.mode("append").parquet(tmp)
+        second.coalesce(1).write.mode("append").parquet(tmp)
+        # success marker distinct from Spark's _SUCCESS: set only after BOTH
+        # sequential half-writes committed.
+        with open(f"{tmp}/_HALVES_OK", "w") as fh:
+            fh.write("2")
         try:
             os.rename(tmp, src)
         except OSError:
@@ -177,14 +203,16 @@ def _pages_stream_source(spark: SparkSession, fixtures_dir: str) -> str:
     return src
 
 
-def drained_geocode(spark: SparkSession, fixtures_dir: str) -> DataFrame:
+def drained_geocode(spark: SparkSession, fixtures_dir: str,
+                    root: str | None = None) -> DataFrame:
     """foreachBatch incremental geocode drained over 2 micro-batches; equals
     the batch geocode_pages plan (same oracle) because a url lives in exactly
-    one file, so per-batch top-1 is global top-1."""
+    one file, so per-batch top-1 is global top-1. `root` (tests) pins the
+    run directory so the checkpoint's committed offsets can be inspected."""
     from ..plans.pipeline import load_locators
     from .stream import read_stream_results, stream_geocode
 
-    root = tempfile.mkdtemp(prefix="gs_drain_geocode_")
+    root = root or tempfile.mkdtemp(prefix="gs_drain_geocode_")
     src = _pages_stream_source(spark, fixtures_dir)
     with _drain_partitions(spark):
         q = stream_geocode(

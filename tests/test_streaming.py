@@ -168,3 +168,48 @@ def test_stream_dedup_pages(spark, fixtures_dir, tmp_path):
     assert got.select("fp_md5").distinct().count() == got.count()
     assert got.count() == n_distinct
     assert got.filter(F.col("url").endswith("#recrawl")).count() == 0
+
+
+def test_drained_geocode_runs_multiple_micro_batches(spark, fixtures_dir, tmp_path):
+    """Round-4 (verdict item #1): the pages drain previously staged its
+    source with a bare coalesce(2), which on a 1-partition read yields ONE
+    file -> ONE micro-batch, making the drained gate's cross-batch claim
+    vacuous. The staging is now an explicit rank split (row_number over url,
+    two sequential writes) — config-INDEPENDENT, so it holds under the
+    default 128 MB file-split config as much as under the test session's
+    small_input splits. Pin: >= 2 committed offsets, both staged halves
+    non-empty, and the drained result still equals the batch plan."""
+    import glob
+    import hashlib
+    import tempfile
+
+    import pandas as pd
+
+    from compare_util import assert_frames_match
+    from geocode_spark.streaming.drained import drained_geocode
+
+    # force a COLD staging cache: drop any previously staged source for this
+    # fixture fingerprint so the rank-split write path itself is exercised
+    pages_path = f"{fixtures_dir}/pages.parquet"
+    st = os.stat(pages_path)
+    key = hashlib.md5(
+        f"{fixtures_dir}|{st.st_mtime_ns}|{st.st_size}|ranksplit-v2".encode()
+    ).hexdigest()[:16]
+    staged = f"{tempfile.gettempdir()}/gs_drain_pages_{key}"
+    shutil.rmtree(staged, ignore_errors=True)
+
+    root = str(tmp_path / "drain")
+    got = drained_geocode(spark, fixtures_dir, root=root).toPandas()
+
+    committed = [
+        f for f in os.listdir(f"{root}/ckpt/offsets") if not f.startswith(".")
+    ]
+    assert len(committed) >= 2, f"only micro-batches {committed} committed"
+    halves = sorted(glob.glob(f"{staged}/part-*.parquet"))
+    assert len(halves) == 2, f"staging produced {len(halves)} files, want 2"
+    for h in halves:
+        assert len(pd.read_parquet(h)) > 0, f"empty stream-source half {h}"
+
+    pages = spark.read.parquet(pages_path)
+    want = geocode_pages(pages, load_locators(spark, fixtures_dir)).toPandas()
+    assert_frames_match(got, want, label="drained_geocode_batches")
