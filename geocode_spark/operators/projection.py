@@ -212,6 +212,69 @@ def utm_to_wgs84_cols(x: str = "x", y: str = "y",
     return {k: F.expr(v) for k, v in utm_to_wgs84_sql(x, y, params).items()}
 
 
+def stage_utm_to_wgs84(df: DataFrame, x: str = "x", y: str = "y",
+                       params: TMParams = _P_NATIVE,
+                       lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Add `lon`/`lat` columns via the inverse TM series with every Snyder
+    subterm (mu, phi1, sin/cos/tan, N1, R1, D) STAGED as a real column.
+
+    The one-expression form (utm_to_wgs84_sql) textually inlines phi1 — a
+    4-term trig series over mu — into every one of its ~20 uses, producing a
+    single expression whose generated Java exceeds janino's 64 KB method
+    limit; Spark then logs `ERROR CodeGenerator: Failed to compile` and
+    silently evaluates the whole stage interpreted (round-3 verdict item
+    #2 — correct, but paying interpreted per-row cost at scale). Staging
+    each subterm keeps every projection expression small enough that
+    whole-stage codegen can split them across methods. The ARITHMETIC per
+    output is identical to utm_to_wgs84_sql term for term, so the DuckDB
+    oracle (which evaluates the inlined form) still hash-matches after the
+    shared rounding.
+    """
+    p = params
+    e1, e2, ep2, a = p.e1, p.e2, p.ep2, p.a
+    t = "_tm_"  # staged-column prefix, dropped on exit
+    steps: list[tuple[str, str]] = [
+        (f"{t}mu", f"((({y}) - {_lit(p.false_northing)}) / {_lit(_K0 * p.m0)})"),
+        (f"{t}phi1",
+         f"({t}mu + {_lit(3 * e1 / 2 - 27 * e1**3 / 32)} * sin(2*{t}mu)"
+         f" + {_lit(21 * e1**2 / 16 - 55 * e1**4 / 32)} * sin(4*{t}mu)"
+         f" + {_lit(151 * e1**3 / 96)} * sin(6*{t}mu)"
+         f" + {_lit(1097 * e1**4 / 512)} * sin(8*{t}mu))"),
+        (f"{t}s1", f"sin({t}phi1)"),
+        (f"{t}c1", f"cos({t}phi1)"),
+        (f"{t}t1", f"(({t}s1/{t}c1) * ({t}s1/{t}c1))"),
+        (f"{t}cc1", f"({_lit(ep2)} * {t}c1 * {t}c1)"),
+        (f"{t}w", f"sqrt(1.0 - {_lit(e2)} * {t}s1 * {t}s1)"),
+        (f"{t}n1", f"({_lit(a)} / {t}w)"),
+        (f"{t}r1", f"({_lit(a * (1.0 - e2))} / ({t}w*{t}w*{t}w))"),
+        (f"{t}d", f"((({x}) - {_lit(_E0)}) / ({t}n1 * {_lit(_K0)}))"),
+        (f"{t}d2", f"({t}d*{t}d)"),
+    ]
+    lat_rad = (
+        f"({t}phi1 - ({t}n1 * ({t}s1/{t}c1) / {t}r1) * ({t}d2/2.0"
+        f" - (5.0 + 3.0*{t}t1 + 10.0*{t}cc1 - 4.0*{t}cc1*{t}cc1"
+        f" - {_lit(9 * ep2)}) * {t}d2*{t}d2/24.0"
+        f" + (61.0 + 90.0*{t}t1 + 298.0*{t}cc1 + 45.0*{t}t1*{t}t1"
+        f" - {_lit(252 * ep2)} - 3.0*{t}cc1*{t}cc1) * {t}d2*{t}d2*{t}d2/720.0))"
+    )
+    lon_rad = (
+        f"(radians({_lit(p.lon0_deg)}) + ({t}d - (1.0 + 2.0*{t}t1 + {t}cc1)"
+        f" * {t}d*{t}d2/6.0 + (5.0 - 2.0*{t}cc1 + 28.0*{t}t1"
+        f" - 3.0*{t}cc1*{t}cc1 + {_lit(8 * ep2)} + 24.0*{t}t1*{t}t1)"
+        f" * {t}d*{t}d2*{t}d2/120.0) / {t}c1)"
+    )
+    out = df
+    for name, sql in steps:
+        out = out.withColumn(name, F.expr(sql))
+    out = out.withColumns(
+        {
+            lon: F.expr(f"round(degrees({lon_rad}), {WGS84_DECIMALS})"),
+            lat: F.expr(f"round(degrees({lat_rad}), {WGS84_DECIMALS})"),
+        }
+    )
+    return out.drop(*[name for name, _ in steps])
+
+
 def wgs84_to_utm_cols(lon: str = "lon", lat: str = "lat",
                       params: TMParams = _P_NATIVE) -> dict[str, Column]:
     return {k: F.expr(v) for k, v in wgs84_to_utm_sql(lon, lat, params).items()}
@@ -227,13 +290,10 @@ def reproject_result(result: DataFrame, wkid: int = 4326) -> DataFrame:
         return result
     if wkid != 4326 and wkid != 3857:
         utm_params(wkid)  # validate early: raises ValueError on unknown wkid
-    ll = utm_to_wgs84_sql("x", "y")
-    # lon/lat staged as real columns: the forward series reads each operand
-    # many times, and Catalyst's CollapseProject keeps non-cheap multi-use
-    # aliases materialized instead of re-inlining the inverse expression.
-    staged = result.withColumns(
-        {"_lon": F.expr(ll["lon"]), "_lat": F.expr(ll["lat"])}
-    )
+    # lon/lat staged as real columns (the forward series reads each operand
+    # many times), and the inverse itself staged subterm-by-subterm so the
+    # whole plan stays inside whole-stage codegen (see stage_utm_to_wgs84).
+    staged = stage_utm_to_wgs84(result, "x", "y", lon="_lon", lat="_lat")
     t = _forward_exprs(wkid, "_lon", "_lat")
     ok = F.col("message").isNull()
     return staged.withColumns(

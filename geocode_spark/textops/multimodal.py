@@ -386,22 +386,36 @@ DHASH_MAX_HAMMING = 4
 _IMG_DUP_MOD = 9  # md5(url)-based deterministic exact-copy injection
 
 
-def _dhash_cols():
-    """60-bit byte-gradient hash expressions over the hex form of the
-    payload (pure Catalyst — the oracle builds the identical formula).
+def _dhash_sample_array():
+    """Array expression of the 61 evenly spaced sampled payload bytes
+    (pure Catalyst — the oracle builds the identical index arithmetic).
 
-    Sample 61 evenly spaced payload bytes; bit j = 1 iff byte[j+1] >
-    byte[j]; bit j lands at position 59-j. All index arithmetic is integer
-    (div), identical in both dialects."""
+    Staged as ONE array column by image_bytehash: inlining all 122
+    conv/substr calls into a single gradient-sum expression generates Java
+    beyond janino's 64 KB method limit (ERROR CodeGenerator + interpreted
+    fallback, round-3 verdict item #2). As a multi-use non-cheap alias the
+    array survives Catalyst's projection collapse, and each downstream
+    gradient bit is a tiny element_at comparison. All index arithmetic is
+    integer (div), identical in both dialects."""
     def byte_at(j):
         # 1-based byte index into the full blob, then hex-substr
         idx = f"({HEADER_BYTES} + 1 + (({j} * (nb - {HEADER_BYTES} - 1))"\
               f" div {DHASH_BITS}))"
         return f"CAST(conv(substr(hx, 2 * {idx} - 1, 2), 16, 10) AS BIGINT)"
 
+    return F.expr(
+        "array(" + ", ".join(byte_at(j) for j in range(DHASH_BITS + 1)) + ")"
+    )
+
+
+def _dhash_bits_from_array(arr: str = "_sb"):
+    """Gradient-bit sum over the staged sample array: bit j = 1 iff
+    byte[j+1] > byte[j], landing at position 59-j (same weights the
+    one-expression form used — value-identical to the oracle's inlined
+    formula)."""
     bits = " + ".join(
-        f"(CASE WHEN {byte_at(j + 1)} > {byte_at(j)} THEN "
-        f"CAST({1 << (DHASH_BITS - 1 - j)} AS BIGINT) ELSE 0 END)"
+        f"(CASE WHEN element_at({arr}, {j + 2}) > element_at({arr}, {j + 1})"
+        f" THEN CAST({1 << (DHASH_BITS - 1 - j)} AS BIGINT) ELSE 0 END)"
         for j in range(DHASH_BITS)
     )
     return F.expr(bits)
@@ -434,10 +448,11 @@ def image_bytehash(images: DataFrame) -> DataFrame:
         F.length("html").cast("bigint").alias("nb"),
     )
     ok = F.col("nb") >= HEADER_BYTES + 2
-    return h.select(
+    staged = h.withColumn("_sb", _dhash_sample_array())
+    return staged.select(
         "url",
         F.col("nb").alias("n_bytes"),
-        F.when(ok, _dhash_cols()).cast("bigint").alias("hash60"),
+        F.when(ok, _dhash_bits_from_array("_sb")).cast("bigint").alias("hash60"),
     )
 
 
