@@ -1,0 +1,55 @@
+"""Session-scoped persist registry (round-3 verdict item #3).
+
+Several query builders persist() a builder-local relation because it feeds
+two or more branches of the SAME returned plan (shingle relations feeding
+both join sides, the dhash signature relation) — without the persist,
+Catalyst's projection collapse re-inlines the expensive expression into
+every branch (recompute + codegen bloat). Those persists cannot be released
+inside the builder: the returned DataFrame is lazy, and the cache must be
+live when it finally executes. In a long-lived session they would therefore
+accumulate executor storage with no release path.
+
+Contract: every such builder registers its persist here via
+persist_tracked(); a long-lived session releases storage at natural
+boundaries (after a query's results are consumed, at job teardown, between
+benchmark suites) with clear_caches(). __spark_entry__.clear_caches() chains
+to this and additionally drops its own cross-query memo relations.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame
+
+_LOCK = threading.Lock()
+# strong refs on purpose: the builder-local Python object dies when the
+# builder returns, while its JVM-side cache entry lives on — a weakref
+# registry would lose the only handle that can unpersist it.
+_TRACKED: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """persist() a builder-local relation and register it for release."""
+    df = df.persist()
+    with _LOCK:
+        _TRACKED.append(df)
+    return df
+
+
+def clear_caches() -> int:
+    """Unpersist every tracked relation; returns how many were released.
+
+    Non-blocking unpersist: the cache-manager entry is dropped synchronously
+    (so re-planning stops using it) and block eviction proceeds async.
+    """
+    with _LOCK:
+        tracked, _TRACKED[:] = list(_TRACKED), []
+    released = 0
+    for df in tracked:
+        try:
+            df.unpersist(False)
+            released += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return released

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..lineage import truncate_lineage
 
 from .dedup import corpus_sql, minhash_lsh_pairs, ngram_jaccard_oracle_sql
@@ -335,7 +336,7 @@ def decontaminate(docs: DataFrame,
     # the hits side, and Catalyst does not materialize common subtrees —
     # without it the Arrow shingle kernel runs twice over the corpus (the
     # same trap ngram_jaccard_pairs documents and fixes the same way)
-    sh = with_shingles(docs).persist()
+    sh = persist_tracked(with_shingles(docs))
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     banned = (
         ex.filter(F.col("doc_id") % bench_mod == 0)

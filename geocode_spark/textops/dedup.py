@@ -35,6 +35,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType
 
+from ..caching import persist_tracked
+
 WS = r"\s+"
 
 # MinHash parameters (module constants — both engines, frozen).
@@ -244,7 +246,7 @@ def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
     not materialize common subtrees, so without it the Arrow shingle stage
     re-runs once per branch.
     """
-    sh = with_shingles(corpus).persist()
+    sh = persist_tracked(with_shingles(corpus))
     cand = ngram_prefix_candidates(sh, threshold)
 
     sa = sh.select(F.col("doc_id").alias("id_a"),
@@ -377,7 +379,7 @@ def minhash_lsh_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
 
     The shingle relation persist()s for the same reason as in
     ngram_jaccard_pairs: it feeds the band stage and both verify sides."""
-    sh = with_shingles(corpus).persist()
+    sh = persist_tracked(with_shingles(corpus))
     cand = minhash_band_candidates(sh)
 
     # exact verification on the candidate set only
@@ -475,7 +477,7 @@ def simhash_pairs(corpus: DataFrame,
 
     Signatures persist(): the relation feeds both sides of the chunk join and
     Spark would otherwise run the Arrow SimHash stage twice."""
-    sig = simhash_signatures(corpus).persist()
+    sig = persist_tracked(simhash_signatures(corpus))
     chunks = sig.select(
         "doc_id", "simhash",
         F.explode(
@@ -574,8 +576,8 @@ def incremental_dedup(new_docs: DataFrame, existing_docs: DataFrame,
     """(doc_id, is_dup, match_id) for every NEW doc: is_dup=1 with the
     lowest-id existing match when some existing doc has word-3-gram
     Jaccard >= threshold; (0, NULL) otherwise."""
-    sh_ex = with_shingles(existing_docs).persist()
-    sh_new = with_shingles(new_docs).persist()
+    sh_ex = persist_tracked(with_shingles(existing_docs))
+    sh_new = persist_tracked(with_shingles(new_docs))
     sig = lambda sh: sh.withColumn("sig", minhash_signature("shingles"))
 
     def bands(sh, side):

@@ -37,12 +37,15 @@ import struct
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
 from pyspark.sql.types import (
     LongType,
     StringType,
     StructField,
     StructType,
 )
+
+from ..caching import persist_tracked
 
 MAGIC = b"FIMG"
 MAGIC_HEX = "46494D47"
@@ -476,11 +479,10 @@ def image_hash_pairs(images: DataFrame,
     # the ~60-comparison dhash expression tree into every chunk branch
     # (recomputing the hash per reference and blowing up codegen) — same
     # reason dedup persists its shingle relation
-    sig = (
+    sig = persist_tracked(
         image_bytehash(images)
         .filter(F.col("hash60").isNotNull())
         .select("url", "hash60")
-        .persist()
     )
     chunk_w = DHASH_BITS // DHASH_CHUNKS
     chunks = sig.select(
