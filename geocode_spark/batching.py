@@ -82,8 +82,8 @@ def _batch_metrics(spark: SparkSession, batch_dir: str) -> dict:
     if not os.path.isdir(batch_dir):
         # an EMPTY batch: partitionBy writes no directory for it — commit a
         # zero record (failure_rate 100 is the reference's div-by-zero rule)
-        return {"total": 0, "fail": 0, "success": 0, "failure_rate": 100,
-                "average_score": "n/a", "partitions": []}
+        return {"total": 0, "fail": 0, "success": 0, "score_sum": 0,
+                "failure_rate": 100, "average_score": "n/a", "partitions": []}
     df = spark.read.parquet(batch_dir)
     # geocode batches carry (message, score); any other relation (e.g. the
     # corpus job's canonical docs) still gets per-partition row lineage,
@@ -115,6 +115,7 @@ def _batch_metrics(spark: SparkSession, batch_dir: str) -> dict:
         "total": total,
         "fail": fail,
         "success": success,
+        "score_sum": score_sum,  # lets later runs aggregate averages exactly
         # ZeroDivisionError -> 100 (reference geocode.py:151-154)
         "failure_rate": round(100 * fail / total) if total else 100,
         "average_score": round(score_sum / success) if success else "n/a",
@@ -130,6 +131,7 @@ def run_resumable(
     key: str = "primary_key",
     resume: bool = True,
     log=print,
+    status_log=None,
 ) -> dict:
     """Execute `result_df` (an assembled, unexecuted 11-column geocode plan)
     as n_batches independently-committed, resumable batches.
@@ -148,9 +150,17 @@ def run_resumable(
     pure key function); non-deterministic inputs (``limit()``, sampling,
     ``rand()``) would give reruns inconsistent batch membership.
 
-    Returns a run summary {batches, skipped, total, fail, success, seconds}.
+    status_log (A4, reference geocode.py:150-162,256-258): optional callback
+    receiving the reference's three-line status block — cumulative Total
+    requests / Failure rate / Average score over every committed ledger —
+    after each batch commit (the distributed analog of the per-10k-row
+    cadence; per-ROW cadence comes from progress.ProgressReporter).
+
+    Returns a run summary {batches, skipped, total, fail, success,
+    score_sum, seconds}.
     """
     t0 = time.perf_counter()
+    _write_run_meta(spark, out_dir, n_batches)
     done = completed_batches(out_dir) if resume else set()
     pending = [k for k in range(n_batches) if k not in done]
     batched = with_batch_id(result_df, n_batches, key=key).withColumn(
@@ -160,13 +170,48 @@ def run_resumable(
         _write_pending_and_commit(
             spark,
             batched.filter(F.col("batch_id").isin(pending)),
-            out_dir, pending, n_batches, log,
+            out_dir, pending, n_batches, log, status_log=status_log,
         )
     return _summarize(out_dir, n_batches, sorted(done), t0)
 
 
+def _write_run_meta(spark, out_dir: str, n_batches: int) -> None:
+    """F8: stamp the run directory with engine identification — the
+    distributed analog of the reference's per-request client version header
+    (User-Agent at geocode.py:83-96). Underscore-prefixed, so Spark/DuckDB
+    parquet readers skip it. Every artifact a run produces is attributable:
+    per-batch ledgers carry engine/version per record; this sidecar carries
+    the run-level stamp."""
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, "_run_meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "engine": f"{ENGINE_NAME}/{__version__}",
+                "spark_version": spark.version,
+                "n_batches": n_batches,
+            },
+            fh,
+        )
+    os.replace(tmp, os.path.join(out_dir, "_run_meta.json"))
+
+
+def _emit_status(out_dir: str, n_batches: int, status_log) -> None:
+    """Cumulative log_status block over every committed ledger so far."""
+    from .progress import log_status_lines
+
+    total = fail = score_sum = 0
+    for k in completed_batches(out_dir):
+        with open(_ledger_path(out_dir, k)) as fh:
+            rec = json.load(fh)
+        total += rec["total"]
+        fail += rec["fail"]
+        score_sum += rec.get("score_sum", 0)
+    status_log(log_status_lines(total, fail, score_sum))
+
+
 def _write_pending_and_commit(spark, pending_df, out_dir, pending, n_batches,
-                              log) -> None:
+                              log, status_log=None) -> None:
     """The shared single-pass write + post-commit ledger step."""
     w0 = time.perf_counter()
     (
@@ -189,17 +234,20 @@ def _write_pending_and_commit(spark, pending_df, out_dir, pending, n_batches,
             f"batch {k}/{n_batches}: {record['total']} rows, "
             f"{record['fail']} failed (job {format_time(job_seconds)})"
         )
+        if status_log is not None:
+            _emit_status(out_dir, n_batches, status_log)
 
 
 def _summarize(out_dir: str, n_batches: int, skipped: list, t0: float) -> dict:
     summary = {"batches": n_batches, "skipped": skipped, "total": 0,
-               "fail": 0, "success": 0}
+               "fail": 0, "success": 0, "score_sum": 0}
     for k in range(n_batches):
         with open(_ledger_path(out_dir, k)) as fh:
             rec = json.load(fh)
         summary["total"] += rec["total"]
         summary["fail"] += rec["fail"]
         summary["success"] += rec["success"]
+        summary["score_sum"] += rec.get("score_sum", 0)
     summary["seconds"] = round(time.perf_counter() - t0, 3)
     return summary
 
@@ -243,6 +291,7 @@ def run_resumable_staged(
     key: str = "primary_key",
     resume: bool = True,
     log=print,
+    status_log=None,
 ) -> dict:
     """run_resumable over a bucket-aligned staged source: pending batches are
     read with partition pruning (only their directories are scanned), pushed
@@ -251,6 +300,7 @@ def run_resumable_staged(
     from the key after the transform — it is a pure key function, so staged
     assignment and output assignment always agree."""
     t0 = time.perf_counter()
+    _write_run_meta(spark, out_dir, n_batches)
     done = completed_batches(out_dir) if resume else set()
     pending = [k for k in range(n_batches) if k not in done]
     if pending:
@@ -260,7 +310,8 @@ def run_resumable_staged(
             LINEAGE_COL, F.spark_partition_id()
         )
         _write_pending_and_commit(
-            spark, batched, out_dir, pending, n_batches, log
+            spark, batched, out_dir, pending, n_batches, log,
+            status_log=status_log,
         )
     return _summarize(out_dir, n_batches, sorted(done), t0)
 

@@ -160,7 +160,7 @@ def _extract_parse_batch(text: pd.Series) -> pd.DataFrame:
 _extract_parse_udf = F.pandas_udf(_extract_parse_batch, _FULL_TYPE).asNondeterministic()
 
 
-def extract_and_parse(pages: DataFrame) -> DataFrame:
+def extract_and_parse(pages: DataFrame, progress_acc=None) -> DataFrame:
     """pages -> the geocode_parsed() input schema, in one Arrow stage.
 
     Produces exactly what operators.geocode.parse_input(cleanse_input(
@@ -168,10 +168,24 @@ def extract_and_parse(pages: DataFrame) -> DataFrame:
     two (the second boundary showed up as blocked executor time at high
     parallelism). zone_key stays a Catalyst expression on the materialized
     struct field.
+
+    progress_acc (A4, reference geocode.py:256-258): an optional Spark
+    accumulator receiving each Arrow batch's row count — the row-cadence
+    source for progress.ProgressReporter. It must be captured in the UDF
+    closure (counting_pandas_udf): forked Python workers re-import this
+    module, so a driver-set global would be None worker-side. Default path
+    reuses the module-level UDF unchanged.
     """
+    if progress_acc is not None:
+        from .progress import counting_pandas_udf
+
+        udf = counting_pandas_udf(_extract_parse_batch, _FULL_TYPE,
+                                  progress_acc)
+    else:
+        udf = _extract_parse_udf
     a = pages.select(
         F.col("url").cast("string").alias("primary_key"),
-        _extract_parse_udf(F.col("text")).alias("a"),
+        udf(F.col("text")).alias("a"),
     )
     return a.select(
         "primary_key",

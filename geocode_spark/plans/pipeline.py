@@ -49,15 +49,18 @@ def geocode_pages(
     locators: str = "all",
     pobox: bool = True,
     accept_score: int = 70,
+    progress_acc=None,
 ) -> DataFrame:
     """Flagship pipeline: web pages in, 11-column geocode results out.
 
     One output row per page (reference row-accounting, geocode.py:171-250);
     pages with no extractable address surface the F4 'Missing required
     parameters' failure (geocode.py:210-215). Extraction, cleansing and
-    grammar parsing run fused in ONE Arrow stage (extract_and_parse)."""
+    grammar parsing run fused in ONE Arrow stage (extract_and_parse).
+    progress_acc: optional row-count accumulator for A4 progress reporting
+    (see extraction.extract_and_parse / progress.ProgressReporter)."""
     return geocode_parsed(
-        extract_and_parse(pages),
+        extract_and_parse(pages, progress_acc=progress_acc),
         locators=locators,
         pobox=pobox,
         accept_score=accept_score,

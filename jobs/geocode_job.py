@@ -53,6 +53,9 @@ def parse_args(argv=None):
     p.add_argument("--ignore-failures", action="store_true",
                    help="disable the 25-row health probe abort (F1)")
     p.add_argument("--probe-count", type=int, default=25)
+    p.add_argument("--progress-every", type=int, default=10_000,
+                   help="rows between progress report lines (A4 cadence, "
+                        "reference geocode.py:256-258); 0 disables")
     return p.parse_args(argv)
 
 
@@ -80,12 +83,25 @@ def main(argv=None) -> int:
     from geocode_spark.operators.geocode import geocode
     from geocode_spark.plans.pipeline import geocode_pages, load_locators
 
+    from geocode_spark.progress import ProgressReporter, log_status_lines
+
     t0 = time.perf_counter()
+    reporter = None
+    # row-cadence reporting hooks the pages extraction kernel; the addresses
+    # path still gets per-batch status blocks via status_log below
+    if args.progress_every > 0 and args.pages:
+        reporter = ProgressReporter(
+            spark, every=args.progress_every,
+            log=lambda m: print(m, file=sys.stderr),
+        )
     kw = dict(locators=args.locators, pobox=args.pobox,
               accept_score=args.accept_score)
     locs = load_locators(spark, args.locators_dir)
     if args.pages:
-        result = geocode_pages(spark.read.parquet(args.pages), locs, **kw)
+        result = geocode_pages(
+            spark.read.parquet(args.pages), locs,
+            progress_acc=reporter.acc if reporter else None, **kw,
+        )
     else:
         # Reference CLI shape: header CSV, user-named id/street/zone columns
         # projected at the scan (geocode.py:324-344); all values read as
@@ -110,10 +126,24 @@ def main(argv=None) -> int:
         return 2
     print(f"probe: {probe['failed']}/{probe['probed']} failed", file=sys.stderr)
 
-    summary = run_resumable(
-        spark, result, args.output, n_batches=args.batches, resume=args.resume,
-        log=lambda m: print(m, file=sys.stderr),
-    )
+    def status_log(block):
+        # A4 cadence: the reference's three-line status block after each
+        # committed batch (geocode.py:150-162,256-258)
+        for line in block:
+            print(line, file=sys.stderr)
+
+    if reporter:
+        reporter.start()
+    try:
+        summary = run_resumable(
+            spark, result, args.output, n_batches=args.batches,
+            resume=args.resume,
+            log=lambda m: print(m, file=sys.stderr),
+            status_log=status_log,
+        )
+    finally:
+        if reporter:
+            reporter.stop()
     csv_out = None
     if args.csv_output:
         # Timestamped CSV sink (S4/S5 parity, geocode.py:168-174): header-on
@@ -130,7 +160,11 @@ def main(argv=None) -> int:
         )
 
     elapsed = time.perf_counter() - t0
-    print("Job Completed", file=sys.stderr)  # A5 parity, geocode.py:260
+    # A5 parity (geocode.py:260-261): 'Job Completed' then a final status block
+    print("Job Completed", file=sys.stderr)
+    for line in log_status_lines(summary["total"], summary["fail"],
+                                 summary["score_sum"]):
+        print(line, file=sys.stderr)
     print(json.dumps({
         "status": "ok",
         "output": args.output,
