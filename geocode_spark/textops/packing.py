@@ -1,0 +1,474 @@
+"""Corpus assembly ops: training-sequence packing + URL canonicalization.
+
+Beyond-reference training-data operators (SURVEY §2.8 family). The reference
+toolbox (a per-row geocoding HTTP client) has no analog; these are the ops a
+100 TB pretraining pipeline runs between curation and the trainer:
+
+- **sequence_pack** — GPT-style "concatenate then chunk" packing: documents
+  are concatenated in a deterministic order inside each shard and the token
+  stream is cut every `context_len` tokens; a document is described by the
+  span of training sequences it lands in. Pure window arithmetic (one
+  exchange on shard, cumulative sum, integer division) — no UDF, scales as
+  one shuffle of (doc_id, tok_count)-sized rows, never materializing text
+  concatenations.
+- **sequence_pack_greedy** — bin packing that never splits a document:
+  greedy first-fit in shard order, closing a sequence when the next document
+  would overflow. The fill state is a prefix recurrence (like sessionize
+  with a running-sum reset), not expressible in closed-form window algebra,
+  so it runs as a per-shard Arrow kernel; the loop is per-document within a
+  shard and shard size is operator-bounded (rows/shard = corpus/n_shards —
+  pick n_shards ∝ corpus size). Differentially gated against a DuckDB
+  recursive-CTE oracle computing the same recurrence.
+- **canonical_url / url_dedup** — crawl-frontier URL canonicalization
+  (case-fold scheme+host, strip default ports / fragments / tracking
+  params / trailing slash) and keep-lowest-key dedup per canonical URL.
+  Catalyst regex only; the dedup is one hash-groupBy on the canonical key.
+
+Sharding uses ``doc_id % n_shards``: deterministic, dialect-free in the
+oracle, and uniform over the synthetic corpus. A production pipeline would
+hash first (Spark xxhash64 has no DuckDB twin, which is why the oracle-gated
+form keeps the modulo).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .textstats import _ws_tokens_sql, token_count_cols
+
+DEFAULT_CONTEXT_LEN = 256
+DEFAULT_N_SHARDS = 8
+
+
+# --------------------------------------------------- concat-then-chunk pack
+def sequence_pack(docs: DataFrame, context_len: int = DEFAULT_CONTEXT_LEN,
+                  n_shards: int = DEFAULT_N_SHARDS) -> DataFrame:
+    """(doc_id, shard, tok_count, tok_end, first_seq, last_seq, seqs_spanned).
+
+    Within each shard, documents concatenate in doc_id order and the token
+    stream is chunked every `context_len` tokens. first_seq/last_seq are the
+    chunk indices the document's tokens fall into (documents may straddle a
+    boundary — the packed-pretraining convention); a zero-token document
+    spans no sequence (seqs_spanned 0, first_seq = last_seq = its insertion
+    point).
+
+    Plan shape: one exchange (hash partition by shard) + in-partition sort
+    for the running sum — the window carries only (doc_id, tok_count), so
+    the shuffle is metadata-sized relative to the corpus text.
+    """
+    toks = token_count_cols(F.col("text"))["n_tokens_ws"]
+    base = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("bigint").alias("shard"),
+        toks.alias("tok_count"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = F.lit(int(context_len))
+    packed = base.withColumn("tok_end", F.sum("tok_count").over(w))
+    start = F.col("tok_end") - F.col("tok_count")
+    return packed.select(
+        "doc_id",
+        "shard",
+        "tok_count",
+        "tok_end",
+        F.floor(start / c).cast("bigint").alias("first_seq"),
+        F.when(F.col("tok_count") > 0, F.floor((F.col("tok_end") - 1) / c))
+        .otherwise(F.floor(start / c))
+        .cast("bigint")
+        .alias("last_seq"),
+        F.when(
+            F.col("tok_count") > 0,
+            F.floor((F.col("tok_end") - 1) / c) - F.floor(start / c) + 1,
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("seqs_spanned"),
+    )
+
+
+def sequence_pack_oracle_sql(source: str = "documents",
+                             context_len: int = DEFAULT_CONTEXT_LEN,
+                             n_shards: int = DEFAULT_N_SHARDS) -> str:
+    toks = _ws_tokens_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % {n_shards} AS BIGINT) AS shard,
+         {toks} AS tok_count
+  FROM {source}
+), packed AS (
+  SELECT doc_id, shard, tok_count,
+         SUM(tok_count) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS tok_end
+  FROM base
+)
+SELECT doc_id, shard, tok_count, CAST(tok_end AS BIGINT) AS tok_end,
+       CAST((tok_end - tok_count) // {context_len} AS BIGINT) AS first_seq,
+       CAST(CASE WHEN tok_count > 0 THEN (tok_end - 1) // {context_len}
+                 ELSE (tok_end - tok_count) // {context_len} END
+            AS BIGINT) AS last_seq,
+       CAST(CASE WHEN tok_count > 0
+                 THEN (tok_end - 1) // {context_len}
+                      - (tok_end - tok_count) // {context_len} + 1
+                 ELSE 0 END AS BIGINT) AS seqs_spanned
+FROM packed"""
+
+
+# ------------------------------------------------------- greedy bin packing
+_GREEDY_TYPE = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("shard", LongType()),
+        StructField("tok_count", LongType()),
+        StructField("seq_idx", LongType()),
+        StructField("seq_fill", LongType()),
+    ]
+)
+
+
+def _greedy_pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy first-fit over one shard in order_key order (doc_id when no
+    explicit order column was given).
+
+    The recurrence per document: if the running fill + tok_count exceeds
+    context_len AND the sequence is non-empty, close the sequence (seq_idx +=
+    1, fill resets to tok_count); else accumulate. An oversized document
+    (tok_count > context_len) gets a sequence of its own. Python loop is
+    per-document within one shard — bounded by rows/shard, see module doc.
+    """
+    order = "order_key" if "order_key" in pdf.columns else "doc_id"
+    pdf = pdf.sort_values([order, "doc_id"]).reset_index(drop=True)
+    context_len = int(pdf["context_len"].iloc[0])
+    toks = pdf["tok_count"].to_numpy()
+    seq_idx = [0] * len(toks)
+    seq_fill = [0] * len(toks)
+    idx, fill = 0, 0
+    for i, t in enumerate(toks):
+        t = int(t)
+        if fill > 0 and fill + t > context_len:
+            idx += 1
+            fill = 0
+        fill += t
+        seq_idx[i] = idx
+        seq_fill[i] = fill
+    out = pdf[["doc_id", "shard", "tok_count"]].copy()
+    out["seq_idx"] = seq_idx
+    out["seq_fill"] = seq_fill
+    return out
+
+
+def sequence_pack_greedy(docs: DataFrame,
+                         context_len: int = DEFAULT_CONTEXT_LEN,
+                         n_shards: int = DEFAULT_N_SHARDS,
+                         order_col: str | None = None,
+                         shard_col: str | None = None) -> DataFrame:
+    """(doc_id, shard, tok_count, seq_idx, seq_fill) — greedy first-fit
+    packing that never splits a document across sequences.
+
+    By default shards on doc_id % n_shards and packs in doc_id order (the
+    oracle-gated form). Pass shard_col / order_col to pack an already
+    shuffled corpus (e.g. epoch_shuffle's shard / shard_pos) — the trainer
+    handoff in jobs/pack_job.py.
+    """
+    toks = token_count_cols(F.col("text"))["n_tokens_ws"]
+    shard = (
+        F.col(shard_col).cast("bigint") if shard_col
+        else F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("bigint")
+    )
+    cols = [
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        shard.alias("shard"),
+        toks.alias("tok_count"),
+        F.lit(int(context_len)).alias("context_len"),
+    ]
+    if order_col:
+        cols.append(F.col(order_col).cast("bigint").alias("order_key"))
+    return docs.select(*cols).groupBy("shard").applyInPandas(
+        _greedy_pack_shard, schema=_GREEDY_TYPE
+    )
+
+
+def sequence_pack_greedy_oracle_sql(source: str = "documents",
+                                    context_len: int = DEFAULT_CONTEXT_LEN,
+                                    n_shards: int = DEFAULT_N_SHARDS) -> str:
+    """The same greedy recurrence as a DuckDB recursive CTE.
+
+    Step i of the recursion joins shard-state after row i-1 with each
+    shard's i-th document; recursion depth = max rows per shard.
+    """
+    toks = _ws_tokens_sql("text")
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         CAST(doc_id % {n_shards} AS BIGINT) AS shard,
+         {toks} AS tok_count,
+         row_number() OVER (PARTITION BY doc_id % {n_shards}
+                            ORDER BY doc_id) AS rn
+  FROM {source}
+), walk AS (
+  SELECT doc_id, shard, tok_count, rn,
+         CAST(0 AS BIGINT) AS seq_idx,
+         CAST(tok_count AS BIGINT) AS seq_fill
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.doc_id, b.shard, b.tok_count, b.rn,
+         CAST(CASE WHEN w.seq_fill > 0
+                        AND w.seq_fill + b.tok_count > {context_len}
+                   THEN w.seq_idx + 1 ELSE w.seq_idx END AS BIGINT),
+         CAST(CASE WHEN w.seq_fill > 0
+                        AND w.seq_fill + b.tok_count > {context_len}
+                   THEN b.tok_count
+                   ELSE w.seq_fill + b.tok_count END AS BIGINT)
+  FROM walk w JOIN base b ON b.shard = w.shard AND b.rn = w.rn + 1
+)
+SELECT doc_id, shard, tok_count, seq_idx, seq_fill FROM walk"""
+
+
+# ------------------------------------------------------- mixture sampling
+DEFAULT_TOKEN_BUDGET = 20_000
+_MIX_BUCKETS = 10_000  # md5-bucket resolution (parts per 10k)
+
+
+def mixture_sample(docs: DataFrame,
+                   budget_tokens: int = DEFAULT_TOKEN_BUDGET,
+                   weights_ppk: dict[str, int] | None = None) -> DataFrame:
+    """(doc_id, source, tok_count): deterministic mixture-weighted sample.
+
+    The trainer-mixture op: given per-source weights (parts-per-1000;
+    default = uniform across the sources present) and a total token
+    budget, keep a deterministic md5-bucket sample of each source sized so
+    its expected token mass is ~budget * weight/1000. Fully lazy — the
+    per-source token totals are a metadata-sized aggregate joined back by
+    broadcast, not a driver collect.
+
+    Selection is integer-exact (no float threshold): doc kept iff
+    bucket < (budget * w * BUCKETS) // (1000 * src_tokens), where bucket =
+    md5(doc_id) mod BUCKETS. At extreme src_tokens (~1e12) the product
+    budget*w*BUCKETS needs ~decimal(38) headroom — Spark and the oracle
+    both compute it in int64 here, which holds to src_tokens ~9e5 TB-of-
+    tokens per source at the default budget resolution.
+    """
+    toks = token_count_cols(F.col("text"))["n_tokens_ws"]
+    base = docs.select("doc_id", "source", toks.alias("tok_count"))
+    per_src = base.groupBy("source").agg(
+        F.sum("tok_count").cast("bigint").alias("src_tokens")
+    )
+    if weights_ppk is None:
+        n_src = per_src.select(
+            F.count("*").cast("bigint").alias("n_src")
+        )
+        per_src = per_src.crossJoin(F.broadcast(n_src)).select(
+            "source", "src_tokens",
+            F.expr("CAST(1000 div n_src AS BIGINT)").alias("w_ppk"),
+        )
+    else:
+        w = F.lit(None).cast("bigint")
+        expr = None
+        for k, v in sorted(weights_ppk.items()):
+            cond = F.col("source") == F.lit(k)
+            expr = F.when(cond, F.lit(int(v))) if expr is None \
+                else expr.when(cond, F.lit(int(v)))
+        per_src = per_src.select(
+            "source", "src_tokens",
+            F.coalesce(expr, F.lit(0)).cast("bigint").alias("w_ppk"),
+        )
+    # `div` = exact integer division (the oracle's `//`); a double `/` +
+    # floor() could round a near-integer quotient the other way
+    thresh = F.expr(
+        f"CAST(({int(budget_tokens)} * w_ppk * {_MIX_BUCKETS}) "
+        f"div (1000 * src_tokens) AS BIGINT)"
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("bigint"),
+        F.lit(_MIX_BUCKETS),
+    )
+    return (
+        base.join(F.broadcast(per_src.select(
+            "source", thresh.alias("keep_below"))), "source")
+        .filter(bucket < F.col("keep_below"))
+        .select("doc_id", "source", "tok_count")
+    )
+
+
+def mixture_sample_oracle_sql(source: str = "documents",
+                              budget_tokens: int = DEFAULT_TOKEN_BUDGET) -> str:
+    """DuckDB twin (uniform weights): identical integer threshold + md5
+    bucket, so the selected set matches bit-for-bit."""
+    toks = _ws_tokens_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {toks} AS tok_count FROM {source}
+), per_src AS (
+  SELECT source, CAST(SUM(tok_count) AS BIGINT) AS src_tokens FROM base
+  GROUP BY source
+), weighted AS (
+  SELECT source, src_tokens,
+         CAST(1000 // (SELECT COUNT(*) FROM per_src) AS BIGINT) AS w_ppk
+  FROM per_src
+), thresh AS (
+  SELECT source,
+         CAST(({int(budget_tokens)} * w_ppk * {_MIX_BUCKETS})
+              // (1000 * src_tokens) AS BIGINT) AS keep_below
+  FROM weighted
+)
+SELECT b.doc_id, b.source, b.tok_count
+FROM base b JOIN thresh t USING (source)
+WHERE CAST(concat('0x', md5(CAST(b.doc_id AS VARCHAR))[1:8]) AS BIGINT)
+      % {_MIX_BUCKETS} < t.keep_below"""
+
+
+# ------------------------------------------------------ URL canonicalization
+# tracking parameters stripped during canonicalization (frontier-dedup set)
+TRACKING_PARAMS = r"(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)"
+
+
+def canonical_url(url) -> F.Column:
+    """Canonical form of a URL for frontier/corpus dedup.
+
+    Steps (each a Catalyst regexp, applied in order):
+      1. case-fold the scheme and host (path/query stay case-sensitive)
+      2. drop default ports (:80 http, :443 https)
+      3. drop the fragment
+      4. drop tracking query params (TRACKING_PARAMS), then a dangling '?'/'&'
+      5. drop one trailing slash on a non-root path
+    """
+    col = F.col(url) if isinstance(url, str) else url
+    # 1. scheme+host case-fold: split at the first '/' after '://'
+    head = F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    tail = F.substring(col, F.length(head) + F.lit(1), F.lit(1 << 30))
+    c = F.concat(F.lower(head), tail)
+    # 2. default ports
+    c = F.regexp_replace(c, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/:]+):443(/|$)", r"$1$2")
+    # 3. fragment
+    c = F.regexp_replace(c, r"#.*$", "")
+    # 4. tracking params: consume a RUN of them after one separator, keeping
+    #    the separator ((?:...)+ handles adjacent params identically in Java
+    #    and RE2 — a lookbehind would not: RE2 has none, and a consume-based
+    #    single-param regex misses the second of two adjacent params)
+    c = F.regexp_replace(
+        c, r"([?&])(?:" + TRACKING_PARAMS + r"=[^&#]*(?:&|$))+", r"$1"
+    )
+    c = F.regexp_replace(c, r"[?&]+$", "")
+    # 5. trailing slash on non-root path
+    c = F.regexp_replace(c, r"(://[^/]+/.+?)/$", r"$1")
+    return c
+
+
+def _canonical_url_sql(col: str) -> str:
+    """DuckDB twin of canonical_url — same regexes, RE2 dialect.
+
+    DuckDB backreferences use \\1; the lookbehind in step 4 is re-expressed
+    with a capture (RE2 has no lookbehind) — same matches on URL shapes.
+    """
+    c = (
+        f"concat(lower(regexp_extract({col},"
+        f" '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)),"
+        f" {col}[length(regexp_extract({col},"
+        f" '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)) + 1:])"
+    )
+    c = f"regexp_replace({c}, '^(http://[^/:]+):80(/|$)', '\\1\\2')"
+    c = f"regexp_replace({c}, '^(https://[^/:]+):443(/|$)', '\\1\\2')"
+    c = f"regexp_replace({c}, '#.*$', '')"
+    c = (
+        f"regexp_replace({c},"
+        f" '([?&])(?:{TRACKING_PARAMS}=[^&#]*(?:&|$))+', '\\1', 'g')"
+    )
+    c = f"regexp_replace({c}, '[?&]+$', '')"
+    c = f"regexp_replace({c}, '(://[^/]+/.+?)/$', '\\1')"
+    return c
+
+
+def synthetic_url_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, url): a deterministic crawl-frontier corpus derived from the
+    documents table — the testdata has no real URLs, so the gate synthesizes
+    them (the same pattern as the image-hash-pairs synthetic corpus). Groups
+    of 4 consecutive doc_ids share one logical page expressed as 4 raw
+    variants (canonical form, shouting host + default port + fragment,
+    tracking params, trailing slash); every 7th group gets a REAL query
+    param that must survive canonicalization and keep it distinct."""
+    g = (F.col("doc_id") / F.lit(4)).cast("bigint")
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    host = F.concat(F.lit("example"), (g % 97).cast("string"), F.lit(".com"))
+    path = F.concat(F.lit("/p/"), g.cast("string"))
+    keep_q = F.when(g % 7 == 0, F.concat(F.lit("?q="), g.cast("string"))) \
+        .otherwise(F.lit(""))
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://"), host, path, keep_q))
+        .when(v == 1, F.concat(F.lit("HTTP://"), F.upper(host),
+                               F.lit(":80"), path))
+        .when(v == 2, F.concat(F.lit("http://"), host, path, keep_q,
+                               F.when(g % 7 == 0, F.lit("&utm_source=f"))
+                               .otherwise(F.lit("?utm_source=f&fbclid=z"))))
+        .otherwise(F.concat(F.lit("http://"), host, path, F.lit("/#top")))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def synthetic_url_corpus_sql(source: str = "documents") -> str:
+    """DuckDB twin of synthetic_url_corpus. For groups with no real query
+    param all 4 variants collapse to one canonical; for every 7th group
+    (real ?q=) the query-carrying pair and the bare pair form two canonicals
+    — the gate covers both collapse and survival."""
+    g = "CAST(doc_id // 4 AS BIGINT)"
+    host = f"concat('example', CAST({g} % 97 AS VARCHAR), '.com')"
+    path = f"concat('/p/', CAST({g} AS VARCHAR))"
+    keep_q = (
+        f"CASE WHEN {g} % 7 = 0 THEN concat('?q=', CAST({g} AS VARCHAR))"
+        f" ELSE '' END"
+    )
+    return f"""
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN concat('http://', {host}, {path}, {keep_q})
+         WHEN 1 THEN concat('HTTP://', upper({host}), ':80', {path})
+         WHEN 2 THEN concat('http://', {host}, {path}, {keep_q},
+                            CASE WHEN {g} % 7 = 0 THEN '&utm_source=f'
+                                 ELSE '?utm_source=f&fbclid=z' END)
+         ELSE concat('http://', {host}, {path}, '/#top')
+       END AS url
+FROM {source}"""
+
+
+def url_dedup_oracle_sql(source: str = "documents") -> str:
+    """DuckDB twin of url_dedup over the synthetic frontier corpus."""
+    canon = _canonical_url_sql("url")
+    return f"""
+SELECT canonical,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM (
+  SELECT doc_id, {canon} AS canonical
+  FROM ({synthetic_url_corpus_sql(source)})
+)
+GROUP BY canonical"""
+
+
+def url_dedup(urls: DataFrame, key: str = "doc_id",
+              url_col: str = "url") -> DataFrame:
+    """(canonical, keep_id, n_variants): keep the lowest key per canonical
+    URL, counting how many raw variants collapsed into it. One hash-groupBy
+    on the canonical key — the frontier-dedup shape at crawl scale."""
+    return (
+        urls.select(
+            F.col(key).cast("bigint").alias("k"),
+            canonical_url(url_col).alias("canonical"),
+        )
+        .groupBy("canonical")
+        .agg(
+            F.min("k").alias("keep_id"),
+            F.count("*").alias("n_variants"),
+        )
+    )
