@@ -265,10 +265,20 @@ def mixture_sample(docs: DataFrame,
         F.sum("tok_count").cast("bigint").alias("src_tokens")
     )
     if weights_ppk is None:
-        n_src = per_src.select(
-            F.count("*").cast("bigint").alias("n_src")
+        # uniform weights: count sources with a whole-relation window over
+        # the already-aggregated per_src (source-count-sized rows through a
+        # single-partition exchange) — a separate count()+join would make
+        # Spark recompute the per-source aggregate, scanning the corpus twice
+        from pyspark.sql import Window
+
+        n_src = F.count("*").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
         )
-        per_src = per_src.crossJoin(F.broadcast(n_src)).select(
+        per_src = per_src.select(
+            "source", "src_tokens", n_src.cast("bigint").alias("n_src")
+        ).select(
             "source", "src_tokens",
             F.expr("CAST(1000 div n_src AS BIGINT)").alias("w_ppk"),
         )

@@ -173,3 +173,50 @@ def test_round3_projection_ops_zero_shuffle(docs, spark, fixtures_dir):
     # same documented trade as event_window_rollup — approx_count_distinct
     # would drop it to one)
     assert _n_exchanges(_plan(domain_stats(pages))) <= 2
+
+
+def test_corpus_assembly_ops_single_exchange(docs):
+    """The packing/shuffle family must stay one-exchange: packing windows
+    partition by shard, url_dedup and epoch_shuffle hash once on their key.
+    A regression to 2+ means a stage recomputes a corpus-sized relation."""
+    from geocode_spark.textops.lineops import epoch_shuffle
+    from geocode_spark.textops.packing import (
+        sequence_pack,
+        sequence_pack_greedy,
+        synthetic_url_corpus,
+        url_dedup,
+    )
+
+    for fn in (sequence_pack, sequence_pack_greedy, epoch_shuffle):
+        plan = _plan(fn(docs))
+        assert _n_exchanges(plan) == 1, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+    assert _n_exchanges(_plan(url_dedup(synthetic_url_corpus(docs)))) == 1
+
+
+def test_mixture_sample_one_corpus_pass(docs):
+    """mixture_sample's per-source stats must come from ONE aggregate over
+    the corpus (1 hash exchange), joined back by broadcast — the uniform-
+    weight path once recomputed the aggregate per consumer (2 exchanges =
+    two corpus scans)."""
+    from geocode_spark.textops.packing import mixture_sample
+
+    plan = _plan(mixture_sample(docs))
+    assert _n_exchanges(plan) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_strip_boilerplate_broadcasts_frequent_lines(docs):
+    """The frequent-line relation is bounded by total_lines/min_df, so the
+    flagging join must be broadcast (never a sort-merge over line rows);
+    exchanges <= 3: exact distinct-df (2-phase) + doc reassembly."""
+    from geocode_spark.textops.lineops import (
+        strip_boilerplate,
+        synthetic_line_corpus,
+    )
+
+    plan = _plan(strip_boilerplate(synthetic_line_corpus(docs)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert _n_exchanges(plan) <= 3
