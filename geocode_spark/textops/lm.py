@@ -1,0 +1,121 @@
+"""Corpus-trained bigram language-model quality scoring (CCNet-style).
+
+Beyond-reference training-data operator (SURVEY §2.8 family). CCNet-class
+pipelines score each document's perplexity under an n-gram LM and filter
+the worst tail; this implements the self-trained variant — the LM is the
+corpus's own add-one-smoothed bigram model — entirely in Catalyst:
+
+  1. bigram relation: one explode over zipped word-array slices
+     (corpus-token-sized, the same accepted shape as the shingle
+     relations in textops.dedup)
+  2. model: two keyed aggregations over the bigram relation — counts are
+     bounded by |distinct bigrams|, far below corpus size
+  3. scoring: one keyed join of the bigram relation back to the model +
+     one groupBy(doc_id)
+
+Every exchange is keyed and AQE-sizable; nothing is all-pairs and no
+Python runs.
+
+The gate is EXACT-integer: each bigram's log-probability is quantized to
+micro-nats (round(ln(p) * 1e6) as int64) BEFORE the per-document sum, so
+the aggregate is order-independent integer addition — a raw double sum
+would hash-diverge from the oracle on float addition order. Quantizing at
+1e-6 also absorbs the ≤1-ulp difference between the JVM's and DuckDB's
+ln() implementations. Consumers derive per-token NLL or perplexity as
+nll_micro / 1e6 / n_bigrams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import WS
+
+LP_SCALE = 1_000_000  # micro-nats
+
+
+def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, nll_micro): negative log-likelihood of each
+    document under the corpus's own add-one-smoothed bigram model, in exact
+    integer micro-nats. Documents with fewer than 2 words score (0, 0)."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), WS),
+        lambda x: x != F.lit(""),
+    )
+    based = docs.select("doc_id", words.alias("ws"))
+    n = F.size("ws")
+    zipped = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice("ws", 1, n - 1).alias("w1"),
+            F.slice("ws", 2, n - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = based.select(
+        "doc_id", F.explode_outer(zipped).alias("bg")
+    ).select(
+        "doc_id",
+        F.col("bg.w1").alias("w1"),
+        F.col("bg.w2").alias("w2"),
+    )
+
+    c2 = pairs.filter(F.col("w1").isNotNull()).groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c2")
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vocab = c2.agg(F.count_distinct("w2").cast("bigint").alias("v"))
+    lm = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            F.round(
+                F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+                * F.lit(LP_SCALE),
+                0,
+            ).cast("bigint").alias("lp_micro"),
+        )
+    )
+
+    scored = pairs.join(lm, ["w1", "w2"], "left")
+    return scored.groupBy("doc_id").agg(
+        F.count("w1").cast("bigint").alias("n_bigrams"),
+        (-F.coalesce(F.sum("lp_micro"), F.lit(0)))
+        .cast("bigint").alias("nll_micro"),
+    )
+
+
+def bigram_lm_oracle_sql(source: str = "documents") -> str:
+    """DuckDB twin: identical tokenization, counts, smoothing, and
+    micro-nat quantization — the integer sums match bit-for-bit."""
+    return rf"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '{WS}'),
+                     x -> x <> '') AS ws
+  FROM {source}
+), pairs AS (
+  SELECT doc_id,
+         unnest(ws[1:len(ws)-1]) AS w1,
+         unnest(ws[2:len(ws)]) AS w2
+  FROM words WHERE len(ws) >= 2
+), c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM pairs GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+), lm AS (
+  SELECT w1, w2,
+         CAST(round(ln((c2 + 1.0) /
+                       (c1 + (SELECT COUNT(DISTINCT w2) FROM c2)))
+                    * {LP_SCALE}, 0) AS BIGINT) AS lp_micro
+  FROM c2 JOIN c1 USING (w1)
+), per_doc AS (
+  SELECT p.doc_id, COUNT(*) AS cnt, SUM(lp_micro) AS s
+  FROM pairs p JOIN lm USING (w1, w2)
+  GROUP BY p.doc_id
+)
+SELECT w.doc_id,
+       CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(-g.s, 0) AS BIGINT) AS nll_micro
+FROM words w LEFT JOIN per_doc g USING (doc_id)"""

@@ -44,6 +44,12 @@ HEAVY = [
     "ann_lsh_topk",
     "pagerank",
     "sessionize_salted",
+    # round-4 corpus-assembly families: explode/regex/Arrow-kernel cost all
+    # move linearly with corpus volume
+    "strip_boilerplate",
+    "url_dedup",
+    "mixture_sample",
+    "sequence_pack_greedy",
 ]
 
 

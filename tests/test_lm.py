@@ -1,0 +1,66 @@
+"""Bigram-LM quality scoring edge cases.
+
+The corpus-level differential gate lives in the driver contract
+(bigram_lm_score vs its DuckDB oracle); these pin the hand-checkable
+semantics: the smoothed probability arithmetic on a tiny corpus, short-doc
+behavior, and the quality-ordering property the filter relies on.
+"""
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geocode_spark.textops.lm import LP_SCALE, bigram_lm_score
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def test_bigram_lm_exact_arithmetic(spark):
+    # corpus: "a b" x2 and "a c" -> bigrams: (a,b):2, (a,c):1
+    # c1(a)=3, vocab V=|{b,c}|=2
+    # p(b|a)=(2+1)/(3+2)=0.6  p(c|a)=(1+1)/(3+2)=0.4
+    out = {
+        r.doc_id: r
+        for r in bigram_lm_score(_docs(spark, ["a b", "a b", "a c"])).collect()
+    }
+    nll_ab = -round(math.log(0.6) * LP_SCALE)
+    nll_ac = -round(math.log(0.4) * LP_SCALE)
+    assert (out[0].n_bigrams, out[0].nll_micro) == (1, nll_ab)
+    assert (out[1].n_bigrams, out[1].nll_micro) == (1, nll_ab)
+    assert (out[2].n_bigrams, out[2].nll_micro) == (1, nll_ac)
+
+
+def test_bigram_lm_short_docs_score_zero(spark):
+    # NB: doc 2 is "a b c" (vocab 2) so its smoothed p < 1 and NLL > 0; a
+    # vocab-1 corpus like ["a b"] alone scores p=(1+1)/(1+1)=1, NLL=0.
+    out = {
+        r.doc_id: r
+        for r in bigram_lm_score(_docs(spark, ["solo", "", "a b c"])).collect()
+    }
+    assert (out[0].n_bigrams, out[0].nll_micro) == (0, 0)
+    assert (out[1].n_bigrams, out[1].nll_micro) == (0, 0)
+    assert out[2].n_bigrams == 2 and out[2].nll_micro > 0
+
+
+def test_bigram_lm_rare_text_scores_worse(spark):
+    # 20 fluent docs sharing bigram structure + 1 doc of unique gibberish:
+    # the gibberish doc's per-bigram NLL must exceed every fluent doc's
+    texts = ["the cat sat on the mat"] * 20 + ["zq xv qq vx zz qx"]
+    rows = bigram_lm_score(_docs(spark, texts)).collect()
+    per_tok = {r.doc_id: r.nll_micro / r.n_bigrams for r in rows}
+    gibberish = per_tok[20]
+    assert all(gibberish > per_tok[i] for i in range(20))
+
+
+def test_bigram_lm_case_folds(spark):
+    out = {
+        r.doc_id: r.nll_micro
+        for r in bigram_lm_score(_docs(spark, ["A B", "a b"])).collect()
+    }
+    assert out[0] == out[1]
