@@ -1,4 +1,4 @@
-"""Corpus-trained bigram language-model quality scoring (CCNet-style).
+"""Corpus-trained LM tooling: bigram quality scoring + BPE pair induction.
 
 Beyond-reference training-data operator (SURVEY §2.8 family). CCNet-class
 pipelines score each document's perplexity under an n-gram LM and filter
@@ -27,7 +27,7 @@ nll_micro / 1e6 / n_bigrams.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import WS
@@ -84,6 +84,79 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         (-F.coalesce(F.sum("lp_micro"), F.lit(0)))
         .cast("bigint").alias("nll_micro"),
     )
+
+
+DEFAULT_TOP_PAIRS = 50
+
+
+def bpe_pair_stats(
+    docs: DataFrame, text_col: str = "text", k: int = DEFAULT_TOP_PAIRS
+) -> DataFrame:
+    """(rank, pair, cnt): the k most frequent adjacent character pairs
+    over the corpus, weighted by word frequency — the statistic a BPE
+    tokenizer's merge step ranks on (Sennrich et al. 2016). Ties break on
+    the pair string so the output is deterministic.
+
+    Scale shape: the corpus-sized work is ONE explode to the word relation
+    and a keyed groupBy bounded by |vocab|; pair extraction then runs over
+    the vocab-sized word-frequency relation (transform/sequence, no
+    Python), and the final single-partition row_number window sorts only
+    the |charset|^2-bounded pair relation — metadata-sized by
+    construction, never corpus-sized.
+    """
+    k = int(k)
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), WS),
+        lambda x: x != F.lit(""),
+    )
+    wf = (
+        docs.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ln = F.length("w")
+    pairs = wf.filter(ln >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), ln - 1),
+                lambda i: F.substring("w", i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("c").cast("bigint").alias("cnt"))
+    win = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "pair", "cnt")
+    )
+
+
+def bpe_pair_oracle_sql(
+    source: str = "documents", k: int = DEFAULT_TOP_PAIRS
+) -> str:
+    """DuckDB twin: identical tokenization, frequency weighting, inclusive
+    2-char string slicing, and (cnt DESC, pair ASC) deterministic ranking."""
+    k = int(k)
+    return rf"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '{WS}'),
+                x -> x <> '')) AS w
+  FROM {source}
+), wf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair, c
+  FROM wf WHERE len(w) >= 2
+), agg AS (
+  SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank,
+       pair, cnt
+FROM agg
+QUALIFY rank <= {k}
+ORDER BY rank"""
 
 
 def bigram_lm_oracle_sql(source: str = "documents") -> str:

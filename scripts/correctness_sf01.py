@@ -56,6 +56,17 @@ FAMILY = [
     "domain_stats",
     "stream_sessionize_drained",
     "stream_attribution_drained",
+    # round-4 operators: corpus-assembly + LM / span-dedup / BPE families,
+    # where window-duplication volume and vocab size move with the corpus
+    "sequence_pack_greedy",
+    "url_dedup",
+    "mixture_sample",
+    "strip_boilerplate",
+    "epoch_shuffle",
+    "bigram_lm_score",
+    "bpe_pair_stats",
+    "span_dup_stats",
+    "span_dedup_rewrite",
 ]
 
 

@@ -50,6 +50,11 @@ HEAVY = [
     "url_dedup",
     "mixture_sample",
     "sequence_pack_greedy",
+    # LM / span-dedup families: the window/bigram relations are
+    # corpus-token-sized, so their growth curve is the scale evidence
+    "bigram_lm_score",
+    "span_dup_stats",
+    "span_dedup_rewrite",
 ]
 
 

@@ -32,7 +32,8 @@ spark = get_spark("codegen-gate", parallelism=4, shuffle_partitions=4,
 spark.sparkContext.setLogLevel("ERROR")
 qs = e.queries()
 for name in ("geocode_wgs84", "utm_wgs84_roundtrip", "image_bytehash",
-             "image_hash_pairs"):
+             "image_hash_pairs", "bigram_lm_score", "bpe_pair_stats",
+             "span_dup_stats", "span_dedup_rewrite"):
     n = qs[name](spark, %(sf)r).count()
     print(f"DONE {name} {n}", flush=True)
 """
@@ -48,7 +49,8 @@ def test_codegen_compiles_projection_and_dhash_families(sf_dir):
     out, err = proc.stdout, proc.stderr
     assert proc.returncode == 0, f"probe failed:\n{err[-3000:]}"
     for name in ("geocode_wgs84", "utm_wgs84_roundtrip", "image_bytehash",
-                 "image_hash_pairs"):
+                 "image_hash_pairs", "bigram_lm_score", "bpe_pair_stats",
+                 "span_dup_stats", "span_dedup_rewrite"):
         assert f"DONE {name} " in out, f"{name} did not complete:\n{out}"
     for marker in ("Failed to compile", "grows beyond 64 KB"):
         assert marker not in err, (

@@ -220,3 +220,46 @@ def test_strip_boilerplate_broadcasts_frequent_lines(docs):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert _n_exchanges(plan) <= 3
+
+
+def test_lm_and_span_family_scans_pruned_and_keyed(docs):
+    """Round-4 LM / span-dedup / BPE family pins (PLANS.md §6b):
+    every parquet scan prunes to the columns the operator needs (doc_id,
+    text — never the full 5-column documents schema), every exchange is
+    keyed (no range/single-partition exchange on a corpus-sized relation),
+    and nothing degrades to a cartesian product."""
+    import re
+
+    from geocode_spark.textops.lm import bigram_lm_score
+    from geocode_spark.textops.spans import span_dedup_rewrite, span_dup_stats
+
+    # bigram_lm_score's vocab |V| is a 1-row global aggregate — its single
+    # SinglePartition exchange folds map-side partials, metadata-sized.
+    for fn, single_ok in (
+        (bigram_lm_score, 1),
+        (span_dup_stats, 0),
+        (span_dedup_rewrite, 0),
+    ):
+        plan = _plan(fn(docs))
+        assert "CartesianProduct" not in plan, fn.__name__
+        for scan_cols in re.findall(r"FileScan parquet \[([^\]]*)\]", plan):
+            cols = {c.split("#")[0] for c in scan_cols.split(",") if c}
+            assert cols <= {"doc_id", "text"}, (fn.__name__, cols)
+        assert "rangepartitioning" not in plan, fn.__name__
+        assert plan.count("SinglePartition") <= single_ok, fn.__name__
+
+
+def test_bpe_pair_stats_single_partition_sort_is_bounded(docs):
+    """bpe_pair_stats' final rank window MAY sort a single partition, but
+    only AFTER the pair aggregation (charset^2-bounded) — the corpus scan
+    itself prunes to [text] and reaches the window through keyed exchanges."""
+    import re
+
+    from geocode_spark.textops.lm import bpe_pair_stats
+
+    plan = _plan(bpe_pair_stats(docs))
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 1
+    assert {c.split("#")[0] for c in scans[0].split(",") if c} == {"text"}
+    assert _n_exchanges(plan) == 2  # word groupBy + pair groupBy
+    assert "CartesianProduct" not in plan

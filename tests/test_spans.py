@@ -1,0 +1,136 @@
+"""Span-level dedup + BPE pair-induction edge cases.
+
+The corpus-level differential gates live in the driver contract
+(span_dup_stats / bpe_pair_stats vs their DuckDB oracles); these pin the
+hand-checkable semantics: window arithmetic, the cross-doc criterion
+(within-doc repeats do NOT count), short-doc behavior, and deterministic
+pair ranking.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geocode_spark.textops.lm import bpe_pair_stats
+from geocode_spark.textops.spans import span_dedup_rewrite, span_dup_stats
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def test_span_dup_cross_doc_counts(spark):
+    # W=3: docs 0 and 1 share the window "a b c"; doc 2 shares nothing.
+    out = {
+        r.doc_id: r
+        for r in span_dup_stats(
+            _docs(spark, ["a b c d", "x a b c", "p q r s"]), window=3
+        ).collect()
+    }
+    # each doc has 4-3+1 = 2 windows
+    assert all(out[i].n_windows == 2 for i in range(3))
+    assert out[0].dup_windows == 1  # "a b c" at position 1
+    assert out[1].dup_windows == 1  # "a b c" at position 2
+    assert out[2].dup_windows == 0
+
+
+def test_span_dup_within_doc_repeat_not_counted(spark):
+    # "a b a b a b" repeats window "a b a" internally but no OTHER doc
+    # has it -> cross-doc criterion scores 0 duplicated windows.
+    out = {
+        r.doc_id: r
+        for r in span_dup_stats(
+            _docs(spark, ["a b a b a b", "z z z z"]), window=3
+        ).collect()
+    }
+    assert out[0].n_windows == 4 and out[0].dup_windows == 0
+    assert out[1].n_windows == 2 and out[1].dup_windows == 0
+
+
+def test_span_dup_every_position_counts(spark):
+    # identical docs: EVERY window position is cross-doc duplicated
+    out = {
+        r.doc_id: r
+        for r in span_dup_stats(
+            _docs(spark, ["a b c d e", "a b c d e"]), window=3
+        ).collect()
+    }
+    assert all((out[i].n_windows, out[i].dup_windows) == (3, 3) for i in (0, 1))
+
+
+def test_span_dup_short_docs_score_zero(spark):
+    out = {
+        r.doc_id: r
+        for r in span_dup_stats(_docs(spark, ["a b", "", "a b c"]), window=3).collect()
+    }
+    assert (out[0].n_windows, out[0].dup_windows) == (0, 0)
+    assert (out[1].n_windows, out[1].dup_windows) == (0, 0)
+    assert (out[2].n_windows, out[2].dup_windows) == (1, 0)
+
+
+def test_span_rewrite_cuts_covered_words(spark):
+    # W=3: "a b c" duplicated across docs 0/1 -> its 3 words are cut from
+    # both; surrounding words survive in order.
+    out = {
+        r.doc_id: r
+        for r in span_dedup_rewrite(
+            _docs(spark, ["x a b c y", "a b c z", "p q r s"]), window=3
+        ).collect()
+    }
+    assert (out[0].n_removed, out[0].text_clean) == (3, "x y")
+    assert (out[1].n_removed, out[1].text_clean) == (3, "z")
+    assert (out[2].n_removed, out[2].text_clean) == (0, "p q r s")
+
+
+def test_span_rewrite_overlapping_windows_merge(spark):
+    # identical docs: every position covered -> fully cut, empty output
+    out = {
+        r.doc_id: r
+        for r in span_dedup_rewrite(
+            _docs(spark, ["a b c d e", "a b c d e"]), window=3
+        ).collect()
+    }
+    for i in (0, 1):
+        assert (out[i].n_words, out[i].n_removed, out[i].text_clean) == (
+            5, 5, "",
+        )
+
+
+def test_span_rewrite_short_docs_pass_through(spark):
+    out = {
+        r.doc_id: r
+        for r in span_dedup_rewrite(
+            _docs(spark, ["a b", ""]), window=3
+        ).collect()
+    }
+    assert (out[0].n_words, out[0].n_removed, out[0].text_clean) == (2, 0, "a b")
+    assert (out[1].n_words, out[1].n_removed, out[1].text_clean) == (0, 0, "")
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    # corpus words: "ab" x3, "abc" x1 -> pairs: ab: 3+1=4, bc: 1
+    rows = bpe_pair_stats(_docs(spark, ["ab ab", "ab abc"]), k=10).collect()
+    got = {r.pair: (r.rank, r.cnt) for r in rows}
+    assert got["ab"] == (1, 4)
+    assert got["bc"] == (2, 1)
+    assert len(rows) == 2  # single-char words contribute nothing
+
+
+def test_bpe_pair_within_word_repeats_count(spark):
+    # "aaa" -> "aa" twice per occurrence
+    rows = bpe_pair_stats(_docs(spark, ["aaa aaa"]), k=5).collect()
+    assert [(r.rank, r.pair, r.cnt) for r in rows] == [(1, "aa", 4)]
+
+
+def test_bpe_pair_deterministic_tiebreak(spark):
+    # "xy" and "pq" both count 1 -> ties rank by pair string ascending
+    rows = bpe_pair_stats(_docs(spark, ["xy pq"]), k=5).collect()
+    assert [(r.rank, r.pair) for r in rows] == [(1, "pq"), (2, "xy")]
+
+
+def test_bpe_pair_k_truncates(spark):
+    rows = bpe_pair_stats(_docs(spark, ["abcdefg"]), k=3).collect()
+    assert len(rows) == 3 and [r.rank for r in rows] == [1, 2, 3]
