@@ -16,13 +16,17 @@ corpus's own add-one-smoothed bigram model — entirely in Catalyst:
 Every exchange is keyed and AQE-sizable; nothing is all-pairs and no
 Python runs.
 
-The gate is EXACT-integer: each bigram's log-probability is quantized to
-micro-nats (round(ln(p) * 1e6) as int64) BEFORE the per-document sum, so
-the aggregate is order-independent integer addition — a raw double sum
-would hash-diverge from the oracle on float addition order. Quantizing at
-1e-6 also absorbs the ≤1-ulp difference between the JVM's and DuckDB's
-ln() implementations. Consumers derive per-token NLL or perplexity as
-nll_micro / 1e6 / n_bigrams.
+The gate quantizes each bigram's log-probability to micro-nats
+(round(ln(p) * 1e6) as int64) BEFORE the per-document sum, so the
+aggregate is order-independent integer addition — a raw double sum would
+hash-diverge from the oracle on float addition order. The per-bigram
+quantization itself is NOT bulletproof against the ≤1-ulp difference
+between the JVM's and DuckDB's ln(): a value landing within ~2e-9 of an
+x.5 micro-nat boundary can round apart (per-bigram probability ~4e-9, so
+~0.04% per gate run at the sandbox's ~1e5 distinct bigrams — accepted
+test-gate flake odds, irrelevant to the operator itself, whose contract
+is the double-precision NLL). Consumers derive per-token NLL or
+perplexity as nll_micro / 1e6 / n_bigrams.
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import WS
+from .textstats import ws_word_array, ws_word_array_sql
 
 LP_SCALE = 1_000_000  # micro-nats
 
@@ -39,11 +43,9 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_bigrams, nll_micro): negative log-likelihood of each
     document under the corpus's own add-one-smoothed bigram model, in exact
     integer micro-nats. Documents with fewer than 2 words score (0, 0)."""
-    words = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), WS),
-        lambda x: x != F.lit(""),
+    based = docs.select(
+        "doc_id", ws_word_array(F.lower(F.col(text_col))).alias("ws")
     )
-    based = docs.select("doc_id", words.alias("ws"))
     n = F.size("ws")
     zipped = F.when(
         n >= 2,
@@ -105,12 +107,10 @@ def bpe_pair_stats(
     construction, never corpus-sized.
     """
     k = int(k)
-    words = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), WS),
-        lambda x: x != F.lit(""),
-    )
     wf = (
-        docs.select(F.explode(words).alias("w"))
+        docs.select(
+            F.explode(ws_word_array(F.lower(F.col(text_col)))).alias("w")
+        )
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
@@ -141,12 +141,11 @@ def bpe_pair_oracle_sql(
     k = int(k)
     return rf"""
 WITH words AS (
-  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '{WS}'),
-                x -> x <> '')) AS w
+  SELECT unnest({ws_word_array_sql("lower(text)")}) AS w
   FROM {source}
 ), wf AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY w
-), pairs AS (
+), pairs AS (  -- 2-char inclusive slices, weighted by word frequency
   SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair, c
   FROM wf WHERE len(w) >= 2
 ), agg AS (
@@ -164,9 +163,7 @@ def bigram_lm_oracle_sql(source: str = "documents") -> str:
     micro-nat quantization — the integer sums match bit-for-bit."""
     return rf"""
 WITH words AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '{WS}'),
-                     x -> x <> '') AS ws
+  SELECT doc_id, {ws_word_array_sql("lower(text)")} AS ws
   FROM {source}
 ), pairs AS (
   SELECT doc_id,

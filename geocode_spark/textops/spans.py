@@ -5,8 +5,9 @@ dedup (textops.dedup T1-T4) misses the dominant duplication mode in web
 corpora: long token spans repeated VERBATIM across otherwise-distinct
 documents (navigation chrome, licenses, quoted passages). "Deduplicating
 Training Data Makes Language Models Better" (Lee et al., ACL 2022)
-removes duplicated 50-token windows; this operator computes the per-doc
-duplicated-window profile that filter is built from, Spark-first:
+removes duplicated 50-token windows; this module computes the per-doc
+duplicated-window profile that filter is built from AND the rewrite
+itself, Spark-first:
 
   1. window relation: one explode of per-position W-word rolling hashes
      (corpus-token-sized — the same accepted shape as the shingle
@@ -15,51 +16,63 @@ duplicated-window profile that filter is built from, Spark-first:
   2. duplicated-window relation: one keyed groupBy(hash) keeping hashes
      seen in >= 2 DISTINCT docs — bounded by |distinct duplicated
      windows|, far below corpus size
-  3. per-doc profile: one keyed left join back + one groupBy(doc_id)
+  3. per-doc profile / rewrite: keyed joins back + keyed groupBy(doc_id)
 
-Every exchange is keyed and AQE-sizable; nothing is all-pairs. The gate
-is exact-integer: outputs are window COUNTS (n_windows, dup_windows), so
-the DuckDB twin matches bit-for-bit with no float discipline needed.
-Consumers derive the span-duplication fraction as dup_windows/n_windows
-and filter or trim on it.
+Every exchange is keyed and AQE-sizable; nothing is all-pairs.
+
+Contract: both operators run over the whitespace-token stream (the
+shared ws_word_array tokenizer), and window MATCHING is case-insensitive
+(hashes fold case). span_dup_stats outputs are window COUNTS, so its
+gate is exact-integer. span_dedup_rewrite reassembles the SURVIVING
+words with their original casing; runs of whitespace collapse to single
+spaces (word-level rewrite — byte-offset-preserving surgery would need
+character spans, which a whitespace tokenizer does not keep).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import WS
+from .textstats import ws_word_array, ws_word_array_sql
 
 DEFAULT_WINDOW = 8  # words per span at sandbox doc sizes (Lee et al. use 50)
+
+
+def _window_hashes(w: int) -> Column:
+    """array of md5(case-folded W-word window) per start position over the
+    bound column "ws"; empty for docs shorter than W words."""
+    n = F.size("ws")
+    return F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - w + 1),
+            lambda i: F.md5(F.lower(F.concat_ws(" ", F.slice("ws", i, w)))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _window_hash_sql(w: int, pos: str = "i") -> str:
+    """DuckDB twin of one _window_hashes element at 1-based position
+    `pos` over a list column `ws` (inclusive slicing)."""
+    return f"md5(lower(array_to_string(ws[{pos}:{pos}+{w - 1}], ' ')))"
 
 
 def span_dup_stats(
     docs: DataFrame, text_col: str = "text", window: int = DEFAULT_WINDOW
 ) -> DataFrame:
     """(doc_id, n_windows, dup_windows): per document, the number of
-    W-word rolling windows and how many of them also appear verbatim in at
-    least one OTHER document. Docs shorter than W words score (0, 0).
+    W-word rolling windows and how many of them also appear verbatim
+    (case-insensitively) in at least one OTHER document. Docs shorter
+    than W words score (0, 0).
 
     A window repeated only within a single document does not count as
     duplicated (cross-doc criterion, matching Lee et al.'s definition);
     every position whose window is cross-doc-duplicated counts once.
     """
     w = int(window)
-    words = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), WS),
-        lambda x: x != F.lit(""),
-    )
-    base = docs.select("doc_id", words.alias("ws"))
-    n = F.size("ws")
-    hashes = F.when(
-        n >= w,
-        F.transform(
-            F.sequence(F.lit(1), n - w + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i, w))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    wins = base.select("doc_id", F.explode_outer(hashes).alias("h"))
+    base = docs.select("doc_id", ws_word_array(F.col(text_col)).alias("ws"))
+    wins = base.select("doc_id", F.explode_outer(_window_hashes(w)).alias("h"))
 
     dup = (
         wins.filter(F.col("h").isNotNull())
@@ -86,8 +99,9 @@ def span_dedup_rewrite(
 ) -> DataFrame:
     """(doc_id, n_words, n_removed, text_clean): the Lee et al. transform
     itself — every word covered by at least one cross-doc-duplicated
-    W-word window is cut, the remainder reassembled in order. Overlapping
-    duplicated windows merge naturally through the covered-position set.
+    W-word window is cut, the remainder reassembled in order WITH their
+    original casing. Overlapping duplicated windows merge naturally
+    through the covered-position set.
 
     Scale shape: same keyed relations as span_dup_stats plus (a) a
     covered-position relation (bounded explode, <= W rows per duplicated
@@ -98,21 +112,9 @@ def span_dedup_rewrite(
     strip_boilerplate's reassembly). No all-pairs work, no Python.
     """
     w = int(window)
-    words = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), WS),
-        lambda x: x != F.lit(""),
-    )
-    base = docs.select("doc_id", words.alias("ws"))
-    n = F.size("ws")
-    hashes = F.when(
-        n >= w,
-        F.transform(
-            F.sequence(F.lit(1), n - w + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i, w))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", ws_word_array(F.col(text_col)).alias("ws"))
     wins = base.select(
-        "doc_id", F.posexplode(hashes).alias("p0", "h")
+        "doc_id", F.posexplode(_window_hashes(w)).alias("p0", "h")
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "h")
 
     dup = (
@@ -160,22 +162,20 @@ def span_dedup_rewrite(
 def span_dedup_rewrite_oracle_sql(
     source: str = "documents", window: int = DEFAULT_WINDOW
 ) -> str:
-    """DuckDB twin of span_dedup_rewrite: identical windowing, covered-set
-    merge, anti-join keep, and ordered string_agg reassembly."""
+    """DuckDB twin of span_dedup_rewrite: identical tokenization (case
+    preserved), case-folded window hashing, covered-set merge, anti-join
+    keep, and ordered string_agg reassembly."""
     w = int(window)
     return rf"""
 WITH words AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '{WS}'),
-                     x -> x <> '') AS ws
+  SELECT doc_id, {ws_word_array_sql("text")} AS ws
   FROM {source}
 ), winp AS (
   SELECT doc_id, ws,
          unnest(range(1, greatest(len(ws) - {w} + 2, 1))) AS p
   FROM words
 ), wins AS (
-  SELECT doc_id, p,
-         md5(array_to_string(ws[p:p+{w - 1}], ' ')) AS h
+  SELECT doc_id, p, {_window_hash_sql(w, "p")} AS h
   FROM winp
 ), dup AS (
   SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
@@ -207,19 +207,17 @@ FROM words w LEFT JOIN re r USING (doc_id)"""
 def span_dup_oracle_sql(
     source: str = "documents", window: int = DEFAULT_WINDOW
 ) -> str:
-    """DuckDB twin: identical tokenization, window hashing (md5 over the
-    space-joined W-word slice), cross-doc criterion, and integer counts."""
+    """DuckDB twin of span_dup_stats: identical tokenization, case-folded
+    window hashing, cross-doc criterion, and integer counts."""
     w = int(window)
     return rf"""
 WITH words AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '{WS}'),
-                     x -> x <> '') AS ws
+  SELECT doc_id, {ws_word_array_sql("text")} AS ws
   FROM {source}
 ), wins AS (
   SELECT doc_id,
          unnest(list_transform(range(1, greatest(len(ws) - {w} + 2, 1)),
-                i -> md5(array_to_string(ws[i:i+{w - 1}], ' ')))) AS h
+                i -> {_window_hash_sql(w)})) AS h
   FROM words
 ), dup AS (
   SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2

@@ -90,6 +90,22 @@ def normalize_text(text: Column) -> Column:
     return F.lower(F.regexp_replace(F.trim(text), WS, " "))
 
 
+def ws_word_array(text: Column) -> Column:
+    """Non-empty whitespace-token array — THE shared tokenizer for the
+    LM / span-dedup / BPE family (lm.py, spans.py). Callers that want
+    case-folded tokens pass F.lower(col); the expression itself preserves
+    case. Twin: ws_word_array_sql."""
+    return F.filter(F.split(F.trim(text), WS), lambda x: x != F.lit(""))
+
+
+def ws_word_array_sql(expr: str) -> str:
+    """DuckDB twin of ws_word_array over an SQL expression string."""
+    return (
+        f"list_filter(string_split_regex(trim({expr}), '{WS}'),"
+        " x -> x <> '')"
+    )
+
+
 def fingerprint_cols(text: Column) -> dict[str, Column]:
     """Document fingerprints.
 

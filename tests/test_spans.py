@@ -110,6 +110,29 @@ def test_span_rewrite_short_docs_pass_through(spark):
     assert (out[1].n_words, out[1].n_removed, out[1].text_clean) == (0, 0, "")
 
 
+def test_span_matching_case_insensitive_output_case_preserved(spark):
+    # windows match case-insensitively ("a b c" ~ "A B C"); the rewrite
+    # cuts them from both docs but surviving words keep ORIGINAL casing
+    docs = _docs(spark, ["Keep This a b c", "A B C x"])
+    stats = {r.doc_id: r for r in span_dup_stats(docs, window=3).collect()}
+    assert stats[0].dup_windows == 1 and stats[1].dup_windows == 1
+    out = {r.doc_id: r for r in span_dedup_rewrite(docs, window=3).collect()}
+    assert (out[0].n_removed, out[0].text_clean) == (3, "Keep This")
+    assert (out[1].n_removed, out[1].text_clean) == (3, "x")
+
+
+def test_span_rewrite_no_dedup_preserves_words_verbatim(spark):
+    # nothing duplicated -> every word survives byte-identical (casing and
+    # punctuation intact; only whitespace runs collapse — word-level contract)
+    out = {
+        r.doc_id: r
+        for r in span_dedup_rewrite(
+            _docs(spark, ["The  Cat, SAT!", "p q r s"]), window=3
+        ).collect()
+    }
+    assert (out[0].n_removed, out[0].text_clean) == (0, "The Cat, SAT!")
+
+
 def test_bpe_pair_counts_weighted_by_word_freq(spark):
     # corpus words: "ab" x3, "abc" x1 -> pairs: ab: 3+1=4, bc: 1
     rows = bpe_pair_stats(_docs(spark, ["ab ab", "ab abc"]), k=10).collect()
