@@ -88,6 +88,145 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dsir_log_ratio(
+    docs: DataFrame,
+    target_source: str = "src0",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, ratio_micro): DSIR-style importance score
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling") — each document's log-likelihood RATIO between a
+    target-domain bigram model (docs whose `source` == target_source) and
+    the whole-corpus bigram model, both add-one-smoothed, in integer
+    micro-nats. Selecting the top tail of ratio_micro resamples the
+    corpus toward the target domain.
+
+    Scale shape: the corpus-sized work is the bigram relation (one
+    explode) + three keyed joins against model relations bounded by
+    |distinct bigrams| (the target model is further bounded by the target
+    subset) + one groupBy(doc_id); the two vocab scalars broadcast.
+    Unseen-in-target bigrams get the smoothed floor 1/(c1_t + V_t) via
+    coalesce, so the score is defined for every document. Per-bigram
+    terms quantize to int64 micro-nats before the sum (same order-exact
+    gate discipline, and same per-bigram ln() boundary-flake caveat, as
+    bigram_lm_score)."""
+    based = docs.select(
+        "doc_id",
+        "source",
+        ws_word_array(F.lower(F.col(text_col))).alias("ws"),
+    )
+    n = F.size("ws")
+    zipped = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice("ws", 1, n - 1).alias("w1"),
+            F.slice("ws", 2, n - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = based.select(
+        "doc_id", "source", F.explode_outer(zipped).alias("bg")
+    ).select(
+        "doc_id",
+        "source",
+        F.col("bg.w1").alias("w1"),
+        F.col("bg.w2").alias("w2"),
+    )
+    occ = pairs.filter(F.col("w1").isNotNull())
+
+    def model(rel):
+        c2 = rel.groupBy("w1", "w2").agg(
+            F.count("*").cast("bigint").alias("c2")
+        )
+        c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+        v = c2.agg(F.count_distinct("w2").cast("bigint").alias("v"))
+        return c2, c1, v
+
+    c2c, c1c, vc = model(occ)
+    c2t, c1t, vt = model(occ.filter(F.col("source") == target_source))
+
+    def lp(c2_col, c1_col, v_col):
+        return F.round(
+            F.log(
+                (F.coalesce(c2_col, F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(c1_col, F.lit(0)) + v_col)
+            )
+            * F.lit(LP_SCALE),
+            0,
+        ).cast("bigint")
+
+    scored = (
+        occ.join(c2c.withColumnRenamed("c2", "c2_c"), ["w1", "w2"])
+        .join(c1c.withColumnRenamed("c1", "c1_c"), "w1")
+        .join(c2t.withColumnRenamed("c2", "c2_t"), ["w1", "w2"], "left")
+        .join(c1t.withColumnRenamed("c1", "c1_t"), "w1", "left")
+        .crossJoin(F.broadcast(vc.withColumnRenamed("v", "v_c")))
+        .crossJoin(F.broadcast(vt.withColumnRenamed("v", "v_t")))
+        .select(
+            "doc_id",
+            (
+                lp(F.col("c2_t"), F.col("c1_t"), F.col("v_t"))
+                - lp(F.col("c2_c"), F.col("c1_c"), F.col("v_c"))
+            ).alias("d"),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("d").cast("bigint").alias("s"),
+    )
+    return based.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce(F.col("s"), F.lit(0)).cast("bigint").alias("ratio_micro"),
+    )
+
+
+def dsir_oracle_sql(
+    source: str = "documents", target_source: str = "src0"
+) -> str:
+    """DuckDB twin of dsir_log_ratio: identical tokenization, per-model
+    counts, smoothing, coalesce floors, and micro-nat quantization."""
+    return rf"""
+WITH words AS (
+  SELECT doc_id, source, {ws_word_array_sql("lower(text)")} AS ws
+  FROM {source}
+), pairs AS (
+  SELECT doc_id, source,
+         unnest(ws[1:len(ws)-1]) AS w1,
+         unnest(ws[2:len(ws)]) AS w2
+  FROM words WHERE len(ws) >= 2
+), c2c AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM pairs GROUP BY w1, w2
+), c1c AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2c GROUP BY w1
+), c2t AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM pairs WHERE source = '{target_source}' GROUP BY w1, w2
+), c1t AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2t GROUP BY w1
+), scored AS (
+  SELECT p.doc_id,
+         CAST(round(ln((COALESCE(tc2.c2, 0) + 1.0) /
+                       (COALESCE(tc1.c1, 0) +
+                        (SELECT COUNT(DISTINCT w2) FROM c2t)))
+                    * {LP_SCALE}, 0) AS BIGINT)
+         - CAST(round(ln((cc2.c2 + 1.0) /
+                         (cc1.c1 +
+                          (SELECT COUNT(DISTINCT w2) FROM c2c)))
+                      * {LP_SCALE}, 0) AS BIGINT) AS d
+  FROM pairs p
+  JOIN c2c cc2 USING (w1, w2)
+  JOIN c1c cc1 USING (w1)
+  LEFT JOIN c2t tc2 ON p.w1 = tc2.w1 AND p.w2 = tc2.w2
+  LEFT JOIN c1t tc1 ON p.w1 = tc1.w1
+), per AS (
+  SELECT doc_id, COUNT(*) AS cnt, SUM(d) AS s FROM scored GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(g.s, 0) AS BIGINT) AS ratio_micro
+FROM words w LEFT JOIN per g USING (doc_id)"""
+
+
 DEFAULT_TOP_PAIRS = 50
 
 

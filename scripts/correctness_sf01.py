@@ -65,6 +65,7 @@ FAMILY = [
     "epoch_shuffle",
     "bigram_lm_score",
     "bpe_pair_stats",
+    "dsir_log_ratio",
     "span_dup_stats",
     "span_dedup_rewrite",
 ]

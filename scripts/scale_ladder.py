@@ -55,6 +55,7 @@ HEAVY = [
     "bigram_lm_score",
     "span_dup_stats",
     "span_dedup_rewrite",
+    "dsir_log_ratio",
 ]
 
 

@@ -64,3 +64,61 @@ def test_bigram_lm_case_folds(spark):
         for r in bigram_lm_score(_docs(spark, ["A B", "a b"])).collect()
     }
     assert out[0] == out[1]
+
+
+def _docs_src(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_dsir_prefers_target_domain_docs(spark):
+    from geocode_spark.textops.lm import dsir_log_ratio
+
+    # target domain "wiki" speaks one language, the rest another; a new
+    # wiki-like doc must out-score a web-like doc
+    rows = (
+        [("alpha beta gamma alpha beta", "wiki")] * 5
+        + [("spam click buy spam click", "web")] * 5
+        + [("alpha beta gamma", "new"), ("spam click buy", "new")]
+    )
+    out = {
+        r.doc_id: r
+        for r in dsir_log_ratio(
+            _docs_src(spark, rows), target_source="wiki"
+        ).collect()
+    }
+    wiki_like, web_like = out[10], out[11]
+    assert wiki_like.ratio_micro > web_like.ratio_micro
+    assert wiki_like.ratio_micro > 0  # target model genuinely likes it
+
+
+def test_dsir_short_docs_score_zero(spark):
+    from geocode_spark.textops.lm import dsir_log_ratio
+
+    rows = [("a b a b", "t"), ("solo", "x"), ("", "x")]
+    out = {
+        r.doc_id: r
+        for r in dsir_log_ratio(_docs_src(spark, rows), target_source="t").collect()
+    }
+    assert (out[1].n_bigrams, out[1].ratio_micro) == (0, 0)
+    assert (out[2].n_bigrams, out[2].ratio_micro) == (0, 0)
+
+
+def test_dsir_unseen_in_target_gets_smoothed_floor(spark):
+    import math
+
+    from geocode_spark.textops.lm import LP_SCALE, dsir_log_ratio
+
+    # target = {"a b"}; scored doc "c d" has NO target-seen bigrams:
+    # lp_t = ln((0+1)/(0+V_t)) with V_t=1 -> ln(1) = 0
+    # corpus model: bigrams (a,b):1 (c,d):1 -> each p = (1+1)/(1+2)=2/3
+    rows = [("a b", "t"), ("c d", "x")]
+    out = {
+        r.doc_id: r
+        for r in dsir_log_ratio(_docs_src(spark, rows), target_source="t").collect()
+    }
+    lp_c = round(math.log(2.0 / 3.0) * LP_SCALE)
+    assert out[1].n_bigrams == 1
+    assert out[1].ratio_micro == 0 - lp_c
