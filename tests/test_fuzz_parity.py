@@ -205,3 +205,85 @@ def test_cell_encode_parity_fuzz(spark, pts):
         con.close()
     for c in ("ix", "iy", "cell_id"):
         assert got_spark[c].tolist() == got_duck[c].tolist(), c
+
+
+# --------------------------------------------------------- span-dedup family
+# Small-vocab corpora so W=3 windows collide naturally; mixed case exercises
+# the case-insensitive-match / case-preserving-output contract.
+_SPAN_WORDS = ["a", "b", "c", "D", "e", "Fg"]
+SPAN_DOC = st.lists(st.sampled_from(_SPAN_WORDS), max_size=9).map(" ".join)
+SPAN_CORPUS = st.lists(SPAN_DOC, min_size=1, max_size=10)
+_W = 3
+
+
+def _py_span_reference(texts, w=_W):
+    """Pure-Python ground truth for span_dup_stats / span_dedup_rewrite."""
+    import re
+    from collections import defaultdict
+
+    toks = [[t for t in re.split(r"\s+", x.strip()) if t] for x in texts]
+    wins = [
+        [" ".join(ws[i:i + w]).lower() for i in range(len(ws) - w + 1)]
+        for ws in toks
+    ]
+    docs_by = defaultdict(set)
+    for d, hs in enumerate(wins):
+        for h in hs:
+            docs_by[h].add(d)
+    stats, rewrites = [], []
+    for d, ws in enumerate(toks):
+        dup_pos = [i for i, h in enumerate(wins[d]) if len(docs_by[h]) >= 2]
+        covered = set()
+        for i in dup_pos:
+            covered.update(range(i, i + w))
+        kept = [word for j, word in enumerate(ws) if j not in covered]
+        stats.append((d, len(wins[d]), len(dup_pos)))
+        rewrites.append((d, len(ws), len(ws) - len(kept), " ".join(kept)))
+    return stats, rewrites
+
+
+def _span_duck(texts, sql):
+    con = duckdb.connect()
+    try:
+        con.register(
+            "documents",
+            pd.DataFrame(
+                {"doc_id": range(len(texts)),
+                 "text": pd.array(texts, dtype="string")}
+            ),
+        )
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+@given(SPAN_CORPUS)
+@settings(**_FUZZ_SETTINGS)
+def test_span_family_three_way_parity(spark, corpus):
+    from geocode_spark.textops.spans import (
+        span_dedup_rewrite,
+        span_dedup_rewrite_oracle_sql,
+        span_dup_oracle_sql,
+        span_dup_stats,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    want_stats, want_rw = _py_span_reference(corpus)
+
+    got_stats = sorted(
+        (r.doc_id, r.n_windows, r.dup_windows)
+        for r in span_dup_stats(docs, window=_W).collect()
+    )
+    assert got_stats == want_stats
+    duck_stats = _span_duck(corpus, span_dup_oracle_sql(window=_W))
+    assert sorted(map(tuple, duck_stats.itertuples(index=False))) == want_stats
+
+    got_rw = sorted(
+        (r.doc_id, r.n_words, r.n_removed, r.text_clean)
+        for r in span_dedup_rewrite(docs, window=_W).collect()
+    )
+    assert got_rw == want_rw
+    duck_rw = _span_duck(corpus, span_dedup_rewrite_oracle_sql(window=_W))
+    assert sorted(map(tuple, duck_rw.itertuples(index=False))) == want_rw
