@@ -227,6 +227,45 @@ SELECT w.doc_id,
 FROM words w LEFT JOIN per g USING (doc_id)"""
 
 
+def int_keep_low_threshold(
+    df: DataFrame, col: str, keep_ppk: int, bin_width: int
+) -> int | None:
+    """Deterministic rank-free quantile for integer score columns: the
+    smallest bin upper edge such that values <= it cover at least
+    keep_ppk/1000 of rows. Used by the selection job to turn "drop the
+    worst 10% by NLL" / "keep the top 25% by DSIR ratio" into a fixed
+    integer threshold WITHOUT a global sort: one keyed histogram groupBy
+    whose driver-side state is bounded by value_range/bin_width buckets
+    (an adjudicated metadata-scale collect, ~10^2 rows), never by corpus
+    size. Coarser than an exact percentile by at most one bin — the
+    selection contract is "approximately this fraction, deterministically",
+    which is what corpus curation needs (CCNet's perplexity cutoffs are
+    calibrated constants, not exact ranks). Returns None on an empty
+    relation. For keep-HIGH selections pass the negated column."""
+    import math as _math
+
+    bw = int(bin_width)
+    binned = df.select(
+        ((F.col(col) - F.pmod(F.col(col), F.lit(bw))) / bw)
+        .cast("bigint")
+        .alias("b")
+    )
+    hist = sorted(
+        (r["b"], r["count"])
+        for r in binned.groupBy("b").count().collect()
+    )
+    total = sum(c for _, c in hist)
+    if not total:
+        return None
+    need = _math.ceil(total * keep_ppk / 1000)
+    acc = 0
+    for b, c in hist:
+        acc += c
+        if acc >= need:
+            return (b + 1) * bw - 1
+    return (hist[-1][0] + 1) * bw - 1
+
+
 DEFAULT_TOP_PAIRS = 50
 
 
