@@ -460,6 +460,16 @@ def ann_ivf_kmeans_topk(emb: DataFrame, k: int = 5, query_mod: int = 20,
     int64 sums are order-independent where float sums are not. Empty cells
     keep their previous centroid. Search phase = the shared _ivf_search
     probe/cogroup/merge."""
+    centid, centmat, centnsq = _kmeans_centroids(emb, n_centroids, iters)
+    return _ivf_search(emb, centid, centmat, centnsq, k=k,
+                       query_mod=query_mod, nprobe=nprobe)
+
+
+def _kmeans_centroids(emb: DataFrame, n_centroids: int, iters: int):
+    """Lloyd-refined centroid pack (centid, centmat, centnsq) — the
+    training loop shared by ann_ivf_kmeans_topk and semdedup (see
+    ann_ivf_kmeans_topk's docstring for the fixed-point exactness
+    argument)."""
     import numpy as np
 
     centid, centmat, centnsq = _seed_centroids(emb, n_centroids)
@@ -521,17 +531,138 @@ def ann_ivf_kmeans_topk(emb: DataFrame, k: int = 5, query_mod: int = 20,
                 new[j, dim] = (float(sm) / cnt) / FIXED_POINT_SCALE
         centmat = new
         centnsq = _fold_nsq(centmat)
-    return _ivf_search(emb, centid, centmat, centnsq, k=k,
-                       query_mod=query_mod, nprobe=nprobe)
+    return centid, centmat, centnsq
 
 
-def ann_ivf_kmeans_oracle_sql(k: int = 5, query_mod: int = 20,
-                              n_centroids: int = IVF_CENTROIDS,
-                              nprobe: int = IVF_NPROBE,
-                              iters: int = IVF_KMEANS_ITERS,
-                              dim: int = 64) -> str:
-    """Unrolled Lloyd iterations (same trick as the PageRank oracle):
-    per-iteration CTEs reproduce the fixed-point centroid update exactly."""
+SEMDEDUP_THRESHOLD = 0.98
+MAX_SEMDEDUP_CELL = 20_000
+
+
+def semdedup(emb: DataFrame, n_centroids: int = IVF_CENTROIDS,
+             iters: int = IVF_KMEANS_ITERS,
+             threshold: float = SEMDEDUP_THRESHOLD,
+             max_cell: int = MAX_SEMDEDUP_CELL) -> DataFrame:
+    """(vec_id, cell_id, keep): SemDeDup (Abbas et al. 2023) — semantic
+    dedup in embedding space. Vectors are k-means clustered (the shared
+    exact fixed-point Lloyd loop), then WITHIN each cell a vector is
+    dropped when its rounded cosine to a SMALLER-id cell member reaches
+    the threshold (deterministic keep-lowest-id variant of the paper's
+    keep-one-representative rule; dedup.py's incremental dedup uses the
+    same lowest-id convention).
+
+    Scale shape: assignment is one Arrow pass against the broadcast
+    centroid pack (zero shuffle); the pairwise step is all-pairs ONLY
+    within a cell — exactly the paper's cost model, where n_centroids is
+    sized so cells stay bounded (~100k clusters for LAION-scale corpora).
+    Each cell is one applyInPandas group; a cell over MAX_SEMDEDUP_CELL
+    rows raises with instructions to raise n_centroids rather than
+    silently building an n^2 matrix (the knn_bruteforce guard
+    convention)."""
+    import numpy as np
+
+    centid, centmat, centnsq = _kmeans_centroids(emb, n_centroids, iters)
+    bc = emb.sparkSession.sparkContext.broadcast((centid, centmat, centnsq))
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cid, cmat, cnsq = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _mat(pdf["embedding"])
+            ccos = _round_half_up(
+                _fold_dots(mat, cmat)
+                / np.sqrt(_fold_nsq(mat)[:, None] * cnsq[None, :])
+            )
+            cell = cid[np.argsort(-ccos, axis=1, kind="stable")[:, 0]]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "cell_id": cell.astype("int64"),
+                "embedding": pdf["embedding"],
+            })
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id bigint, cell_id bigint, embedding array<double>"
+    )
+
+    def dedup_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) > max_cell:
+            raise ValueError(
+                f"semdedup cell {int(pdf['cell_id'].iloc[0])} has "
+                f"{len(pdf)} vectors (> {max_cell}); raise "
+                "n_centroids so cells stay bounded"
+            )
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        mat = _mat(pdf["embedding"])
+        cos = _round_half_up(
+            _fold_dots(mat, mat)
+            / np.sqrt(_fold_nsq(mat)[:, None] * _fold_nsq(mat)[None, :])
+        )
+        hit = cos >= threshold
+        # keep row j unless some i < j (strict lower triangle) hits it
+        removed = np.tril(hit, k=-1).any(axis=1)
+        return pd.DataFrame({
+            "vec_id": pdf["vec_id"].astype("int64"),
+            "cell_id": pdf["cell_id"].astype("int64"),
+            "keep": ~removed,
+        })
+
+    return assigned.groupBy("cell_id").applyInPandas(
+        dedup_cell, schema="vec_id bigint, cell_id bigint, keep boolean"
+    )
+
+
+def semdedup_oracle_sql(n_centroids: int = IVF_CENTROIDS,
+                        iters: int = IVF_KMEANS_ITERS,
+                        threshold: float = SEMDEDUP_THRESHOLD,
+                        dim: int = 64,
+                        source: str = "embeddings") -> str:
+    """Brute-force DuckDB twin: the same unrolled fixed-point Lloyd CTEs
+    as the k-means IVF oracle, final-centroid assignment, then the
+    lower-triangle within-cell rounded-cosine rule. `source` may be a
+    table name or a parenthesized subquery (e.g. emb_corpus_sql(...) for
+    the injected near-dup gate corpus)."""
+    ctes, ccos = _kmeans_cte_sql(n_centroids, iters, dim)
+    cos = _cosine_sql("a.e", "b.e", "a.nsq", "b.nsq")
+    normed = (
+        f"v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        f" FROM {source}),\n"
+        f"n AS (SELECT vec_id, e, {_dot_sql('e', 'e')} AS nsq FROM v)"
+    )
+    return f"""
+WITH {normed},
+{','.join(ctes)},
+assignS AS (
+  SELECT x.vec_id, c.cid,
+         row_number() OVER (PARTITION BY x.vec_id
+                            ORDER BY {ccos} DESC, c.cid ASC) AS crank
+  FROM n x CROSS JOIN cent{iters} c
+),
+cell AS (SELECT vec_id, cid AS cell_id FROM assignS WHERE crank = 1),
+rem AS (
+  SELECT DISTINCT cb.vec_id
+  FROM cell ca
+  JOIN cell cb ON ca.cell_id = cb.cell_id AND ca.vec_id < cb.vec_id
+  JOIN n a ON a.vec_id = ca.vec_id
+  JOIN n b ON b.vec_id = cb.vec_id
+  WHERE {cos} >= {threshold}
+)
+SELECT c.vec_id,
+       CAST(c.cell_id AS BIGINT) AS cell_id,
+       c.vec_id NOT IN (SELECT vec_id FROM rem) AS keep
+FROM cell c"""
+
+
+def _kmeans_cte_sql(n_centroids: int, iters: int, dim: int):
+    """Unrolled fixed-point Lloyd iterations as a CTE list (cent0 ..
+    cent{iters}) plus the vector-to-centroid cosine expression — shared by
+    the k-means IVF and semdedup oracles (same trick as the PageRank
+    oracle: per-iteration CTEs reproduce the centroid update exactly)."""
     scale = FIXED_POINT_SCALE
     ccos = _cosine_sql("x.e", "c.ce", "x.nsq", "c.cnsq")
     ctes = [
@@ -566,6 +697,16 @@ def ann_ivf_kmeans_oracle_sql(k: int = 5, query_mod: int = 20,
   SELECT p.cid, p.ce, p.cnsq FROM cent{p} p
   WHERE p.cid NOT IN (SELECT cid FROM centl{t})
 )""")
+    return ctes, ccos
+
+
+def ann_ivf_kmeans_oracle_sql(k: int = 5, query_mod: int = 20,
+                              n_centroids: int = IVF_CENTROIDS,
+                              nprobe: int = IVF_NPROBE,
+                              iters: int = IVF_KMEANS_ITERS,
+                              dim: int = 64) -> str:
+    """Unrolled-Lloyd oracle over the shared _kmeans_cte_sql CTEs."""
+    ctes, ccos = _kmeans_cte_sql(n_centroids, iters, dim)
     cos = _cosine_sql("q.e", "c.e", "q.nsq", "c.nsq")
     return f"""
 WITH {_NORMED_CTE},

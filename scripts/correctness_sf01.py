@@ -68,6 +68,7 @@ FAMILY = [
     "dsir_log_ratio",
     "span_dup_stats",
     "span_dedup_rewrite",
+    "semdedup",
 ]
 
 

@@ -56,6 +56,7 @@ HEAVY = [
     "span_dup_stats",
     "span_dedup_rewrite",
     "dsir_log_ratio",
+    "semdedup",
 ]
 
 

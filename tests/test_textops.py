@@ -469,3 +469,74 @@ def test_incremental_dedup_flags_cross_corpus_copies(spark, docs):
     # match ids always come from the EXISTING side
     matched = out[out["is_dup"] == 1]
     assert (matched["match_id"] % INCR_NEW_MOD != 0).all()
+
+
+# ----------------------------------------------------------------- semdedup
+def test_semdedup_removes_higher_id_twin(spark):
+    from geocode_spark.textops.similarity import semdedup
+
+    # vecs 0/1 identical (cos=1), vec 2 orthogonal-ish; one centroid ->
+    # one cell; keep-lowest-id: 0 kept, 1 dropped, 2 kept
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    out = {
+        r.vec_id: r.keep
+        for r in semdedup(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ),
+            n_centroids=1, iters=1,
+        ).collect()
+    }
+    assert out == {0: True, 1: False, 2: True}
+
+
+def test_semdedup_below_threshold_all_kept(spark):
+    from geocode_spark.textops.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    out = semdedup(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        n_centroids=1, iters=1,
+    ).collect()
+    assert all(r.keep for r in out)
+
+
+def test_semdedup_no_cross_cell_suppression(spark):
+    from geocode_spark.textops.similarity import semdedup
+
+    # two tight opposite-direction groups -> 2 cells; identical vectors
+    # WITHIN each cell dedup, but cells never suppress each other
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]),
+        (2, [-1.0, 0.01]), (3, [-1.0, 0.01]),
+    ]
+    out = {
+        r.vec_id: r
+        for r in semdedup(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ),
+            n_centroids=2, iters=1,
+        ).collect()
+    }
+    assert [out[i].keep for i in range(4)] == [True, False, True, False]
+    assert out[0].cell_id != out[2].cell_id
+
+
+def test_semdedup_oversized_cell_raises(spark):
+    import pytest as _pytest
+
+    from geocode_spark.textops.similarity import semdedup
+
+    rows = [(i, [1.0, float(i)]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(Exception, match="raise.*n_centroids"):
+        semdedup(df, n_centroids=1, iters=1, max_cell=2).collect()
