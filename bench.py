@@ -102,6 +102,9 @@ SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "64"))
 # the documents table is 40x smaller than pages, so the corpus protocol
 # replicates harder to keep fixed costs amortized at the high level
 CORPUS_SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL_CORPUS", "512"))
+SELECT_SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL_SELECT", "20"))
+SELECT_SCALE_PARTITIONS = 32  # fatter partitions: the 100k-doc corpus at 128
+# partitions measured ms-scale tasks (scheduling, not compute)
 SCALE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "128"))
 
 
@@ -188,7 +191,7 @@ def _scaled_docs(spark, sf_dir: str, repl: int):
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "lang"
+        "doc_id", "text", "lang", "source"
     )
     docs = docs.repartition(SCALE_PARTITIONS, "doc_id")
     if repl > 1:
@@ -203,6 +206,7 @@ def _scaled_docs(spark, sf_dir: str, repl: int):
                 ).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" r"), F.col("_r")).alias("text"),
                 "lang",
+                "source",
             )
         )
     return docs
@@ -259,8 +263,64 @@ def run_scaling_corpus() -> dict:
     }
 
 
+def run_scaling_select() -> dict:
+    """Third scaling protocol: the round-4 LM-selection hot path
+    (span-dedup rewrite + bigram-LM scoring + DSIR log-ratio) at task-slot
+    counts N and 4N. Unlike the shuffle-free geocode flagship, this family
+    is SHUFFLE-HEAVY (window-hash groupBys, model joins, covered-set
+    distinct) — it measures how the exchange-bound side of the engine
+    scales. The replicated corpus is deliberately a worst-case ~full span
+    duplication profile (replicas share every interior window), so the
+    covered-set machinery carries its maximum load."""
+    lo = max(2, CPUS // 8)
+    hi = max(2 * lo, CPUS // 2)
+    res = {}
+    for cpus in (lo, hi):
+        spark = _session(cpus, f"geocode-spark-scaling-select-{cpus}")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(SELECT_SCALE_PARTITIONS)
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        from geocode_spark.textops.lm import bigram_lm_score, dsir_log_ratio
+        from geocode_spark.textops.spans import span_dedup_rewrite
+
+        docs = _scaled_docs(spark, SF_DIR, SELECT_SCALE_REPL).repartition(
+            SELECT_SCALE_PARTITIONS, "doc_id"
+        )
+        n = docs.count()
+
+        def _run():
+            _force_full(span_dedup_rewrite(docs))
+            _force_full(bigram_lm_score(docs))
+            _force_full(dsir_log_ratio(docs))
+
+        _run()  # warm: codegen + python workers + page cache
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _run()
+            best = min(best, time.perf_counter() - t0)
+        res[cpus] = {"sec": round(best, 4),
+                     "docs_per_sec": round(n / best, 1), "docs_in": n}
+        spark.stop()
+    speedup = res[lo]["sec"] / res[hi]["sec"]
+    eff = speedup / (hi / lo)
+    return {
+        "metric": "lm-selection scaling efficiency (local[%d] -> local[%d])"
+                  % (lo, hi),
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "levels": res,
+        "speedup": round(speedup, 3),
+        "repl": SELECT_SCALE_REPL,
+        "sf_dir": SF_DIR,
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling-corpus" in sys.argv:
+    if "--scaling-select" in sys.argv:
+        print(json.dumps(run_scaling_select()))
+    elif "--scaling-corpus" in sys.argv:
         print(json.dumps(run_scaling_corpus()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))

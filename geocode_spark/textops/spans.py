@@ -31,7 +31,7 @@ character spans, which a whitespace tokenizer does not keep).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import ws_word_array, ws_word_array_sql
@@ -103,13 +103,17 @@ def span_dedup_rewrite(
     original casing. Overlapping duplicated windows merge naturally
     through the covered-position set.
 
-    Scale shape: same keyed relations as span_dup_stats plus (a) a
-    covered-position relation (bounded explode, <= W rows per duplicated
-    window) deduped by a keyed (doc_id, widx) groupBy, (b) a keyed
-    left-anti join of the word-position relation against it, and (c) an
-    order-preserving per-doc reassembly (array_sort over collect_list —
-    doc-length-bounded state, the same accepted shape as
-    strip_boilerplate's reassembly). No all-pairs work, no Python.
+    Scale shape: same keyed relations as span_dup_stats plus (a) a keyed
+    join of word positions against duplicated-window START positions and
+    (b) ONE per-doc rangeBetween window pass turning starts into coverage
+    — word widx is covered iff some duplicated window starts in
+    (widx-W, widx] — then (c) an order-preserving per-doc reassembly
+    (array_sort over collect_list — doc-length-bounded state, the same
+    accepted shape as strip_boilerplate's reassembly). The window pass
+    replaces the naive explode(W rows per duplicated window) + corpus-
+    sized distinct + anti-join: under heavy duplication the covered-set
+    shuffle volume now never exceeds the word relation itself. No
+    all-pairs work, no Python.
     """
     w = int(window)
     base = docs.select("doc_id", ws_word_array(F.col(text_col)).alias("ws"))
@@ -123,21 +127,24 @@ def span_dedup_rewrite(
         .filter(F.col("nd") >= 2)
         .select("h")
     )
-    covered = (
+    starts = (
         wins.join(dup, "h")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("p"), F.col("p") + w - 1)).alias(
-                "widx"
-            ),
-        )
-        .distinct()
+        .select("doc_id", F.col("p").alias("widx"))
+        .groupBy("doc_id", "widx")
+        .agg(F.lit(1).alias("dup_start"))
     )
 
     word_pos = base.select(
         "doc_id", F.posexplode("ws").alias("w0", "word")
     ).select("doc_id", (F.col("w0") + 1).alias("widx"), "word")
-    kept = word_pos.join(covered, ["doc_id", "widx"], "left_anti")
+    cover_win = (
+        Window.partitionBy("doc_id").orderBy("widx").rangeBetween(-(w - 1), 0)
+    )
+    kept = (
+        word_pos.join(starts, ["doc_id", "widx"], "left")
+        .withColumn("covered", F.max("dup_start").over(cover_win))
+        .filter(F.col("covered").isNull())
+    )
     re = kept.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_kept"),
         F.concat_ws(

@@ -263,3 +263,25 @@ def test_bpe_pair_stats_single_partition_sort_is_bounded(docs):
     assert {c.split("#")[0] for c in scans[0].split(",") if c} == {"text"}
     assert _n_exchanges(plan) == 2  # word groupBy + pair groupBy
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_single_exchange_pruned_scan(spark):
+    """semdedup's distributed phase is exactly: one zero-shuffle Arrow
+    assignment pass + ONE keyed exchange (the per-cell applyInPandas
+    groupBy). The k-means training runs eagerly at build time via bounded
+    driver collects (the ann_ivf_kmeans pattern), so it never appears in
+    the returned plan. Scan must prune to [vec_id, embedding]."""
+    import re
+
+    from geocode_spark.textops.similarity import semdedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(semdedup(emb, n_centroids=4, iters=1))
+    assert _n_exchanges(plan) == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans and all(
+        {c.split("#")[0] for c in s.split(",") if c} <= {"vec_id", "embedding"}
+        for s in scans
+    )
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
