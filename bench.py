@@ -184,16 +184,19 @@ def run_scaling() -> dict:
     }
 
 
-def _scaled_docs(spark, sf_dir: str, repl: int):
+def _scaled_docs(spark, sf_dir: str, repl: int, partitions: int | None = None):
     """Deterministically replicate the documents table `repl` times with
     distinct doc_ids and a per-replica text suffix (so replicas are NOT
-    exact duplicates and the dedup key space stays realistic)."""
+    exact duplicates and the dedup key space stays realistic). `partitions`
+    sets the layout ONCE at build time — callers must not re-repartition
+    (a second exchange of the full replicated corpus would run inside
+    every timed pass)."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
-    docs = docs.repartition(SCALE_PARTITIONS, "doc_id")
+    docs = docs.repartition(partitions or SCALE_PARTITIONS, "doc_id")
     if repl > 1:
         docs = (
             docs.withColumn(
@@ -284,8 +287,9 @@ def run_scaling_select() -> dict:
         from geocode_spark.textops.lm import bigram_lm_score, dsir_log_ratio
         from geocode_spark.textops.spans import span_dedup_rewrite
 
-        docs = _scaled_docs(spark, SF_DIR, SELECT_SCALE_REPL).repartition(
-            SELECT_SCALE_PARTITIONS, "doc_id"
+        docs = _scaled_docs(
+            spark, SF_DIR, SELECT_SCALE_REPL,
+            partitions=SELECT_SCALE_PARTITIONS,
         )
         n = docs.count()
 

@@ -143,6 +143,18 @@ def dsir_log_ratio(
 
     c2c, c1c, vc = model(occ)
     c2t, c1t, vt = model(occ.filter(F.col("source") == target_source))
+    # lazy guard: an empty target model would make every lp_t
+    # ln(1/0) = +Inf -> Long.MaxValue and the per-doc sums wrap silently;
+    # raise at execution instead (the check rides on v_t, which every
+    # scored row consumes, so projection pruning cannot drop it)
+    vt = vt.select(
+        F.when(F.col("v") > 0, F.col("v"))
+        .otherwise(F.raise_error(F.lit(
+            f"dsir_log_ratio: target_source {target_source!r} matched "
+            "no documents with >= 2 words"
+        )))
+        .alias("v")
+    )
 
     def lp(c2_col, c1_col, v_col):
         return F.round(
@@ -240,11 +252,13 @@ def int_keep_low_threshold(
     size. Coarser than an exact percentile by at most one bin — the
     selection contract is "approximately this fraction, deterministically",
     which is what corpus curation needs (CCNet's perplexity cutoffs are
-    calibrated constants, not exact ranks). Returns None on an empty
-    relation. For keep-HIGH selections pass the negated column."""
+    calibrated constants, not exact ranks). NULL scores are excluded (they
+    could never satisfy v <= threshold). Returns None when no non-null
+    rows exist. For keep-HIGH selections pass the negated column."""
     import math as _math
 
     bw = int(bin_width)
+    df = df.filter(F.col(col).isNotNull())
     binned = df.select(
         ((F.col(col) - F.pmod(F.col(col), F.lit(bw))) / bw)
         .cast("bigint")

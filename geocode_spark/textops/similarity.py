@@ -557,9 +557,9 @@ def semdedup(emb: DataFrame, n_centroids: int = IVF_CENTROIDS,
     Each cell is one applyInPandas group; a cell over MAX_SEMDEDUP_CELL
     rows raises with instructions to raise n_centroids rather than
     silently building an n^2 matrix (the knn_bruteforce guard
-    convention)."""
-    import numpy as np
-
+    convention). Zero-norm embeddings are rejected at the assignment
+    kernel (their cosine is NaN, which numpy and DuckDB ORDER opposite
+    ways — run embedding_validate first)."""
     centid, centmat, centnsq = _kmeans_centroids(emb, n_centroids, iters)
     bc = emb.sparkSession.sparkContext.broadcast((centid, centmat, centnsq))
 
@@ -572,9 +572,14 @@ def semdedup(emb: DataFrame, n_centroids: int = IVF_CENTROIDS,
             if len(pdf) == 0:
                 continue
             mat = _mat(pdf["embedding"])
+            nsq = _fold_nsq(mat)
+            if np.any(nsq == 0):
+                raise ValueError(
+                    "semdedup: zero-norm embedding (cosine undefined) — "
+                    "run embedding_validate and drop invalid rows first"
+                )
             ccos = _round_half_up(
-                _fold_dots(mat, cmat)
-                / np.sqrt(_fold_nsq(mat)[:, None] * cnsq[None, :])
+                _fold_dots(mat, cmat) / np.sqrt(nsq[:, None] * cnsq[None, :])
             )
             cell = cid[np.argsort(-ccos, axis=1, kind="stable")[:, 0]]
             yield pd.DataFrame({
@@ -599,9 +604,9 @@ def semdedup(emb: DataFrame, n_centroids: int = IVF_CENTROIDS,
             )
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         mat = _mat(pdf["embedding"])
+        nsq = _fold_nsq(mat)
         cos = _round_half_up(
-            _fold_dots(mat, mat)
-            / np.sqrt(_fold_nsq(mat)[:, None] * _fold_nsq(mat)[None, :])
+            _fold_dots(mat, mat) / np.sqrt(nsq[:, None] * nsq[None, :])
         )
         hit = cos >= threshold
         # keep row j unless some i < j (strict lower triangle) hits it

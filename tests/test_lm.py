@@ -122,3 +122,26 @@ def test_dsir_unseen_in_target_gets_smoothed_floor(spark):
     lp_c = round(math.log(2.0 / 3.0) * LP_SCALE)
     assert out[1].n_bigrams == 1
     assert out[1].ratio_micro == 0 - lp_c
+
+
+def test_dsir_empty_target_raises(spark):
+    import pytest as _pytest
+
+    from geocode_spark.textops.lm import dsir_log_ratio
+
+    rows = [("a b c", "x"), ("d e f", "y")]
+    df = dsir_log_ratio(_docs_src(spark, rows), target_source="nope")
+    with _pytest.raises(Exception, match="matched no documents"):
+        df.collect()
+
+
+def test_int_keep_low_threshold_ignores_nulls(spark):
+    from geocode_spark.textops.lm import int_keep_low_threshold
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,)], "v long"
+    )
+    # nulls excluded: 2 non-null rows, keep half -> threshold 1
+    assert int_keep_low_threshold(df, "v", keep_ppk=500, bin_width=1) == 1
+    allnull = df.filter("v is null")
+    assert int_keep_low_threshold(allnull, "v", 500, 1) is None

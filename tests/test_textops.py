@@ -540,3 +540,14 @@ def test_semdedup_oversized_cell_raises(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     with _pytest.raises(Exception, match="raise.*n_centroids"):
         semdedup(df, n_centroids=1, iters=1, max_cell=2).collect()
+
+
+def test_semdedup_zero_norm_embedding_raises(spark):
+    import pytest as _pytest
+
+    from geocode_spark.textops.similarity import semdedup
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(Exception, match="zero-norm"):
+        semdedup(df, n_centroids=1, iters=1).collect()
