@@ -203,6 +203,75 @@ def _pages_stream_source(spark: SparkSession, fixtures_dir: str) -> str:
     return src
 
 
+def _dup_corpus_source(spark: SparkSession, sf_dir: str, root: str) -> str:
+    """Stage the dup-injected documents corpus (textops.dedup.near_dup_corpus
+    — the same relation the batch dedup_exact gate runs on) as 2
+    INTERLEAVED stream-source files: rows are ranked within (text_hash,
+    doc_id) order and split odd/even, so EVERY duplicate group with >= 2
+    members spans both micro-batches — the drain cannot pass on
+    within-batch dedup alone; the cross-batch state path carries the gate.
+    Event time is a constant timestamp: the watermark then never classifies
+    any row late (late-drop semantics are pinned separately by the
+    streaming pytest suite), so drained output keys == batch distinct keys
+    exactly."""
+    from pyspark.sql.window import Window
+
+    from ..textops.dedup import near_dup_corpus
+
+    src = f"{root}/src"
+    corpus = near_dup_corpus(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select(
+        "doc_id",
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        "text",
+    )
+    # one-task global window — gate-sized staging input only
+    w = Window.orderBy(F.md5("text"), F.col("doc_id"))
+    ranked = corpus.withColumn("_rn", F.row_number().over(w))
+    n = ranked.count()
+    if n < 2:
+        raise ValueError(f"dup corpus has {n} rows — cannot 2-batch split")
+    first = ranked.filter(F.col("_rn") % 2 == 1).drop("_rn")
+    second = ranked.filter(F.col("_rn") % 2 == 0).drop("_rn")
+    first.coalesce(1).write.mode("append").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def drained_dedup(spark: SparkSession, sf_dir: str,
+                  root: str | None = None) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the content
+    hash — SURVEY §2.8 T29) drained over 2 micro-batches with every
+    duplicate group spanning both; returns the surviving content-hash SET,
+    which equals the batch dedup relation's distinct text_hash column (the
+    SURVIVING doc_id is arrival-order-dependent inside a micro-batch and
+    deliberately not part of the gate). `root` (tests) pins the run
+    directory so the checkpoint's committed offsets can be inspected."""
+    root = root or tempfile.mkdtemp(prefix="gs_drain_dedup_")
+    src = _dup_corpus_source(spark, sf_dir, root)
+    stream = (
+        spark.readStream.schema("doc_id bigint, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    survivors = (
+        stream.withColumn("text_hash", F.md5(F.col("text")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+    with _drain_partitions(spark):
+        q = (
+            survivors.writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(f"{root}/out").select("text_hash")
+
+
 def drained_geocode(spark: SparkSession, fixtures_dir: str,
                     root: str | None = None) -> DataFrame:
     """foreachBatch incremental geocode drained over 2 micro-batches; equals

@@ -56,6 +56,7 @@ FAMILY = [
     "domain_stats",
     "stream_sessionize_drained",
     "stream_attribution_drained",
+    "stream_dedup_drained",
     # round-4 operators: corpus-assembly + LM / span-dedup / BPE families,
     # where window-duplication volume and vocab size move with the corpus
     "sequence_pack_greedy",

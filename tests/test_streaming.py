@@ -213,3 +213,47 @@ def test_drained_geocode_runs_multiple_micro_batches(spark, fixtures_dir, tmp_pa
     pages = spark.read.parquet(pages_path)
     want = geocode_pages(pages, load_locators(spark, fixtures_dir)).toPandas()
     assert_frames_match(got, want, label="drained_geocode_batches")
+
+
+def test_drained_dedup_cross_batch_state(spark, tmp_path):
+    """T29's oracle gate: the drained streaming exact dedup must (a) commit
+    >= 2 micro-batches, (b) have duplicate groups SPANNING the two source
+    halves (the interleaved split guarantees it — otherwise within-batch
+    dedup alone could pass), and (c) emit each surviving content hash
+    exactly once, matching the batch dedup relation's key set."""
+    import glob
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geocode_spark.streaming.drained import drained_dedup
+    from geocode_spark.textops.dedup import dedup_exact, near_dup_corpus
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = str(tmp_path / "drain")
+    got = drained_dedup(spark, sf_dir, root=root).toPandas()
+
+    committed = [
+        f for f in os.listdir(f"{root}/ckpt/offsets") if not f.startswith(".")
+    ]
+    assert len(committed) >= 2, f"only micro-batches {committed} committed"
+
+    halves = sorted(glob.glob(f"{root}/src/part-*.parquet"))
+    assert len(halves) == 2
+    h0 = set(pd.read_parquet(halves[0]).text.map(hash))
+    h1 = set(pd.read_parquet(halves[1]).text.map(hash))
+    spanning = h0 & h1
+    assert len(spanning) > 0, "no duplicate group spans the micro-batches"
+
+    # exactly-once per key, and the key set equals the batch relation's
+    assert got.text_hash.is_unique
+    batch = (
+        dedup_exact(near_dup_corpus(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ))
+        .select("text_hash").toPandas()
+    )
+    assert sorted(got.text_hash) == sorted(batch.text_hash)
+    # effect size: the corpus genuinely contains duplicates
+    assert len(got) < len(h0) + len(h1)
