@@ -57,6 +57,7 @@ HEAVY = [
     "span_dedup_rewrite",
     "dsir_log_ratio",
     "semdedup",
+    "stream_dedup_drained",
 ]
 
 

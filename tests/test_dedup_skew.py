@@ -38,7 +38,9 @@ def skewed_corpus(spark):
         ) + f" changed{i}"
         rows.append((N_BASE + i, f"{TEMPLATE} {tail}"))
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
-    return spark.createDataFrame(pdf, "doc_id bigint, text string").cache()
+    df = spark.createDataFrame(pdf, "doc_id bigint, text string").cache()
+    yield df
+    df.unpersist()
 
 
 def _n_pairs(n):

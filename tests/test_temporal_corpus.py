@@ -18,12 +18,16 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def events(spark):
-    return spark.read.parquet(f"{SF_DIR}/events.parquet").cache()
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 # ----------------------------------------------------------------- temporal
@@ -145,7 +149,9 @@ def test_asof_no_prior_purchase_is_null(events):
 def corpus(docs):
     from geocode_spark.textops.dedup import near_dup_corpus
 
-    return near_dup_corpus(docs).cache()
+    df = near_dup_corpus(docs).cache()
+    yield df
+    df.unpersist()
 
 
 def test_dedup_clusters_oracle(corpus):

@@ -21,7 +21,9 @@ def emb(spark):
 def corpus(docs):
     from geocode_spark.textops.dedup import near_dup_corpus
 
-    return near_dup_corpus(docs).cache()
+    df = near_dup_corpus(docs).cache()
+    yield df
+    df.unpersist()
 
 
 # ------------------------------------------------------------------ textstats
