@@ -200,13 +200,20 @@ def _emit_status(out_dir: str, n_batches: int, status_log) -> None:
     """Cumulative log_status block over every committed ledger so far."""
     from .progress import log_status_lines
 
-    total = fail = score_sum = 0
+    total = fail = 0
+    score_sum = 0.0
     for k in completed_batches(out_dir):
         with open(_ledger_path(out_dir, k)) as fh:
             rec = json.load(fh)
         total += rec["total"]
         fail += rec["fail"]
-        score_sum += rec.get("score_sum", 0)
+        if score_sum is not None and "score_sum" in rec:
+            score_sum += rec["score_sum"]
+        else:
+            # a resumed ledger from an engine version without score_sum:
+            # the cumulative sum is unknowable -> report 'n/a', never a
+            # partial sum divided by all successes
+            score_sum = None
     status_log(log_status_lines(total, fail, score_sum))
 
 
@@ -247,7 +254,10 @@ def _summarize(out_dir: str, n_batches: int, skipped: list, t0: float) -> dict:
         summary["total"] += rec["total"]
         summary["fail"] += rec["fail"]
         summary["success"] += rec["success"]
-        summary["score_sum"] += rec.get("score_sum", 0)
+        if summary["score_sum"] is not None and "score_sum" in rec:
+            summary["score_sum"] += rec["score_sum"]
+        else:
+            summary["score_sum"] = None  # pre-score_sum ledger resumed
     summary["seconds"] = round(time.perf_counter() - t0, 3)
     return summary
 

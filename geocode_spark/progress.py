@@ -52,10 +52,16 @@ def log_status_lines(total: int, fail: int, score_sum: float) -> list:
         failure_rate = round(100 * fail / total)
     except ZeroDivisionError:
         failure_rate = 100
-    try:
-        average_score = round(score_sum / success)
-    except ZeroDivisionError:
+    if score_sum is None:
+        # A ledger written by an engine version that predates score_sum:
+        # the true sum is unknowable, so say so rather than dividing a
+        # partial sum by all successes (silently-wrong average).
         average_score = "n/a"
+    else:
+        try:
+            average_score = round(score_sum / success)
+        except ZeroDivisionError:
+            average_score = "n/a"
     return [
         f"Total requests: {total}",
         f"Failure rate: {failure_rate}%",
@@ -110,10 +116,16 @@ class ProgressReporter:
         self._stop = threading.Event()
         self._thread = None
         self._t0 = None
+        self._base = 0
 
     # ---------------------------------------------------------------- emit
     def _emit_crossed(self):
-        n = int(self.acc.value)
+        # Count only rows processed since start(): the health probe runs the
+        # same instrumented plan BEFORE the reporter starts (geocode_job),
+        # and those probe-batch rows must not back-fill boundaries or inflate
+        # "Total requests" (reference counts each request once,
+        # geocode.py:256-258).
+        n = int(self.acc.value) - self._base
         last = self.boundaries[-1] if self.boundaries else 0
         while last + self.every <= n:
             last += self.every
@@ -130,6 +142,7 @@ class ProgressReporter:
         if self._thread is not None:
             raise RuntimeError("reporter already started")
         self._t0 = time.perf_counter()
+        self._base = int(self.acc.value)
         self._stop.clear()
 
         def run():

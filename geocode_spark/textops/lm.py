@@ -34,17 +34,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from .textstats import ws_word_array, ws_word_array_sql
 
 LP_SCALE = 1_000_000  # micro-nats
 
 
-def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_bigrams, nll_micro): negative log-likelihood of each
-    document under the corpus's own add-one-smoothed bigram model, in exact
-    integer micro-nats. Documents with fewer than 2 words score (0, 0)."""
+def _bigram_pairs(docs: DataFrame, text_col: str, extra_cols=()):
+    """Shared (based, pairs) construction for the bigram scorers.
+
+    ``based`` = (doc_id, *extra_cols, ws); ``pairs`` = (doc_id,
+    *extra_cols, w1, w2) via ONE explode_outer — a document with < 2
+    words contributes a single null-w1 row, so count("w1") scores it 0.
+
+    ``pairs`` comes back persist_tracked (caching.clear_caches releases
+    it): every consumer feeds it into 2-3 branches of the same returned
+    plan (model aggregations + the scoring join), and Catalyst does not
+    materialize common subtrees — unpersisted, the tokenize + arrays_zip
+    + explode pipeline re-runs once per branch, i.e. 2-3 full corpus
+    scans per query (the recompute trap textops.dedup documents).
+    """
+    extra = list(extra_cols)
     based = docs.select(
-        "doc_id", ws_word_array(F.lower(F.col(text_col))).alias("ws")
+        "doc_id", *extra,
+        ws_word_array(F.lower(F.col(text_col))).alias("ws"),
     )
     n = F.size("ws")
     zipped = F.when(
@@ -55,12 +68,21 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     pairs = based.select(
-        "doc_id", F.explode_outer(zipped).alias("bg")
+        "doc_id", *extra, F.explode_outer(zipped).alias("bg")
     ).select(
-        "doc_id",
+        "doc_id", *extra,
         F.col("bg.w1").alias("w1"),
         F.col("bg.w2").alias("w2"),
     )
+    return based, persist_tracked(pairs)
+
+
+
+def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, nll_micro): negative log-likelihood of each
+    document under the corpus's own add-one-smoothed bigram model, in exact
+    integer micro-nats. Documents with fewer than 2 words score (0, 0)."""
+    _, pairs = _bigram_pairs(docs, text_col)
 
     c2 = pairs.filter(F.col("w1").isNotNull()).groupBy("w1", "w2").agg(
         F.count("*").cast("bigint").alias("c2")
@@ -110,27 +132,7 @@ def dsir_log_ratio(
     terms quantize to int64 micro-nats before the sum (same order-exact
     gate discipline, and same per-bigram ln() boundary-flake caveat, as
     bigram_lm_score)."""
-    based = docs.select(
-        "doc_id",
-        "source",
-        ws_word_array(F.lower(F.col(text_col))).alias("ws"),
-    )
-    n = F.size("ws")
-    zipped = F.when(
-        n >= 2,
-        F.arrays_zip(
-            F.slice("ws", 1, n - 1).alias("w1"),
-            F.slice("ws", 2, n - 1).alias("w2"),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    pairs = based.select(
-        "doc_id", "source", F.explode_outer(zipped).alias("bg")
-    ).select(
-        "doc_id",
-        "source",
-        F.col("bg.w1").alias("w1"),
-        F.col("bg.w2").alias("w2"),
-    )
+    based, pairs = _bigram_pairs(docs, text_col, extra_cols=("source",))
     occ = pairs.filter(F.col("w1").isNotNull())
 
     def model(rel):

@@ -294,10 +294,15 @@ def mixture_sample(docs: DataFrame,
             F.coalesce(expr, F.lit(0)).cast("bigint").alias("w_ppk"),
         )
     # `div` = exact integer division (the oracle's `//`); a double `/` +
-    # floor() could round a near-integer quotient the other way
+    # floor() could round a near-integer quotient the other way. A source
+    # whose docs carry zero tokens gets an explicit 0 threshold (keep
+    # nothing): without the CASE, Spark's non-ANSI `div` yields NULL
+    # (silent drop) while DuckDB's `//` raises Division by zero --
+    # engine/oracle divergence on the same input.
     thresh = F.expr(
-        f"CAST(({int(budget_tokens)} * w_ppk * {_MIX_BUCKETS}) "
-        f"div (1000 * src_tokens) AS BIGINT)"
+        f"CAST(CASE WHEN src_tokens = 0 THEN 0 "
+        f"ELSE ({int(budget_tokens)} * w_ppk * {_MIX_BUCKETS}) "
+        f"div (1000 * src_tokens) END AS BIGINT)"
     )
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
@@ -329,8 +334,9 @@ WITH base AS (
   FROM per_src
 ), thresh AS (
   SELECT source,
-         CAST(({int(budget_tokens)} * w_ppk * {_MIX_BUCKETS})
-              // (1000 * src_tokens) AS BIGINT) AS keep_below
+         CAST(CASE WHEN src_tokens = 0 THEN 0
+              ELSE ({int(budget_tokens)} * w_ppk * {_MIX_BUCKETS})
+                   // (1000 * src_tokens) END AS BIGINT) AS keep_below
   FROM weighted
 )
 SELECT b.doc_id, b.source, b.tok_count
@@ -360,8 +366,11 @@ def canonical_url(url) -> F.Column:
     tail = F.substring(col, F.length(head) + F.lit(1), F.lit(1 << 30))
     c = F.concat(F.lower(head), tail)
     # 2. default ports
-    c = F.regexp_replace(c, r"^(http://[^/:]+):80(/|$)", r"$1$2")
-    c = F.regexp_replace(c, r"^(https://[^/:]+):443(/|$)", r"$1$2")
+    #    ([/?#]|$): a default port may be followed directly by a path,
+    #    query, or fragment -- 'http://h:80?q=1' strips the same as
+    #    'http://h:80/?q=1' would, or the two canonicals diverge
+    c = F.regexp_replace(c, r"^(http://[^/:]+):80([/?#]|$)", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/:]+):443([/?#]|$)", r"$1$2")
     # 3. fragment
     c = F.regexp_replace(c, r"#.*$", "")
     # 4. tracking params: consume a RUN of them after one separator, keeping
@@ -389,8 +398,8 @@ def _canonical_url_sql(col: str) -> str:
         f" {col}[length(regexp_extract({col},"
         f" '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)) + 1:])"
     )
-    c = f"regexp_replace({c}, '^(http://[^/:]+):80(/|$)', '\\1\\2')"
-    c = f"regexp_replace({c}, '^(https://[^/:]+):443(/|$)', '\\1\\2')"
+    c = f"regexp_replace({c}, '^(http://[^/:]+):80([/?#]|$)', '\\1\\2')"
+    c = f"regexp_replace({c}, '^(https://[^/:]+):443([/?#]|$)', '\\1\\2')"
     c = f"regexp_replace({c}, '#.*$', '')"
     c = (
         f"regexp_replace({c},"
@@ -417,8 +426,13 @@ def synthetic_url_corpus(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit(""))
     url = (
         F.when(v == 0, F.concat(F.lit("http://"), host, path, keep_q))
-        .when(v == 1, F.concat(F.lit("HTTP://"), F.upper(host),
-                               F.lit(":80"), path))
+        .when(v == 1, F.when(
+            g % 7 == 0,
+            # port directly followed by the query (no path): pins the
+            # ':80?q=' default-port strip shape in the oracle gate
+            F.concat(F.lit("HTTP://"), F.upper(host), F.lit(":80"), keep_q),
+        ).otherwise(F.concat(F.lit("HTTP://"), F.upper(host),
+                             F.lit(":80"), path)))
         .when(v == 2, F.concat(F.lit("http://"), host, path, keep_q,
                                F.when(g % 7 == 0, F.lit("&utm_source=f"))
                                .otherwise(F.lit("?utm_source=f&fbclid=z"))))
@@ -443,7 +457,9 @@ def synthetic_url_corpus_sql(source: str = "documents") -> str:
 SELECT doc_id,
        CASE doc_id % 4
          WHEN 0 THEN concat('http://', {host}, {path}, {keep_q})
-         WHEN 1 THEN concat('HTTP://', upper({host}), ':80', {path})
+         WHEN 1 THEN CASE WHEN {g} % 7 = 0
+                     THEN concat('HTTP://', upper({host}), ':80', {keep_q})
+                     ELSE concat('HTTP://', upper({host}), ':80', {path}) END
          WHEN 2 THEN concat('http://', {host}, {path}, {keep_q},
                             CASE WHEN {g} % 7 = 0 THEN '&utm_source=f'
                                  ELSE '?utm_source=f&fbclid=z' END)

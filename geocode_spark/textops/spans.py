@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from .textstats import ws_word_array, ws_word_array_sql
 
 DEFAULT_WINDOW = 8  # words per span at sandbox doc sizes (Lee et al. use 50)
@@ -72,7 +73,13 @@ def span_dup_stats(
     """
     w = int(window)
     base = docs.select("doc_id", ws_word_array(F.col(text_col)).alias("ws"))
-    wins = base.select("doc_id", F.explode_outer(_window_hashes(w)).alias("h"))
+    # wins feeds BOTH the dup aggregation and the per-doc scoring join of
+    # the same returned plan; persist_tracked stops Catalyst re-running the
+    # tokenize + rolling-hash + explode pipeline once per branch
+    # (caching.clear_caches releases it)
+    wins = persist_tracked(
+        base.select("doc_id", F.explode_outer(_window_hashes(w)).alias("h"))
+    )
 
     dup = (
         wins.filter(F.col("h").isNotNull())
@@ -117,9 +124,12 @@ def span_dedup_rewrite(
     """
     w = int(window)
     base = docs.select("doc_id", ws_word_array(F.col(text_col)).alias("ws"))
-    wins = base.select(
-        "doc_id", F.posexplode(_window_hashes(w)).alias("p0", "h")
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), "h")
+    # same two-consumer shape as span_dup_stats (dup agg + starts join)
+    wins = persist_tracked(
+        base.select(
+            "doc_id", F.posexplode(_window_hashes(w)).alias("p0", "h")
+        ).select("doc_id", (F.col("p0") + 1).alias("p"), "h")
+    )
 
     dup = (
         wins.groupBy("h")

@@ -87,6 +87,7 @@ def main(argv=None) -> int:
 
         # 2. optional mixture sampling on the CLEANED text (budgets must
         # count the tokens the trainer will actually see)
+        n_sampled_out = 0
         if args.budget_tokens:
             src = docs.select("doc_id", "source") if "source" in docs.columns \
                 else docs.select("doc_id", F.lit("all").alias("source"))
@@ -94,6 +95,11 @@ def main(argv=None) -> int:
                 clean.join(src, "doc_id"), budget_tokens=args.budget_tokens
             ).select("doc_id")
             clean = clean.join(kept, "doc_id")
+            # summary must tie out: docs_in == boilerplate_only_dropped
+            # + mixture_sampled_out + docs_packed (select_job asserts the
+            # same stage accounting in its test); pre-sample count is
+            # already known as n_in - n_stripped, so this costs one pass
+            n_sampled_out = (n_in - n_stripped) - clean.count()
 
         # 3. deterministic epoch shuffle
         order = epoch_shuffle(clean, seed=args.epoch, n_shards=args.shards)
@@ -143,6 +149,7 @@ def main(argv=None) -> int:
         "status": "ok",
         "docs_in": n_in,
         "boilerplate_only_dropped": n_stripped,
+        "mixture_sampled_out": n_sampled_out,
         "docs_packed": n_docs,
         "sequences": sum(r["n_seqs"] for r in manifest["shards"]),
         "tokens": sum(r["n_tokens"] for r in manifest["shards"]),

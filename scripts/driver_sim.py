@@ -6,7 +6,6 @@ the driver's own artifact samples only 50 of the queries per round, so this
 is the auditable record that the never-sampled ones ran green too (round-3
 verdict item #4).
 """
-import hashlib
 import json
 import os
 import sys
@@ -18,18 +17,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 import duckdb
 import pandas as pd
 
-from compare_util import canonicalize, duck_to_pdf, _norm_cell
+from compare_util import duck_to_pdf, vhash
 
 SF = "/root/testdata/sf0.01"
-
-
-def vhash(pdf: pd.DataFrame) -> str:
-    c = canonicalize(pdf)
-    h = hashlib.sha256()
-    for col in c.columns:
-        for v in c[col].tolist():
-            h.update(repr(_norm_cell(v)).encode())
-    return h.hexdigest()
 
 
 def main():
@@ -73,9 +63,12 @@ def main():
                 )
                 ok = rec["hash_match"]
             else:
-                # rows-only check (non-SQL-expressible op, no oracle entry)
+                # rows-only check (non-SQL-expressible op, no oracle entry):
+                # no hash comparison ran, so record null — an auditor must
+                # never read `hash_match: true` where no oracle was consulted
                 ok = len(spdf) >= 0
-                rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = ok
+                rec["rows_match"] = ok
+                rec["schema_match"] = rec["hash_match"] = None
                 rec["err"] = "rows-only (no oracle_sql entry)"
             status = "OK " if ok else "MISMATCH"
             if not ok:

@@ -16,7 +16,6 @@ directory's name (fixtures.sf_from_dir) — a tier dir named `sf0.5` yields a
 Usage: PYTHONPATH=.:tests python scripts/scale_ladder.py
 Writes CORRECTNESS_SF05.json at the repo root.
 """
-import hashlib
 import json
 import os
 import shutil
@@ -142,19 +141,8 @@ def build_tier(spark) -> str:
     return TIER_DIR
 
 
-def vhash(pdf):
-    from compare_util import _norm_cell, canonicalize
-
-    c = canonicalize(pdf)
-    h = hashlib.sha256()
-    for col in c.columns:
-        for v in c[col].tolist():
-            h.update(repr(_norm_cell(v)).encode())
-    return h.hexdigest()
-
-
 def run_tier(spark, mod, sf_dir, names):
-    from compare_util import duck_to_pdf
+    from compare_util import duck_to_pdf, vhash
 
     mod.ORACLE_SF_DIR = sf_dir
     qs, osql = mod.queries(), mod.oracle_sql()

@@ -1,6 +1,7 @@
 """Order-insensitive DataFrame comparison mimicking the driver's oracle check
 (row count + schema + value hash over name-sorted columns)."""
 
+import hashlib
 import math
 
 import duckdb
@@ -55,6 +56,19 @@ def _norm_cell(v):
         except Exception:
             return v
     return v
+
+
+def vhash(pdf: pd.DataFrame) -> str:
+    """Canonical value hash of a frame (sorted columns/rows via canonicalize,
+    sha256 over repr of normalized cells). The ONE definition of the
+    value-hash convention -- driver_sim and scale_ladder both gate on it, so
+    it must not fork."""
+    c = canonicalize(pdf)
+    h = hashlib.sha256()
+    for col in c.columns:
+        for v in c[col].tolist():
+            h.update(repr(_norm_cell(v)).encode())
+    return h.hexdigest()
 
 
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,

@@ -90,6 +90,11 @@ def test_greedy_exact_fit_closes_at_boundary(spark):
     ("http://h.com:80/a", "http://h.com/a"),
     ("https://h.com:443/a", "https://h.com/a"),
     ("http://h.com:8080/a", "http://h.com:8080/a"),
+    # default port directly followed by query/fragment/end (no path) —
+    # must strip the same as the '/'-followed shape or dedup forks
+    ("http://h.com:80?q=1", "http://h.com?q=1"),
+    ("https://h.com:443#frag", "https://h.com"),
+    ("http://h.com:80", "http://h.com"),
     # fragment dropped
     ("http://h.com/a#sec-2", "http://h.com/a"),
     # tracking params: adjacent run after '?', real param survives

@@ -45,6 +45,61 @@ def test_log_status_block_parity():
         "Average score: n/a",  # zero successes -> n/a (geocode.py:155-158)
     ]
     assert log_status_lines(4, 4, 0)[2] == "Average score: n/a"
+    # score_sum=None (a resumed pre-score_sum ledger): unknowable, never a
+    # partial sum divided by all successes
+    assert log_status_lines(10, 3, None)[2] == "Average score: n/a"
+
+
+def test_reporter_excludes_rows_processed_before_start(
+    spark, fixtures_dir, sf_dir
+):
+    # geocode_job runs the health probe on the SAME instrumented plan
+    # before reporter.start(); rows the kernel counts before start() must
+    # not back-fill boundaries or inflate "Total requests". (The probe's
+    # limit() path usually drops its accumulator updates with the
+    # early-terminated task, but whether they ship depends on partition
+    # size vs probe_count — a partition smaller than the limit IS fully
+    # consumed and DOES ship. Simulate the shipped case with a full
+    # pre-start pass, the worst case.)
+    lines = []
+    rep = ProgressReporter(spark, every=500, interval=0.1, log=lines.append)
+    result = _result_plan(spark, fixtures_dir, sf_dir, progress_acc=rep.acc)
+    assert len(result.toPandas()) == 2000  # pre-start execution
+    assert int(rep.acc.value) == 2000
+    with rep:
+        n = len(result.toPandas())
+    assert n == 2000
+    # boundaries reflect only post-start rows: exactly one dataset pass,
+    # not [500..4000] back-filled from the pre-start counts
+    assert rep.boundaries == [500, 1000, 1500, 2000]
+
+
+def test_resume_over_ledger_without_score_sum(
+    spark, fixtures_dir, sf_dir, tmp_path
+):
+    # A ledger written by an engine version that predates score_sum must
+    # surface 'n/a', not a silently understated average
+    from geocode_spark.batching import run_resumable, _ledger_path
+
+    out = str(tmp_path / "run")
+    result = _result_plan(spark, fixtures_dir, sf_dir)
+    run_resumable(spark, result, out, n_batches=4, key="primary_key",
+                  log=lambda m: None)
+    # strip score_sum from one committed ledger (old-version artifact)
+    lp = _ledger_path(out, 1)
+    rec = json.load(open(lp))
+    del rec["score_sum"]
+    with open(lp, "w") as fh:
+        json.dump(rec, fh)
+    # force batch 2 pending so the resume recomputes and re-summarizes
+    os.remove(_ledger_path(out, 2))
+    blocks = []
+    s2 = run_resumable(spark, result, out, n_batches=4, key="primary_key",
+                       log=lambda m: None, status_log=blocks.append)
+    assert s2["score_sum"] is None
+    assert blocks[-1][2] == "Average score: n/a"
+    # totals are still exact -- only the score average is unknowable
+    assert s2["total"] == 2000
 
 
 def test_progress_reporter_cadence_and_total(spark, fixtures_dir, sf_dir):
