@@ -61,6 +61,8 @@ def run_bench() -> dict:
     qtimes: dict[str, float] = {}
     rows: dict[str, int] = {}
     eager = getattr(entrymod, "EAGER_QUERIES", frozenset())
+    from geocode_spark.caching import clear_caches as _clear_tracked
+
     for name, fn in entrymod.queries().items():
         if name not in eager:
             # warm (plan compile + fixture materialization + JIT)
@@ -68,6 +70,11 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         rows[name] = _force(fn(spark, SF_DIR))
         qtimes[name] = round(time.perf_counter() - t0, 4)
+        # release THIS query's builder-local tracked persists before the
+        # next query: 76 queries would otherwise accumulate executor
+        # storage (the warm pass's cache stays live across its own timed
+        # pass, unchanged -- the clear runs after timing)
+        _clear_tracked()
 
     total = round(sum(qtimes.values()), 4)
     # Compact stdout line (the driver's tail-capture truncated round 2's
@@ -293,10 +300,18 @@ def run_scaling_select() -> dict:
         )
         n = docs.count()
 
+        from geocode_spark.caching import clear_caches as _clear_tracked
+
         def _run():
             _force_full(span_dedup_rewrite(docs))
             _force_full(bigram_lm_score(docs))
             _force_full(dsir_log_ratio(docs))
+            # these builders persist_tracked their multi-consumer pair/window
+            # relations; Spark's CacheManager matches equal logical plans, so
+            # WITHOUT this release every later pass would read the first
+            # pass's cache instead of recomputing -- a scaling measurement
+            # of cache reads, not of the operators
+            _clear_tracked()
 
         _run()  # warm: codegen + python workers + page cache
         best = float("inf")
