@@ -353,6 +353,12 @@ TRACKING_PARAMS = r"(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)"
 def canonical_url(url) -> F.Column:
     """Canonical form of a URL for frontier/corpus dedup.
 
+    Anchors are \z (true end-of-text), never $: Java's $ also matches
+    BEFORE a trailing newline while RE2's does not, so a crawl column
+    containing '...?\n' would canonicalize differently in the engine and
+    the oracle. \z and [\s\S] behave identically in both dialects
+    (pinned by the differential fuzz in tests/test_fuzz_parity.py).
+
     Steps (each a Catalyst regexp, applied in order):
       1. case-fold the scheme and host (path/query stay case-sensitive)
       2. drop default ports (:80 http, :443 https)
@@ -369,20 +375,20 @@ def canonical_url(url) -> F.Column:
     #    ([/?#]|$): a default port may be followed directly by a path,
     #    query, or fragment -- 'http://h:80?q=1' strips the same as
     #    'http://h:80/?q=1' would, or the two canonicals diverge
-    c = F.regexp_replace(c, r"^(http://[^/:]+):80([/?#]|$)", r"$1$2")
-    c = F.regexp_replace(c, r"^(https://[^/:]+):443([/?#]|$)", r"$1$2")
+    c = F.regexp_replace(c, r"^(http://[^/:]+):80([/?#]|\z)", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/:]+):443([/?#]|\z)", r"$1$2")
     # 3. fragment
-    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.regexp_replace(c, r"#[\s\S]*", "")
     # 4. tracking params: consume a RUN of them after one separator, keeping
     #    the separator ((?:...)+ handles adjacent params identically in Java
     #    and RE2 — a lookbehind would not: RE2 has none, and a consume-based
     #    single-param regex misses the second of two adjacent params)
     c = F.regexp_replace(
-        c, r"([?&])(?:" + TRACKING_PARAMS + r"=[^&#]*(?:&|$))+", r"$1"
+        c, r"([?&])(?:" + TRACKING_PARAMS + r"=[^&#]*(?:&|\z))+", r"$1"
     )
-    c = F.regexp_replace(c, r"[?&]+$", "")
+    c = F.regexp_replace(c, r"[?&]+\z", "")
     # 5. trailing slash on non-root path
-    c = F.regexp_replace(c, r"(://[^/]+/.+?)/$", r"$1")
+    c = F.regexp_replace(c, r"(://[^/]+/.+?)/\z", r"$1")
     return c
 
 
@@ -398,15 +404,15 @@ def _canonical_url_sql(col: str) -> str:
         f" {col}[length(regexp_extract({col},"
         f" '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)) + 1:])"
     )
-    c = f"regexp_replace({c}, '^(http://[^/:]+):80([/?#]|$)', '\\1\\2')"
-    c = f"regexp_replace({c}, '^(https://[^/:]+):443([/?#]|$)', '\\1\\2')"
-    c = f"regexp_replace({c}, '#.*$', '')"
+    c = f"regexp_replace({c}, '^(http://[^/:]+):80([/?#]|\\z)', '\\1\\2')"
+    c = f"regexp_replace({c}, '^(https://[^/:]+):443([/?#]|\\z)', '\\1\\2')"
+    c = f"regexp_replace({c}, '#[\\s\\S]*', '')"
     c = (
         f"regexp_replace({c},"
-        f" '([?&])(?:{TRACKING_PARAMS}=[^&#]*(?:&|$))+', '\\1', 'g')"
+        f" '([?&])(?:{TRACKING_PARAMS}=[^&#]*(?:&|\\z))+', '\\1', 'g')"
     )
-    c = f"regexp_replace({c}, '[?&]+$', '')"
-    c = f"regexp_replace({c}, '(://[^/]+/.+?)/$', '\\1')"
+    c = f"regexp_replace({c}, '[?&]+\\z', '')"
+    c = f"regexp_replace({c}, '(://[^/]+/.+?)/\\z', '\\1')"
     return c
 
 

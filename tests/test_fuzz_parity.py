@@ -287,3 +287,45 @@ def test_span_family_three_way_parity(spark, corpus):
     assert got_rw == want_rw
     duck_rw = _span_duck(corpus, span_dedup_rewrite_oracle_sql(window=_W))
     assert sorted(map(tuple, duck_rw.itertuples(index=False))) == want_rw
+
+
+# ----------------------------------------------------- canonical_url fuzz
+# URL-ish compositions (well-formed and deliberately odd: double '?',
+# trailing newline, port before query) plus raw unicode soup — the regex
+# chains must agree between Java (Spark) and RE2 (DuckDB) on EVERY input,
+# which is why canonical_url anchors on \z, never $ (Java's $ also matches
+# before a trailing newline).
+URLISH = st.builds(
+    lambda scheme, host, port, path, slash, q, frag, tail:
+        f"{scheme}{host}{port}{path}{slash}{q}{frag}{tail}",
+    st.sampled_from(["http://", "HTTP://", "https://", "HTTPS://",
+                     "hTtP://", ""]),
+    st.sampled_from(["h.com", "ExAmPle.COM", "a-b.example9.com", "H.com"]),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(["", "/", "/a", "/a/b", "/Path/X", "//x"]),
+    st.sampled_from(["", "/"]),
+    st.sampled_from(["", "?q=1", "?utm_source=x", "?utm_source=x&q=1",
+                     "?q=1&utm_source=x&fbclid=z",
+                     "?utm_source=x&utm_medium=y", "?&", "??q=1",
+                     "?utm_ref=1", "?q=1&"]),
+    st.sampled_from(["", "#frag", "#a?b", "#"]),
+    st.sampled_from(["", "\n", "\n/a"]),
+)
+URL_BATCH = st.lists(st.one_of(TEXTS, URLISH), min_size=1, max_size=40)
+
+
+@given(URL_BATCH)
+@settings(**_FUZZ_SETTINGS)
+def test_canonical_url_spark_duckdb_parity(spark, batch):
+    from geocode_spark.textops.packing import (
+        _canonical_url_sql,
+        canonical_url,
+    )
+
+    got_spark = _spark_eval(
+        spark, batch, canonical_url(F.col("s")).alias("v")
+    )["v"].tolist()
+    got_duck = _duck(batch, f"{_canonical_url_sql('s')} AS v")["v"].tolist()
+    for src, a, b in zip(batch, got_spark, got_duck):
+        ok = (a == b) or (pd.isna(a) and pd.isna(b))
+        assert ok, f"{a!r} != {b!r} for input {src!r}"
