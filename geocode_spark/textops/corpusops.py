@@ -146,6 +146,68 @@ FROM reach GROUP BY doc_id
 """
 
 
+def dedup_keep_best(corpus: DataFrame, threshold: float = 0.8,
+                    edges: DataFrame | None = None) -> DataFrame:
+    """(cluster_id, best_id, n_members, best_len): per near-duplicate
+    cluster, the member elected to SURVIVE — longest text, ties broken to
+    the lowest doc_id. The production variant of dedup_clusters'
+    lowest-id canonical: real curation keeps the best member of a dup
+    cluster (longest / highest-quality), not an arbitrary one (e.g. the
+    RefinedWeb and FineWeb pipelines keep the longest near-dup).
+
+    Scale shape: dedup_clusters' edge-relation label propagation plus ONE
+    keyed join of the cluster map against a (doc_id, length) projection
+    and ONE groupBy(cluster_id) whose argmax rides a struct max — no
+    window over the corpus, no second shuffle beyond the aggregation.
+    Deterministic at any parallelism: max(struct(len, -doc_id)) is
+    order-independent.
+    """
+    clusters = dedup_clusters(corpus, threshold=threshold, edges=edges)
+    scored = corpus.select(
+        "doc_id", F.length("text").cast("bigint").alias("len")
+    ).join(clusters.select("doc_id", "cluster_id"), "doc_id")
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.max(F.struct(
+                F.col("len"),
+                (-F.col("doc_id")).alias("neg_id"),
+            )).alias("m"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("m.neg_id")).cast("bigint").alias("best_id"),
+            "n_members",
+            F.col("m.len").cast("bigint").alias("best_len"),
+        )
+    )
+
+
+def dedup_keep_best_oracle_sql(source: str = "documents",
+                               threshold: float = 0.8) -> str:
+    """DuckDB twin: same clusters, same longest-text-then-lowest-id
+    election via a deterministic ROW_NUMBER (DuckDB's arg_max leaves ties
+    unspecified, so the window order pins them)."""
+    return f"""
+WITH clusters AS ({dedup_clusters_oracle_sql(source, threshold)}),
+scored AS (
+  SELECT c.cluster_id, c.doc_id, CAST(length(d.text) AS BIGINT) AS len
+  FROM clusters c JOIN {corpus_sql(source)} d USING (doc_id)
+), ranked AS (
+  SELECT cluster_id, doc_id, len,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY len DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT cluster_id, CAST(doc_id AS BIGINT) AS best_id, n_members,
+       len AS best_len
+FROM ranked WHERE rn = 1
+"""
+
+
 # -------------------------------------------------------- stratified sampling
 def _bucket_col(doc_id) -> F.Column:
     return (

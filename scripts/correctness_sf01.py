@@ -30,6 +30,7 @@ FAMILY = [
     "ann_ivf_topk",
     "embedding_near_dup",
     "dedup_clusters",
+    "dedup_keep_best",
     "stratified_sample",
     "tfidf_top_terms",
     # round-3 extension (VERDICT r02 #9): the temporal / graph / corpus /

@@ -553,3 +553,27 @@ def test_semdedup_zero_norm_embedding_raises(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     with _pytest.raises(Exception, match="zero-norm"):
         semdedup(df, n_centroids=1, iters=1).collect()
+
+
+def test_dedup_keep_best_elects_longest_then_lowest_id(spark):
+    from geocode_spark.textops.corpusops import dedup_keep_best
+
+    # cluster {1,2,3}: 3 is longest -> wins over lower ids; cluster {10,11}:
+    # equal length -> tie to lowest id; 99: singleton stays its own best
+    rows = [
+        (1, "short"), (2, "short x"), (3, "the longest member here"),
+        (10, "same size"), (11, "sizes ame"), (99, "alone"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["cluster_id"]: (r["best_id"], r["n_members"], r["best_len"])
+        for r in dedup_keep_best(corpus, edges=edges).collect()
+    }
+    assert got == {
+        1: (3, 3, 23),   # longest wins although id 3 > canonical 1
+        10: (10, 2, 9),  # length tie -> lowest doc_id
+        99: (99, 1, 5),  # singleton
+    }
