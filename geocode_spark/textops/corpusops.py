@@ -424,6 +424,93 @@ def decontaminate(docs: DataFrame,
     )
 
 
+def contamination_score(docs: DataFrame,
+                        bench_mod: int = DECON_BENCH_MOD) -> DataFrame:
+    """(doc_id, n_shingles, n_hits, overlap_permille) for every
+    NON-benchmark doc: the GRADED companion to `decontaminate` — pipelines
+    tune removal thresholds on the overlap FRACTION (e.g. drop if >10% of
+    a doc's distinct 3-grams appear in any benchmark), not on a boolean.
+    overlap_permille = (1000 * n_hits) // n_shingles over DISTINCT
+    shingles, exact integer division (bit-exact vs the oracle); docs too
+    short to carry a shingle score (0, 0, 0).
+
+    Scale shape: same as decontaminate — the one corpus-sized relation is
+    the exploded shingle stream (persist_tracked, shared between the
+    banned-set build and the scoring side); the banned relation is
+    benchmark-sized; one keyed left join + one groupBy(doc_id).
+    """
+    from .dedup import with_shingles
+
+    sh = persist_tracked(with_shingles(docs))
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    banned = (
+        ex.filter(F.col("doc_id") % bench_mod == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("b", F.lit(1))
+    )
+    per = (
+        ex.filter(F.col("doc_id") % bench_mod != 0)
+        .join(banned, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").cast("bigint").alias("n_shingles"),
+            F.count_distinct(
+                F.when(F.col("b") == 1, F.col("shingle"))
+            ).cast("bigint").alias("n_hits"),
+        )
+    )
+    return (
+        docs.filter(F.col("doc_id") % bench_mod != 0)
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint")
+            .alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            # explicit 0 on the shingle-less case: Spark's non-ANSI div
+            # yields NULL on /0 where DuckDB's // raises (the
+            # mixture_sample lesson)
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_shingles, 0) = 0 THEN 0 "
+                "ELSE (1000 * coalesce(n_hits, 0)) div n_shingles END "
+                "AS BIGINT)"
+            ).alias("overlap_permille"),
+        )
+    )
+
+
+def contamination_score_oracle_sql(source: str = "documents",
+                                   bench_mod: int = DECON_BENCH_MOD) -> str:
+    from .dedup import _shingle_rows_cte
+
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM {source}),
+{_shingle_rows_cte('corpus')},
+banned AS (
+  SELECT DISTINCT shingle FROM shx WHERE doc_id % {bench_mod} = 0
+),
+per AS (
+  SELECT s.doc_id,
+         CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_shingles,
+         CAST(count(DISTINCT CASE WHEN b.shingle IS NOT NULL
+                                  THEN s.shingle END) AS BIGINT) AS n_hits
+  FROM shx s LEFT JOIN banned b ON s.shingle = b.shingle
+  WHERE s.doc_id % {bench_mod} != 0
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_shingles, 0) AS n_shingles,
+       COALESCE(p.n_hits, 0) AS n_hits,
+       CAST(CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN 0
+            ELSE (1000 * COALESCE(p.n_hits, 0)) // p.n_shingles END
+            AS BIGINT) AS overlap_permille
+FROM (SELECT doc_id FROM corpus WHERE doc_id % {bench_mod} != 0) d
+LEFT JOIN per p USING (doc_id)
+"""
+
+
 def decontaminate_oracle_sql(source: str = "documents",
                              bench_mod: int = DECON_BENCH_MOD) -> str:
     from .dedup import _shingle_rows_cte

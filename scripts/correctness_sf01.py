@@ -52,6 +52,7 @@ FAMILY = [
     # round-3 operators
     "ann_ivf_kmeans",
     "decontaminate",
+    "contamination_score",
     "doc_repetition",
     "pii_redact",
     "domain_stats",

@@ -577,3 +577,25 @@ def test_dedup_keep_best_elects_longest_then_lowest_id(spark):
         10: (10, 2, 9),  # length tie -> lowest doc_id
         99: (99, 1, 5),  # singleton
     }
+
+
+def test_contamination_score_graded_and_short_doc_zero(spark):
+    from geocode_spark.textops.corpusops import contamination_score
+
+    # doc 0 is the "benchmark" (bench_mod=2 -> even ids); doc 1 shares
+    # half its distinct shingles with it; doc 3 is too short for any
+    # shingle and must score (0, 0, 0) through the /0 guard, not NULL
+    rows = [
+        (0, "a b c d"),            # benchmark: shingles {a b c, b c d}
+        (1, "a b c x y z w"),      # 5 distinct shingles, 1 banned
+        (3, "hi there"),           # < 3 tokens: no shingles
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_hits"], r["overlap_permille"])
+        for r in contamination_score(docs, bench_mod=2).collect()
+    }
+    assert got == {
+        1: (5, 1, 200),  # 1000 * 1 // 5
+        3: (0, 0, 0),
+    }
