@@ -57,6 +57,10 @@ HEAVY = [
     "dsir_log_ratio",
     "semdedup",
     "stream_dedup_drained",
+    # round-4 review additions: cluster election rides the label-propagation
+    # loop, graded contamination rides the shared shingle relation
+    "dedup_keep_best",
+    "contamination_score",
 ]
 
 
