@@ -306,19 +306,23 @@ def run_scaling_select() -> dict:
             _force_full(span_dedup_rewrite(docs))
             _force_full(bigram_lm_score(docs))
             _force_full(dsir_log_ratio(docs))
-            # these builders persist_tracked their multi-consumer pair/window
-            # relations; Spark's CacheManager matches equal logical plans, so
-            # WITHOUT this release every later pass would read the first
-            # pass's cache instead of recomputing -- a scaling measurement
-            # of cache reads, not of the operators
-            _clear_tracked()
 
+        # these builders persist_tracked their multi-consumer pair/window
+        # relations; Spark's CacheManager matches equal logical plans, so
+        # WITHOUT a release between passes every later pass would read the
+        # first pass's cache instead of recomputing -- a scaling measurement
+        # of cache reads, not of the operators. The release runs OUTSIDE
+        # the timed window and BLOCKS until blocks are evicted: async
+        # eviction from pass k would otherwise overlap pass k+1's timing,
+        # and its cost does not shrink with task slots.
         _run()  # warm: codegen + python workers + page cache
+        _clear_tracked(blocking=True)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             _run()
             best = min(best, time.perf_counter() - t0)
+            _clear_tracked(blocking=True)
         res[cpus] = {"sec": round(best, 4),
                      "docs_per_sec": round(n / best, 1), "docs_in": n}
         spark.stop()

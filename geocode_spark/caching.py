@@ -37,18 +37,22 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
-def clear_caches() -> int:
+def clear_caches(blocking: bool = False) -> int:
     """Unpersist every tracked relation; returns how many were released.
 
-    Non-blocking unpersist: the cache-manager entry is dropped synchronously
+    Default non-blocking: the cache-manager entry is dropped synchronously
     (so re-planning stops using it) and block eviction proceeds async.
+    Pass blocking=True when the CALLER is about to measure something —
+    async eviction from pass k otherwise overlaps pass k+1's timing
+    (bench.py's scaling protocols block; ordinary job teardown doesn't
+    need to).
     """
     with _LOCK:
         tracked, _TRACKED[:] = list(_TRACKED), []
     released = 0
     for df in tracked:
         try:
-            df.unpersist(False)
+            df.unpersist(blocking)
             released += 1
         except Exception:
             pass  # session already stopped — nothing to release

@@ -388,57 +388,11 @@ SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= {k}
 DECON_BENCH_MOD = 97
 
 
-def decontaminate(docs: DataFrame,
-                  bench_mod: int = DECON_BENCH_MOD) -> DataFrame:
-    """(doc_id, n_hits, is_contaminated) for every NON-benchmark doc:
-    n_hits = distinct benchmark 3-grams the doc contains."""
-    from .dedup import with_shingles
-
-    # persist: the exploded shingle relation feeds BOTH the banned side and
-    # the hits side, and Catalyst does not materialize common subtrees —
-    # without it the Arrow shingle kernel runs twice over the corpus (the
-    # same trap ngram_jaccard_pairs documents and fixes the same way)
-    sh = persist_tracked(with_shingles(docs))
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    banned = (
-        ex.filter(F.col("doc_id") % bench_mod == 0)
-        .select("shingle")
-        .distinct()
-    )
-    hits = (
-        ex.filter(F.col("doc_id") % bench_mod != 0)
-        .join(banned, "shingle")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("shingle").alias("n_hits"))
-    )
-    return (
-        docs.filter(F.col("doc_id") % bench_mod != 0)
-        .select("doc_id")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int")
-            .alias("is_contaminated"),
-        )
-    )
-
-
-def contamination_score(docs: DataFrame,
-                        bench_mod: int = DECON_BENCH_MOD) -> DataFrame:
-    """(doc_id, n_shingles, n_hits, overlap_permille) for every
-    NON-benchmark doc: the GRADED companion to `decontaminate` — pipelines
-    tune removal thresholds on the overlap FRACTION (e.g. drop if >10% of
-    a doc's distinct 3-grams appear in any benchmark), not on a boolean.
-    overlap_permille = (1000 * n_hits) // n_shingles over DISTINCT
-    shingles, exact integer division (bit-exact vs the oracle); docs too
-    short to carry a shingle score (0, 0, 0).
-
-    Scale shape: same as decontaminate — the one corpus-sized relation is
-    the exploded shingle stream (persist_tracked, shared between the
-    banned-set build and the scoring side); the banned relation is
-    benchmark-sized; one keyed left join + one groupBy(doc_id).
-    """
+def _contamination_parts(docs: DataFrame, bench_mod: int):
+    """Shared scaffold for the contamination family: the exploded
+    per-doc-DISTINCT shingle stream (persist_tracked — it feeds both the
+    banned-set build and the scoring side of the same plan) plus the
+    benchmark-sized banned relation flagged for left joins."""
     from .dedup import with_shingles
 
     sh = persist_tracked(with_shingles(docs))
@@ -449,15 +403,35 @@ def contamination_score(docs: DataFrame,
         .distinct()
         .withColumn("b", F.lit(1))
     )
+    return ex, banned
+
+
+def contamination_score(docs: DataFrame,
+                        bench_mod: int = DECON_BENCH_MOD) -> DataFrame:
+    """(doc_id, n_shingles, n_hits, overlap_permille) for every
+    NON-benchmark doc: the GRADED contamination signal — pipelines tune
+    removal thresholds on the overlap FRACTION (e.g. drop if >10% of a
+    doc's distinct 3-grams appear in any benchmark), not on a boolean.
+    overlap_permille = (1000 * n_hits) // n_shingles over DISTINCT
+    shingles, exact integer division (bit-exact vs the oracle); docs too
+    short to carry a shingle score (0, 0, 0).
+
+    Scale shape: the one corpus-sized relation is the exploded shingle
+    stream (shared, persisted); the banned relation is benchmark-sized
+    (broadcastable); scoring is one keyed LEFT join + one groupBy(doc_id)
+    with two PLAIN counts in a single aggregate pass — the shingle stream
+    is already distinct per doc (dedup._shingle_udf / list_distinct), so
+    count_distinct (and the Expand-based multi-distinct rewrite that
+    would double the stream through the shuffle) is unnecessary.
+    """
+    ex, banned = _contamination_parts(docs, bench_mod)
     per = (
         ex.filter(F.col("doc_id") % bench_mod != 0)
         .join(banned, "shingle", "left")
         .groupBy("doc_id")
         .agg(
-            F.count_distinct("shingle").cast("bigint").alias("n_shingles"),
-            F.count_distinct(
-                F.when(F.col("b") == 1, F.col("shingle"))
-            ).cast("bigint").alias("n_hits"),
+            F.count("shingle").cast("bigint").alias("n_shingles"),
+            F.count("b").cast("bigint").alias("n_hits"),  # count skips NULL
         )
     )
     return (
@@ -481,25 +455,43 @@ def contamination_score(docs: DataFrame,
     )
 
 
-def contamination_score_oracle_sql(source: str = "documents",
-                                   bench_mod: int = DECON_BENCH_MOD) -> str:
+def decontaminate(docs: DataFrame,
+                  bench_mod: int = DECON_BENCH_MOD) -> DataFrame:
+    """(doc_id, n_hits, is_contaminated) for every NON-benchmark doc —
+    the boolean view over contamination_score (is_contaminated =
+    n_hits > 0); one operator definition, no parallel scaffold to drift."""
+    return contamination_score(docs, bench_mod).select(
+        "doc_id",
+        "n_hits",
+        (F.col("n_hits") > 0).cast("int").alias("is_contaminated"),
+    )
+
+
+def _contamination_per_cte(source: str, bench_mod: int) -> str:
+    """Shared oracle CTE chain ending in `per`(doc_id, n_shingles, n_hits)
+    over non-benchmark docs; plain counts for the same distinct-per-doc
+    reason as the engine side."""
     from .dedup import _shingle_rows_cte
 
-    return f"""
-WITH corpus AS (SELECT doc_id, text FROM {source}),
+    return f"""corpus AS (SELECT doc_id, text FROM {source}),
 {_shingle_rows_cte('corpus')},
 banned AS (
   SELECT DISTINCT shingle FROM shx WHERE doc_id % {bench_mod} = 0
 ),
 per AS (
   SELECT s.doc_id,
-         CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_shingles,
-         CAST(count(DISTINCT CASE WHEN b.shingle IS NOT NULL
-                                  THEN s.shingle END) AS BIGINT) AS n_hits
+         CAST(count(s.shingle) AS BIGINT) AS n_shingles,
+         CAST(count(b.shingle) AS BIGINT) AS n_hits
   FROM shx s LEFT JOIN banned b ON s.shingle = b.shingle
   WHERE s.doc_id % {bench_mod} != 0
   GROUP BY s.doc_id
-)
+)"""
+
+
+def contamination_score_oracle_sql(source: str = "documents",
+                                   bench_mod: int = DECON_BENCH_MOD) -> str:
+    return f"""
+WITH {_contamination_per_cte(source, bench_mod)}
 SELECT d.doc_id,
        COALESCE(p.n_shingles, 0) AS n_shingles,
        COALESCE(p.n_hits, 0) AS n_hits,
@@ -513,30 +505,18 @@ LEFT JOIN per p USING (doc_id)
 
 def decontaminate_oracle_sql(source: str = "documents",
                              bench_mod: int = DECON_BENCH_MOD) -> str:
-    from .dedup import _shingle_rows_cte
-
     return f"""
-WITH corpus AS (SELECT doc_id, text FROM {source}),
-{_shingle_rows_cte('corpus')},
-banned AS (
-  SELECT DISTINCT shingle FROM shx WHERE doc_id % {bench_mod} = 0
-),
-hits AS (
-  SELECT s.doc_id, CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_hits
-  FROM shx s JOIN banned b ON s.shingle = b.shingle
-  WHERE s.doc_id % {bench_mod} != 0
-  GROUP BY s.doc_id
-)
+WITH {_contamination_per_cte(source, bench_mod)}
 SELECT d.doc_id,
-       COALESCE(h.n_hits, 0) AS n_hits,
-       CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+       COALESCE(p.n_hits, 0) AS n_hits,
+       CASE WHEN COALESCE(p.n_hits, 0) > 0 THEN 1 ELSE 0 END
          AS is_contaminated
 FROM (SELECT doc_id FROM corpus WHERE doc_id % {bench_mod} != 0) d
-LEFT JOIN hits h USING (doc_id)
+LEFT JOIN per p USING (doc_id)
 """
 
 
-# -------------------------------------------------------- repetition scoring
+
 def doc_repetition(docs: DataFrame) -> DataFrame:
     """Intra-document repetition (the Gopher-style boilerplate signal):
     1 - distinct/total word-3-grams. Highly repetitive docs (chant pages,
