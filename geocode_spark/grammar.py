@@ -74,8 +74,12 @@ STREET_TYPES: dict[str, str] = {
     "PARKWAY": "PKWY",
 }
 
-_POBOX_RE = re.compile(r"^P ?O BOX ([0-9]+)$")
-_HOUSE_RE = re.compile(r"^[0-9]{1,6}$")
+# \Z (Python) / \z (Java, RE2): true end-of-text in all three dialects.
+# $ would also match before a trailing newline in Python and Java but not
+# in RE2 — unreachable on cleansed input, but the three implementations
+# must agree on ANY input (the canonical_url lesson).
+_POBOX_RE = re.compile(r"^P ?O BOX ([0-9]+)\Z")
+_HOUSE_RE = re.compile(r"^[0-9]{1,6}\Z")
 
 PARSE_FIELDS = ("addr_type", "house", "predir", "street_name", "stype", "sufdir")
 
@@ -141,13 +145,17 @@ def parse_street_cols(cleansed: Column) -> dict[str, Column]:
     int columns, so no data-dependent control flow leaves codegen.
     """
     up = F.upper(F.coalesce(cleansed, F.lit("")))
-    pobox_no = F.regexp_extract(up, r"^P ?O BOX ([0-9]+)$", 1)
+    # \z, not $: Java's $ also matches before a trailing newline while
+    # RE2's (the DuckDB twin) does not. Unreachable on CLEANSED input
+    # (cleansing normalizes all whitespace), but the anchors must agree on
+    # any input or the twin diverges (the canonical_url lesson).
+    pobox_no = F.regexp_extract(up, r"^P ?O BOX ([0-9]+)\z", 1)
     is_pobox = pobox_no != ""
 
     toks = F.split(up, " ")
     n = F.size(toks)
     first = F.element_at(toks, 1)
-    valid = (n >= 2) & first.rlike("^[0-9]{1,6}$")
+    valid = (n >= 2) & first.rlike("^[0-9]{1,6}\\z")
 
     dirs = list(DIRECTIONS.keys())
     types = list(STREET_TYPES.keys())
@@ -255,9 +263,9 @@ def parse_street_duckdb_sql(cleansed_expr: str) -> str:
     # Use macros via a LATERAL-free approach: repeat expressions (DuckDB CSE's them).
     n = f"len({toks})"
     first = f"{toks}[1]"
-    pobox = f"regexp_extract({up}, '^P ?O BOX ([0-9]+)$', 1)"
+    pobox = f"regexp_extract({up}, '^P ?O BOX ([0-9]+)\\z', 1)"
     is_pobox = f"({pobox} <> '')"
-    valid = f"({n} >= 2 AND regexp_matches({first}, '^[0-9]{{1,6}}$'))"
+    valid = f"({n} >= 2 AND regexp_matches({first}, '^[0-9]{{1,6}}\\z'))"
     dirs = list(DIRECTIONS.keys())
     types = list(STREET_TYPES.keys())
     has_pre = f"({valid} AND {n} >= 3 AND {_in_list_sql(f'{toks}[2]', dirs)})"
