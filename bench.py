@@ -42,6 +42,10 @@ def _session(cpus: int, app: str):
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # keep stderr/stdout quiet: the per-round driver tail-captures this
+        # process's output, and megabytes of console progress bars truncated
+        # the round-4 summary JSON out of the artifact
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
 

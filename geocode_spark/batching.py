@@ -181,8 +181,12 @@ def _write_run_meta(spark, out_dir: str, n_batches: int) -> None:
     (User-Agent at geocode.py:83-96). Underscore-prefixed, so Spark/DuckDB
     parquet readers skip it. Every artifact a run produces is attributable:
     per-batch ledgers carry engine/version per record; this sidecar carries
-    the run-level stamp."""
+    the run-level stamp. A pure-resume run keeps the original stamp: the
+    already-committed batches were produced by THAT version, and overwriting
+    it would misattribute them to the resuming engine."""
     os.makedirs(out_dir, exist_ok=True)
+    if os.path.exists(os.path.join(out_dir, "_run_meta.json")):
+        return
     tmp = os.path.join(out_dir, "_run_meta.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(
@@ -196,25 +200,34 @@ def _write_run_meta(spark, out_dir: str, n_batches: int) -> None:
     os.replace(tmp, os.path.join(out_dir, "_run_meta.json"))
 
 
-def _emit_status(out_dir: str, n_batches: int, status_log) -> None:
-    """Cumulative log_status block over every committed ledger so far."""
-    from .progress import log_status_lines
+class _StatusAccumulator:
+    """Running totals over committed ledgers (the cumulative log_status
+    block): seeded once from the ledgers already on disk, then fed each new
+    record as it commits — O(1) driver file I/O per commit instead of
+    re-reading every ledger every time."""
 
-    total = fail = 0
-    score_sum = 0.0
-    for k in completed_batches(out_dir):
-        with open(_ledger_path(out_dir, k)) as fh:
-            rec = json.load(fh)
-        total += rec["total"]
-        fail += rec["fail"]
-        if score_sum is not None and "score_sum" in rec:
-            score_sum += rec["score_sum"]
+    def __init__(self, out_dir: str):
+        self.total = self.fail = 0
+        self.score_sum: float | None = 0.0
+        for k in completed_batches(out_dir):
+            with open(_ledger_path(out_dir, k)) as fh:
+                self.add(json.load(fh))
+
+    def add(self, rec: dict) -> None:
+        self.total += rec["total"]
+        self.fail += rec["fail"]
+        if self.score_sum is not None and "score_sum" in rec:
+            self.score_sum += rec["score_sum"]
         else:
             # a resumed ledger from an engine version without score_sum:
             # the cumulative sum is unknowable -> report 'n/a', never a
             # partial sum divided by all successes
-            score_sum = None
-    status_log(log_status_lines(total, fail, score_sum))
+            self.score_sum = None
+
+    def emit(self, status_log) -> None:
+        from .progress import log_status_lines
+
+        status_log(log_status_lines(self.total, self.fail, self.score_sum))
 
 
 def _write_pending_and_commit(spark, pending_df, out_dir, pending, n_batches,
@@ -228,6 +241,9 @@ def _write_pending_and_commit(spark, pending_df, out_dir, pending, n_batches,
         .parquet(out_dir)
     )
     job_seconds = round(time.perf_counter() - w0, 3)
+    # seed from batches committed BEFORE this call (the resume case), then
+    # accumulate in-loop
+    status_acc = _StatusAccumulator(out_dir) if status_log is not None else None
     for k in pending:
         batch_dir = os.path.join(out_dir, f"batch_id={k}")
         record = {
@@ -241,8 +257,9 @@ def _write_pending_and_commit(spark, pending_df, out_dir, pending, n_batches,
             f"batch {k}/{n_batches}: {record['total']} rows, "
             f"{record['fail']} failed (job {format_time(job_seconds)})"
         )
-        if status_log is not None:
-            _emit_status(out_dir, n_batches, status_log)
+        if status_acc is not None:
+            status_acc.add(record)
+            status_acc.emit(status_log)
 
 
 def _summarize(out_dir: str, n_batches: int, skipped: list, t0: float) -> dict:

@@ -143,6 +143,11 @@ class ProgressReporter:
             raise RuntimeError("reporter already started")
         self._t0 = time.perf_counter()
         self._base = int(self.acc.value)
+        # a restarted reporter counts its own run from zero: _base re-bases to
+        # the current accumulator value, so stale boundaries from a previous
+        # start/stop cycle would swallow every line until the new count
+        # exceeded the old run's last boundary
+        self.boundaries = []
         self._stop.clear()
 
         def run():

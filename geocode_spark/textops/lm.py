@@ -261,10 +261,14 @@ def int_keep_low_threshold(
 
     bw = int(bin_width)
     df = df.filter(F.col(col).isNotNull())
+    # integer `div`, not float `/`: bigint->double is exact only below 2^53,
+    # so extreme int64 scores could mis-bin by one; the pmod subtraction makes
+    # the numerator an exact non-positive-floor multiple of bw, so truncating
+    # division equals floor division here for negatives too
     binned = df.select(
-        ((F.col(col) - F.pmod(F.col(col), F.lit(bw))) / bw)
-        .cast("bigint")
-        .alias("b")
+        F.expr(
+            f"CAST(((`{col}` - pmod(`{col}`, {bw})) div {bw}) AS BIGINT) AS b"
+        )
     )
     hist = sorted(
         (r["b"], r["count"])

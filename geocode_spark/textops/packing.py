@@ -351,7 +351,7 @@ TRACKING_PARAMS = r"(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)"
 
 
 def canonical_url(url) -> F.Column:
-    """Canonical form of a URL for frontier/corpus dedup.
+    r"""Canonical form of a URL for frontier/corpus dedup.
 
     Anchors are \z (true end-of-text), never $: Java's $ also matches
     BEFORE a trailing newline while RE2's does not, so a crawl column
