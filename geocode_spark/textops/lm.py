@@ -43,38 +43,36 @@ LP_SCALE = 1_000_000  # micro-nats
 def _bigram_pairs(docs: DataFrame, text_col: str, extra_cols=()):
     """Shared (based, pairs) construction for the bigram scorers.
 
-    ``based`` = (doc_id, *extra_cols, ws); ``pairs`` = (doc_id,
-    *extra_cols, w1, w2) via ONE explode_outer — a document with < 2
-    words contributes a single null-w1 row, so count("w1") scores it 0.
+    ``based`` = (doc_id, *extra_cols, txt=lower(text)); ``pairs`` =
+    (doc_id, *extra_cols, k1, k2) — one row per ADJACENT word pair,
+    emitted by the shared Arrow word-hash kernel (spans.word_pair_keys):
+    the JVM ships one lowered string per doc, the kernel tokenizes and
+    hashes in numpy over the raw buffers. Docs with < 2 words emit no
+    rows — consumers left-join ``based`` back and coalesce to (0, 0).
+
+    k1/k2 are 64-bit word hashes: every downstream groupBy and model
+    join keys on two int64s instead of two strings, roughly halving the
+    shuffled bytes of the corpus-sized relation and making key compare /
+    hash O(1). The model is COUNT-based, so hashing only re-labels keys;
+    the outputs change only if two distinct words hash-collide (~2^-64
+    per pair; a corpus with 10^8 distinct words expects ~3e-4 colliding
+    pairs, which would merge those two words' counts — stated honestly,
+    immaterial for selection scoring; the sf0.01 gate's odds are ~1e-9).
 
     ``pairs`` comes back persist_tracked (caching.clear_caches releases
     it): every consumer feeds it into 2-3 branches of the same returned
     plan (model aggregations + the scoring join), and Catalyst does not
-    materialize common subtrees — unpersisted, the tokenize + arrays_zip
-    + explode pipeline re-runs once per branch, i.e. 2-3 full corpus
-    scans per query (the recompute trap textops.dedup documents).
+    materialize common subtrees — unpersisted, the tokenize + hash
+    kernel re-runs once per branch, i.e. 2-3 full corpus scans per query
+    (the recompute trap textops.dedup documents).
     """
+    from .spans import word_pair_keys
+
     extra = list(extra_cols)
     based = docs.select(
-        "doc_id", *extra,
-        ws_word_array(F.lower(F.col(text_col))).alias("ws"),
+        "doc_id", *extra, F.lower(F.col(text_col)).alias("txt")
     )
-    n = F.size("ws")
-    zipped = F.when(
-        n >= 2,
-        F.arrays_zip(
-            F.slice("ws", 1, n - 1).alias("w1"),
-            F.slice("ws", 2, n - 1).alias("w2"),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    pairs = based.select(
-        "doc_id", *extra, F.explode_outer(zipped).alias("bg")
-    ).select(
-        "doc_id", *extra,
-        F.col("bg.w1").alias("w1"),
-        F.col("bg.w2").alias("w2"),
-    )
-    return based, persist_tracked(pairs)
+    return based, persist_tracked(word_pair_keys(based, extra))
 
 
 
@@ -82,18 +80,18 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_bigrams, nll_micro): negative log-likelihood of each
     document under the corpus's own add-one-smoothed bigram model, in exact
     integer micro-nats. Documents with fewer than 2 words score (0, 0)."""
-    _, pairs = _bigram_pairs(docs, text_col)
+    based, pairs = _bigram_pairs(docs, text_col)
 
-    c2 = pairs.filter(F.col("w1").isNotNull()).groupBy("w1", "w2").agg(
+    c2 = pairs.groupBy("k1", "k2").agg(
         F.count("*").cast("bigint").alias("c2")
     )
-    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
-    vocab = c2.agg(F.count_distinct("w2").cast("bigint").alias("v"))
+    c1 = c2.groupBy("k1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vocab = c2.agg(F.count_distinct("k2").cast("bigint").alias("v"))
     lm = (
-        c2.join(c1, "w1")
+        c2.join(c1, "k1")
         .crossJoin(F.broadcast(vocab))
         .select(
-            "w1", "w2",
+            "k1", "k2",
             F.round(
                 F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
                 * F.lit(LP_SCALE),
@@ -102,11 +100,19 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
 
-    scored = pairs.join(lm, ["w1", "w2"], "left")
-    return scored.groupBy("doc_id").agg(
-        F.count("w1").cast("bigint").alias("n_bigrams"),
+    scored = pairs.join(lm, ["k1", "k2"], "left")
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
         (-F.coalesce(F.sum("lp_micro"), F.lit(0)))
         .cast("bigint").alias("nll_micro"),
+    )
+    # docs with < 2 words emit no pairs; left-join them back as (0, 0)
+    return based.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
+        .alias("n_bigrams"),
+        F.coalesce(F.col("nll_micro"), F.lit(0)).cast("bigint")
+        .alias("nll_micro"),
     )
 
 
@@ -133,14 +139,14 @@ def dsir_log_ratio(
     gate discipline, and same per-bigram ln() boundary-flake caveat, as
     bigram_lm_score)."""
     based, pairs = _bigram_pairs(docs, text_col, extra_cols=("source",))
-    occ = pairs.filter(F.col("w1").isNotNull())
+    occ = pairs
 
     def model(rel):
-        c2 = rel.groupBy("w1", "w2").agg(
+        c2 = rel.groupBy("k1", "k2").agg(
             F.count("*").cast("bigint").alias("c2")
         )
-        c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
-        v = c2.agg(F.count_distinct("w2").cast("bigint").alias("v"))
+        c1 = c2.groupBy("k1").agg(F.sum("c2").cast("bigint").alias("c1"))
+        v = c2.agg(F.count_distinct("k2").cast("bigint").alias("v"))
         return c2, c1, v
 
     c2c, c1c, vc = model(occ)
@@ -169,10 +175,10 @@ def dsir_log_ratio(
         ).cast("bigint")
 
     scored = (
-        occ.join(c2c.withColumnRenamed("c2", "c2_c"), ["w1", "w2"])
-        .join(c1c.withColumnRenamed("c1", "c1_c"), "w1")
-        .join(c2t.withColumnRenamed("c2", "c2_t"), ["w1", "w2"], "left")
-        .join(c1t.withColumnRenamed("c1", "c1_t"), "w1", "left")
+        occ.join(c2c.withColumnRenamed("c2", "c2_c"), ["k1", "k2"])
+        .join(c1c.withColumnRenamed("c1", "c1_c"), "k1")
+        .join(c2t.withColumnRenamed("c2", "c2_t"), ["k1", "k2"], "left")
+        .join(c1t.withColumnRenamed("c1", "c1_t"), "k1", "left")
         .crossJoin(F.broadcast(vc.withColumnRenamed("v", "v_c")))
         .crossJoin(F.broadcast(vt.withColumnRenamed("v", "v_t")))
         .select(

@@ -9,20 +9,49 @@ removes duplicated 50-token windows; this module computes the per-doc
 duplicated-window profile that filter is built from AND the rewrite
 itself, Spark-first:
 
-  1. window relation: one explode of per-position W-word rolling hashes
-     (corpus-token-sized — the same accepted shape as the shingle
-     relations in textops.dedup; built by Catalyst transform/sequence,
-     no Python)
-  2. duplicated-window relation: one keyed groupBy(hash) keeping hashes
+  1. window relation: one Arrow-vectorized pass producing a 128-bit
+     rolling-hash key per W-word window start (corpus-token-sized — the
+     same accepted shape as the shingle relations in textops.dedup)
+  2. duplicated-window relation: one keyed groupBy(key) keeping keys
      seen in >= 2 DISTINCT docs — bounded by |distinct duplicated
      windows|, far below corpus size
   3. per-doc profile / rewrite: keyed joins back + keyed groupBy(doc_id)
 
 Every exchange is keyed and AQE-sizable; nothing is all-pairs.
 
+Window keying (round-5 rewrite of the allocation-bound kernel): the old
+per-position ``md5(lower(concat_ws(slice(ws, i, W))))`` allocated O(W)
+bytes of JVM strings per token position — ~W× write amplification over
+the token stream, which saturated a single heap's allocation/GC
+bandwidth long before CPU (measured: local[4] == local[8] wall time).
+The new kernel hashes each word's bytes ONCE and derives window keys
+with an O(1)-per-position combine, entirely over fixed-width integer
+numpy arrays inside one ``mapInArrow`` stage (zero Python objects — the
+Arrow string buffers are consumed as raw bytes):
+
+  - per-word 64-bit hash: polynomial over the flat byte buffer via an
+    exclusive prefix-sum in the inverse base (one vectorized pass over
+    total bytes), finalized with splitmix64
+  - per-window key: cyclic-polynomial rolling hash (Buzhash; Cohen 1997,
+    "Recursive hashing functions for n-grams") — XOR of per-word hashes
+    left-rotated by (step * offset) mod 64, computed for every position
+    from ONE prefix-XOR array via rotate-back, in TWO independent lanes
+    (rotation steps 7 and 13) for a 128-bit effective key
+
+Collision odds, stated honestly: two distinct WORDS collide at ~2^-64
+per pair (a corpus with 10^8 distinct words expects ~3e-4 colliding
+pairs — such a pair would alias those words corpus-wide); two windows
+over non-colliding words collide only if BOTH independent lanes XOR to
+equal values, ~2^-128 per pair (never, at any plausible scale). The
+DuckDB oracle twin keys on the raw case-folded window STRING, so the
+correctness gate cross-checks the hashing end-to-end against an
+implementation that shares none of it.
+
 Contract: both operators run over the whitespace-token stream (the
 shared ws_word_array tokenizer), and window MATCHING is case-insensitive
-(hashes fold case). span_dup_stats outputs are window COUNTS, so its
+(the kernel consumes tokens of ``lower(text)`` — lower() never creates
+or destroys whitespace, so tokenizing the lowered text is identical to
+lowering each token). span_dup_stats outputs are window COUNTS, so its
 gate is exact-integer. span_dedup_rewrite reassembles the SURVIVING
 words with their original casing; runs of whitespace collapse to single
 spaces (word-level rewrite — byte-offset-preserving surgery would need
@@ -31,31 +60,404 @@ character spans, which a whitespace tokenizer does not keep).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import persist_tracked
-from .textstats import ws_word_array, ws_word_array_sql
+from .textstats import ws_word_array_sql
 
 DEFAULT_WINDOW = 8  # words per span at sandbox doc sizes (Lee et al. use 50)
 
+# odd 64-bit polynomial base (Knuth LCG multiplier) and its inverse mod 2^64
+_POLY_BASE = 6364136223846793005
+_POLY_BASE_INV = pow(_POLY_BASE, -1, 1 << 64)
+_LEN_MIX = 0xD6E8FEB86659FD93  # odd salt folding word length into the hash
+_LANE_STEPS = (7, 13)  # per-lane Buzhash rotation steps (odd, distinct)
+_KERNEL_CHUNK_DOCS = 1024  # bounds the kernel's per-task numpy working set
 
-def _window_hashes(w: int) -> Column:
-    """array of md5(case-folded W-word window) per start position over the
-    bound column "ws"; empty for docs shorter than W words."""
-    n = F.size("ws")
-    return F.when(
-        n >= w,
-        F.transform(
-            F.sequence(F.lit(1), n - w + 1),
-            lambda i: F.md5(F.lower(F.concat_ws(" ", F.slice("ws", i, w)))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+def _splitmix64(x):
+    """Vectorized splitmix64 finalizer over a uint64 ndarray (wrapping)."""
+    import numpy as np
+
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _rot(x, k, left: bool):
+    """Vectorized uint64 rotate by per-element amounts k in [0, 64)."""
+    import numpy as np
+
+    inv = np.uint64(64) - k
+    if left:
+        rotated = (x << k) | (x >> inv)
+    else:
+        rotated = (x >> k) | (x << inv)
+    # k == 0 would shift by 64 (undefined in C); those lanes keep x
+    return np.where(k == np.uint64(0), x, rotated)
+
+
+def _flat_words(ta):
+    """Byte-level whitespace tokenizer over an Arrow StringArray of
+    DOCUMENTS (no Python objects): returns (data, a, e, wc) — the flat
+    UTF-8 byte buffer, per-word [a, e) byte ranges in flat word order,
+    and words-per-doc counts. Splits on the 6 ASCII whitespace bytes
+    {\\t \\n \\v \\f \\r space} — exactly Java's and RE2's non-Unicode
+    \\s, the ws_word_array contract — and multi-byte UTF-8 code units
+    are >= 0x80, so byte-level splitting is exact for any input."""
+    import numpy as np
+
+    n_docs = len(ta)
+    off = np.frombuffer(ta.buffers()[1], np.int32)[
+        ta.offset : ta.offset + n_docs + 1
+    ].astype(np.int64)
+    n_bytes = int(off[-1] - off[0])
+    if n_bytes == 0:
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, np.uint8), z, z, np.zeros(n_docs, np.int64)
+    data = np.frombuffer(ta.buffers()[2], np.uint8)[off[0] : off[-1]]
+    o = off - off[0]
+    nonws = ~((data == 32) | ((data >= 9) & (data <= 13)))
+    # word starts: non-ws byte preceded by ws / buffer start / doc start
+    # (docs are adjacent in the flat buffer — without the doc-boundary
+    # breaks, a doc ending in non-ws would merge into the next doc)
+    start_mask = nonws & ~np.concatenate([[False], nonws[:-1]])
+    end_mask = nonws & ~np.concatenate([nonws[1:], [False]])
+    bounds = o[:-1][o[:-1] < n_bytes]
+    start_mask[bounds] = nonws[bounds]
+    last = o[1:] - 1
+    last = last[last >= 0]
+    end_mask[last] = nonws[last]
+    a = np.nonzero(start_mask)[0]
+    e = np.nonzero(end_mask)[0] + 1
+    wc = np.diff(np.searchsorted(a, o))
+    return data, a, e, wc
+
+
+def _word_hashes(data, a, e):
+    """uint64 hash per word byte-range [a, e) over the flat buffer: one
+    polynomial prefix pass over total bytes, then per-word combine +
+    splitmix64 finalize. No per-word work beyond O(1) gathers."""
+    import numpy as np
+
+    lens = (e - a).astype(np.uint64)
+    n_bytes = len(data)
+    if n_bytes == 0:
+        raw = np.zeros(len(a), np.uint64)
+    else:
+        base = np.uint64(_POLY_BASE)
+        base_inv = np.uint64(_POLY_BASE_INV)
+        # mp[t] = BASE^t, mi[t] = BASE^-t (mod 2^64; uint64 wraps natively)
+        mp = np.cumprod(
+            np.concatenate([np.ones(1, np.uint64),
+                            np.full(n_bytes - 1, base, np.uint64)])
+        )
+        mi = np.cumprod(
+            np.concatenate([np.ones(1, np.uint64),
+                            np.full(n_bytes - 1, base_inv, np.uint64)])
+        )
+        # exclusive prefix S[t] = sum_{u<t} b_u * BASE^-u
+        s = np.zeros(n_bytes + 1, np.uint64)
+        np.cumsum(data.astype(np.uint64) * mi, out=s[1:])
+        # word [a, e): sum b_u BASE^(e-1-u) = (S[e]-S[a]) * BASE^(e-1)
+        raw = (s[e] - s[a]) * mp[np.maximum(e - 1, 0)]
+    return _splitmix64(raw ^ lens * np.uint64(_LEN_MIX))
+
+
+def _window_lane(h, w: int, step: int):
+    """Buzhash window keys for every flat start position: one prefix-XOR
+    of rotated word hashes, then an O(1) segment-XOR + rotate-back per
+    position. Content-only: rotl(h_u, s*u) rotated back by s*i equals
+    rotl(h_u, s*(u-i)), which depends only on the in-window offset."""
+    import numpy as np
+
+    nw = len(h)
+    if nw < w:
+        return np.zeros(0, np.uint64)
+    st = np.uint64(step)
+    t = np.arange(nw, dtype=np.uint64)
+    rotated = _rot(h, (st * t) & np.uint64(63), left=True)
+    p = np.zeros(nw + 1, np.uint64)
+    np.bitwise_xor.accumulate(rotated, out=p[1:])
+    seg = p[w:] ^ p[: nw - w + 1]
+    i = np.arange(nw - w + 1, dtype=np.uint64)
+    return _rot(seg, (st * i) & np.uint64(63), left=False)
+
+
+def _kernel_chunk(chunk, w: int, out_schema):
+    """One Arrow chunk (doc_id, txt) -> RecordBatch (doc_id, p, k1, k2),
+    one row per W-word window start, p 1-based within the doc."""
+    import numpy as np
+    import pyarrow as pa
+
+    data, a, e, n_words = _flat_words(chunk.column(1))
+    m = np.maximum(n_words - w + 1, 0)  # windows per doc
+    total = int(m.sum())
+    if total == 0:
+        return pa.RecordBatch.from_arrays(
+            [
+                chunk.column(0).take(pa.array(np.zeros(0, np.int64))),
+                pa.array(np.zeros(0, np.int32), pa.int32()),
+                pa.array(np.zeros(0, np.int64), pa.int64()),
+                pa.array(np.zeros(0, np.int64), pa.int64()),
+            ],
+            schema=out_schema,
+        )
+    h = _word_hashes(data, a, e)
+    k1 = _window_lane(h, w, _LANE_STEPS[0])
+    k2 = _window_lane(h, w, _LANE_STEPS[1])
+    doc_starts = np.concatenate([[0], np.cumsum(n_words)[:-1]])
+    out_starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+    doc_idx = np.repeat(np.arange(len(n_words)), m)
+    within = np.arange(total, dtype=np.int64) - np.repeat(out_starts, m)
+    flat = np.repeat(doc_starts, m) + within
+    return pa.RecordBatch.from_arrays(
+        [
+            chunk.column(0).take(pa.array(doc_idx)),
+            pa.array((within + 1).astype(np.int32), pa.int32()),
+            pa.array(k1[flat].view(np.int64), pa.int64()),
+            pa.array(k2[flat].view(np.int64), pa.int64()),
+        ],
+        schema=out_schema,
+    )
+
+
+def _window_keys(src: DataFrame, w: int) -> DataFrame:
+    """(doc_id, p, k1, k2) — one row per W-word window start over the
+    case-folded raw-text column ``txt`` (tokenized INSIDE the kernel —
+    the JVM ships one string per doc, not a token array); docs shorter
+    than W words emit nothing (consumers left-join the doc relation
+    back)."""
+    import pyarrow as pa
+
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    schema_str = f"doc_id {id_type}, p int, k1 bigint, k2 bigint"
+    src = src.select(
+        "doc_id", F.coalesce(F.col("txt"), F.lit("")).alias("txt")
+    )
+
+    def kernel(batches):
+        out_schema = None
+        for batch in batches:
+            if out_schema is None:
+                out_schema = pa.schema(
+                    [
+                        pa.field("doc_id", batch.schema.field(0).type),
+                        pa.field("p", pa.int32()),
+                        pa.field("k1", pa.int64()),
+                        pa.field("k2", pa.int64()),
+                    ]
+                )
+            for lo in range(0, batch.num_rows, _KERNEL_CHUNK_DOCS):
+                yield _kernel_chunk(
+                    batch.slice(lo, _KERNEL_CHUNK_DOCS), w, out_schema
+                )
+
+    return src.mapInArrow(kernel, schema_str)
+
+
+def _pair_chunk(chunk, n_pass: int, out_schema):
+    """One Arrow chunk (*passthrough, txt) -> RecordBatch (*passthrough,
+    k1, k2): one row per ADJACENT word pair (k1 = hash of the left word,
+    k2 = right), flat word order. A bigram is a 2-word window whose two
+    word hashes the consumers need separately (the backoff model groups
+    by k1 alone), so this reuses the word-hash machinery without the
+    Buzhash combine."""
+    import numpy as np
+    import pyarrow as pa
+
+    data, a, e, wc = _flat_words(chunk.column(n_pass))
+    m = np.maximum(wc - 1, 0)  # adjacent pairs per doc
+    total = int(m.sum())
+    if total == 0:
+        empty_idx = pa.array(np.zeros(0, np.int64))
+        return pa.RecordBatch.from_arrays(
+            [chunk.column(j).take(empty_idx) for j in range(n_pass)]
+            + [
+                pa.array(np.zeros(0, np.int64), pa.int64()),
+                pa.array(np.zeros(0, np.int64), pa.int64()),
+            ],
+            schema=out_schema,
+        )
+    h = _word_hashes(data, a, e)
+    doc_starts = np.concatenate([[0], np.cumsum(wc)[:-1]])
+    out_starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+    doc_idx = np.repeat(np.arange(len(wc)), m)
+    within = np.arange(total, dtype=np.int64) - np.repeat(out_starts, m)
+    flat = np.repeat(doc_starts, m) + within
+    idx = pa.array(doc_idx)
+    return pa.RecordBatch.from_arrays(
+        [chunk.column(j).take(idx) for j in range(n_pass)]
+        + [
+            pa.array(h[flat].view(np.int64), pa.int64()),
+            pa.array(h[flat + 1].view(np.int64), pa.int64()),
+        ],
+        schema=out_schema,
+    )
+
+
+def word_pair_keys(src: DataFrame, extra_cols=()) -> DataFrame:
+    """(doc_id, *extra_cols, k1, k2) — one row per adjacent word pair of
+    the raw-text column ``txt`` (tokenized and hashed in-kernel; same
+    hash and collision contract as the window keys). Docs with < 2 words
+    emit nothing — consumers left-join the doc relation back. Used by
+    the bigram-LM family (textops.lm), replacing its JVM arrays_zip +
+    explode of string pairs with an int-only Arrow stage."""
+    import pyarrow as pa
+
+    extra = list(extra_cols)
+    n_pass = 1 + len(extra)
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    extra_types = ", ".join(
+        f"{c} {src.schema[c].dataType.simpleString()}" for c in extra
+    )
+    schema_str = f"doc_id {id_type}, " + (
+        f"{extra_types}, " if extra_types else ""
+    ) + "k1 bigint, k2 bigint"
+    src = src.select(
+        "doc_id", *extra, F.coalesce(F.col("txt"), F.lit("")).alias("txt")
+    )
+
+    def kernel(batches):
+        out_schema = None
+        for batch in batches:
+            if out_schema is None:
+                out_schema = pa.schema(
+                    [
+                        pa.field(
+                            batch.schema.field(j).name,
+                            batch.schema.field(j).type,
+                        )
+                        for j in range(n_pass)
+                    ]
+                    + [pa.field("k1", pa.int64()), pa.field("k2", pa.int64())]
+                )
+            for lo in range(0, batch.num_rows, _KERNEL_CHUNK_DOCS):
+                yield _pair_chunk(
+                    batch.slice(lo, _KERNEL_CHUNK_DOCS), n_pass, out_schema
+                )
+
+    return src.mapInArrow(kernel, schema_str)
+
+
+def _coverage_chunk(chunk, w: int, out_schema):
+    """One Arrow chunk (doc_id, text, starts) -> (doc_id, n_words,
+    n_removed, text_clean). Coverage: word index i (0-based) is covered
+    iff some duplicated window starts at j (1-based) with j-1 <= i <
+    j-1+w — delta-encoded (+1 at j-1, -1 at j-1+w) and prefix-summed
+    over the chunk's flat word stream; window starts never cross a doc
+    boundary (p <= n-w+1), so per-doc capping is unnecessary. Surviving
+    words reassemble with single-space separators via one vectorized
+    byte gather into a prebuilt space-filled output buffer. The raw
+    (cased) text is tokenized in-kernel: the positions match the
+    case-folded tokenization because lower() never creates or destroys
+    whitespace, and the gathered bytes keep their original casing."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    data, wa, we, n_words = _flat_words(chunk.column(1))
+    n_docs = len(n_words)
+    big_n = int(n_words.sum())
+    if big_n == 0:  # every doc in the chunk is empty
+        zero = pa.array(np.zeros(n_docs, np.int64), pa.int64())
+        return pa.RecordBatch.from_arrays(
+            [chunk.column(0), zero, zero, pa.array([""] * n_docs, pa.utf8())],
+            schema=out_schema,
+        )
+    doc_start = np.concatenate([[0], np.cumsum(n_words)])  # inclusive bounds
+
+    st = chunk.column(2)
+    st_lens = pc.list_value_length(st).to_numpy().astype(np.int64)
+    st_flat = st.flatten().to_numpy().astype(np.int64)  # 1-based in-doc
+    st_doc = np.repeat(np.arange(n_docs), st_lens)
+    g = doc_start[st_doc] + st_flat - 1  # 0-based flat start index
+
+    delta = np.bincount(g, minlength=big_n + 1).astype(np.int64) - np.bincount(
+        g + w, minlength=big_n + 1
+    )
+    cov = np.cumsum(delta[:big_n]) > 0
+    ccov = np.concatenate([[0], np.cumsum(cov)])
+    removed = ccov[doc_start[1:]] - ccov[doc_start[:-1]]
+    kept_counts = n_words - removed
+
+    kept_idx = np.nonzero(~cov)[0]  # flat word indices, order-preserving
+    a, e = wa[kept_idx], we[kept_idx]
+    wl = e - a
+    n_kept = len(kept_idx)
+    # word k is last-in-doc iff its rank within the doc's kept sequence
+    # is kept_count-1; non-last words get one trailing space byte
+    kept_doc_start = np.concatenate([[0], np.cumsum(kept_counts)])
+    within = np.arange(n_kept) - np.repeat(kept_doc_start[:-1], kept_counts)
+    not_last = within != np.repeat(kept_counts - 1, kept_counts)
+    seg_len = wl + not_last
+    out_word_start = np.concatenate([[0], np.cumsum(seg_len)])
+    total_out = int(out_word_start[-1])
+
+    out = np.full(total_out, 0x20, np.uint8)
+    total_wb = int(wl.sum())
+    wl_start = np.concatenate([[0], np.cumsum(wl)])[:-1]  # len(wl)-safe
+    intra = np.arange(total_wb) - np.repeat(wl_start, wl)
+    out[np.repeat(out_word_start[:-1], wl) + intra] = data[
+        np.repeat(a, wl) + intra
+    ]
+    str_offsets = out_word_start[kept_doc_start].astype(np.int32)
+
+    text_clean = pa.Array.from_buffers(
+        pa.utf8(),
+        n_docs,
+        [None, pa.py_buffer(str_offsets.tobytes()), pa.py_buffer(out.tobytes())],
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            chunk.column(0),
+            pa.array(n_words, pa.int64()),
+            pa.array(removed.astype(np.int64), pa.int64()),
+            text_clean,
+        ],
+        schema=out_schema,
+    )
+
+
+def _coverage_rewrite(src: DataFrame, w: int) -> DataFrame:
+    """(doc_id, n_words, n_removed, text_clean) from (doc_id, text,
+    starts): cut every word covered by a duplicated window start,
+    reassemble the rest — one mapInArrow stage, doc-local."""
+    import pyarrow as pa
+
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    schema_str = (
+        f"doc_id {id_type}, n_words bigint, n_removed bigint,"
+        " text_clean string"
+    )
+
+    def kernel(batches):
+        out_schema = None
+        for batch in batches:
+            if out_schema is None:
+                out_schema = pa.schema(
+                    [
+                        pa.field("doc_id", batch.schema.field(0).type),
+                        pa.field("n_words", pa.int64()),
+                        pa.field("n_removed", pa.int64()),
+                        pa.field("text_clean", pa.utf8()),
+                    ]
+                )
+            for lo in range(0, batch.num_rows, _KERNEL_CHUNK_DOCS):
+                yield _coverage_chunk(
+                    batch.slice(lo, _KERNEL_CHUNK_DOCS), w, out_schema
+                )
+
+    return src.mapInArrow(kernel, schema_str)
 
 
 def _window_hash_sql(w: int, pos: str = "i") -> str:
-    """DuckDB twin of one _window_hashes element at 1-based position
-    `pos` over a list column `ws` (inclusive slicing)."""
+    """DuckDB twin of one window key at 1-based position `pos` over a
+    list column `ws` (inclusive slicing). The oracle keys on the raw
+    case-folded window string (md5 of it — same equality classes), NOT
+    on the engine's rolling hash: the gate cross-checks the kernel
+    against an implementation that shares nothing with it."""
     return f"md5(lower(array_to_string(ws[{pos}:{pos}+{w - 1}], ' ')))"
 
 
@@ -72,32 +474,37 @@ def span_dup_stats(
     every position whose window is cross-doc-duplicated counts once.
     """
     w = int(window)
-    base = docs.select("doc_id", ws_word_array(F.col(text_col)).alias("ws"))
-    # wins feeds BOTH the dup aggregation and the per-doc scoring join of
-    # the same returned plan; persist_tracked stops Catalyst re-running the
-    # tokenize + rolling-hash + explode pipeline once per branch
-    # (caching.clear_caches releases it)
-    wins = persist_tracked(
-        base.select("doc_id", F.explode_outer(_window_hashes(w)).alias("h"))
-    )
-
-    dup = (
-        wins.filter(F.col("h").isNotNull())
-        .groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h", F.lit(1).alias("is_dup"))
-    )
-
-    return (
-        wins.join(dup, "h", "left")
+    base = docs.select("doc_id", F.lower(F.col(text_col)).alias("txt"))
+    # ONE pass over the window relation: "appears in >= 2 distinct docs"
+    # is exactly min(doc_id) != max(doc_id) over the key group — a single
+    # keyed exchange + sort, where the count_distinct formulation costs
+    # TWO full exchanges of the corpus-token-sized relation (partial
+    # dedup on (k1,k2,doc_id), then re-agg) plus a join back. n_windows
+    # rides the same per-doc aggregation for free.
+    key_win = Window.partitionBy("k1", "k2")
+    per = (
+        _window_keys(base, w)
+        .withColumn(
+            "is_dup",
+            (
+                F.min("doc_id").over(key_win) != F.max("doc_id").over(key_win)
+            ).cast("bigint"),
+        )
         .groupBy("doc_id")
         .agg(
-            F.count("h").cast("bigint").alias("n_windows"),
-            F.coalesce(F.sum("is_dup"), F.lit(0))
-            .cast("bigint")
-            .alias("dup_windows"),
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.sum("is_dup").cast("bigint").alias("dup_windows"),
         )
+    )
+    # docs shorter than W words emit no windows and left-join to (0, 0)
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_windows"), F.lit(0))
+        .cast("bigint")
+        .alias("n_windows"),
+        F.coalesce(F.col("dup_windows"), F.lit(0))
+        .cast("bigint")
+        .alias("dup_windows"),
     )
 
 
@@ -110,70 +517,39 @@ def span_dedup_rewrite(
     original casing. Overlapping duplicated windows merge naturally
     through the covered-position set.
 
-    Scale shape: same keyed relations as span_dup_stats plus (a) a keyed
-    join of word positions against duplicated-window START positions and
-    (b) ONE per-doc rangeBetween window pass turning starts into coverage
-    — word widx is covered iff some duplicated window starts in
-    (widx-W, widx] — then (c) an order-preserving per-doc reassembly
-    (array_sort over collect_list — doc-length-bounded state, the same
-    accepted shape as strip_boilerplate's reassembly). The window pass
-    replaces the naive explode(W rows per duplicated window) + corpus-
-    sized distinct + anti-join: under heavy duplication the covered-set
-    shuffle volume now never exceeds the word relation itself. No
-    all-pairs work, no Python.
+    Scale shape (round-5 restructure): the corpus-token-sized work is
+    (a) the window-key kernel, (b) ONE keyed exchange + sort of the
+    int-only window relation for the dup test (min != max doc_id over
+    the key group — no count_distinct double-exchange, no join back),
+    and (c) one groupBy(doc_id) collecting each doc's duplicated-window
+    START positions (doc-length-bounded state, the accepted reassembly
+    shape). Coverage + reassembly then run at DOC level in a second
+    vectorized Arrow kernel (delta-encode starts -> prefix-sum coverage
+    -> gather surviving word bytes), replacing the old word-level
+    posexplode + sort-merge join + rangeBetween window + collect_list
+    reassembly — the per-word string shuffle that dominated the old
+    plan's wall clock is gone entirely. No all-pairs work; Python only
+    as numpy over Arrow buffers.
     """
     w = int(window)
-    base = docs.select("doc_id", ws_word_array(F.col(text_col)).alias("ws"))
-    # same two-consumer shape as span_dup_stats (dup agg + starts join)
-    wins = persist_tracked(
-        base.select(
-            "doc_id", F.posexplode(_window_hashes(w)).alias("p0", "h")
-        ).select("doc_id", (F.col("p0") + 1).alias("p"), "h")
-    )
-
-    dup = (
-        wins.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
+    base = docs.select("doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("text"))
+    key_win = Window.partitionBy("k1", "k2")
     starts = (
-        wins.join(dup, "h")
-        .select("doc_id", F.col("p").alias("widx"))
-        .groupBy("doc_id", "widx")
-        .agg(F.lit(1).alias("dup_start"))
+        _window_keys(base.select("doc_id", F.lower("text").alias("txt")), w)
+        .withColumn("d0", F.min("doc_id").over(key_win))
+        .withColumn("d1", F.max("doc_id").over(key_win))
+        .filter(F.col("d0") != F.col("d1"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("p").alias("starts"))
     )
-
-    word_pos = base.select(
-        "doc_id", F.posexplode("ws").alias("w0", "word")
-    ).select("doc_id", (F.col("w0") + 1).alias("widx"), "word")
-    cover_win = (
-        Window.partitionBy("doc_id").orderBy("widx").rangeBetween(-(w - 1), 0)
-    )
-    kept = (
-        word_pos.join(starts, ["doc_id", "widx"], "left")
-        .withColumn("covered", F.max("dup_start").over(cover_win))
-        .filter(F.col("covered").isNull())
-    )
-    re = kept.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("widx", "word"))),
-                lambda s: s["word"],
-            ),
-        ).alias("text_clean"),
-    )
-
-    return base.join(re, "doc_id", "left").select(
+    src = base.join(starts, "doc_id", "left").select(
         "doc_id",
-        F.size("ws").cast("bigint").alias("n_words"),
-        (F.size("ws") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_removed"),
-        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        "text",
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias(
+            "starts"
+        ),
     )
+    return _coverage_rewrite(src, w)
 
 
 def span_dedup_rewrite_oracle_sql(

@@ -157,3 +157,150 @@ def test_bpe_pair_deterministic_tiebreak(spark):
 def test_bpe_pair_k_truncates(spark):
     rows = bpe_pair_stats(_docs(spark, ["abcdefg"]), k=3).collect()
     assert len(rows) == 3 and [r.rank for r in rows] == [1, 2, 3]
+
+
+# --------------------------------------------------------------- kernel fuzz
+# The round-5 rolling-hash kernel (prefix-polynomial word hashes + two-lane
+# Buzhash window keys) replaced the md5-string path; these pin it against a
+# brute-force Python twin on randomized corpora with INJECTED duplications,
+# asserting nonzero effect size (the vacuous-gate discipline: a gate that
+# finds zero duplicates tests nothing).
+
+
+def _brute_span_stats(texts, w):
+    """Oracle-free reference: dict doc_id -> (n_windows, dup_windows)."""
+    toks = [t.lower().split() for t in texts]
+    wins = [
+        [tuple(ws[i : i + w]) for i in range(max(len(ws) - w + 1, 0))]
+        for ws in toks
+    ]
+    owners: dict = {}
+    for d, lst in enumerate(wins):
+        for win in set(lst):
+            owners.setdefault(win, set()).add(d)
+    return {
+        d: (
+            len(lst),
+            sum(1 for win in lst if len(owners[win]) >= 2),
+        )
+        for d, lst in enumerate(wins)
+    }
+
+
+def _brute_rewrite(texts, w):
+    """Reference rewrite: doc_id -> (n_words, n_removed, text_clean)."""
+    toks_cased = [t.split() for t in texts]
+    toks = [t.lower().split() for t in texts]
+    owners: dict = {}
+    for d, ws in enumerate(toks):
+        for i in range(max(len(ws) - w + 1, 0)):
+            owners.setdefault(tuple(ws[i : i + w]), set()).add(d)
+    out = {}
+    for d, ws in enumerate(toks):
+        covered = set()
+        for i in range(max(len(ws) - w + 1, 0)):
+            if len(owners[tuple(ws[i : i + w])]) >= 2:
+                covered.update(range(i, i + w))
+        kept = [
+            toks_cased[d][i] for i in range(len(ws)) if i not in covered
+        ]
+        out[d] = (len(ws), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+def _fuzz_corpus(seed, n_docs=60, vocab=40):
+    import random
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(0, 30)))
+        for _ in range(n_docs)
+    ]
+    # inject duplicated spans: pick a donor span, splice it into other docs
+    # (mixed-case in half the recipients to exercise case-folding)
+    for _ in range(6):
+        donor = rng.randrange(n_docs)
+        dt = texts[donor].split()
+        if len(dt) < 6:
+            continue
+        i = rng.randrange(len(dt) - 5)
+        span = dt[i : i + 6]
+        for _ in range(rng.randrange(1, 4)):
+            tgt = rng.randrange(n_docs)
+            piece = " ".join(span)
+            if rng.random() < 0.5:
+                piece = piece.upper()
+            tt = texts[tgt].split()
+            j = rng.randrange(len(tt) + 1)
+            texts[tgt] = " ".join(tt[:j] + [piece] + tt[j:])
+    return texts
+
+
+def test_span_kernel_fuzz_parity_vs_bruteforce(spark):
+    import pytest
+
+    total_dup = 0
+    for seed in range(4):
+        texts = _fuzz_corpus(seed)
+        docs = _docs(spark, texts)
+        got = {
+            r.doc_id: (r.n_windows, r.dup_windows)
+            for r in span_dup_stats(docs, window=4).collect()
+        }
+        want = _brute_span_stats(texts, 4)
+        assert got == want, f"seed {seed}"
+        got_rw = {
+            r.doc_id: (r.n_words, r.n_removed, r.text_clean)
+            for r in span_dedup_rewrite(docs, window=4).collect()
+        }
+        want_rw = _brute_rewrite(texts, 4)
+        assert got_rw == want_rw, f"seed {seed}"
+        total_dup += sum(d for _, d in want.values())
+    # effect size: the injected spans MUST surface as duplicated windows
+    assert total_dup >= 50, f"vacuous fuzz gate: only {total_dup} dup windows"
+
+
+def test_span_kernel_window_keys_content_only(spark):
+    """The same word window must key identically across positions, docs,
+    Arrow chunks, and partitions; different windows must key apart."""
+    from geocode_spark.textops.spans import _window_keys
+    from pyspark.sql import functions as F
+
+    # same 3-window at position 1 of doc 0 and position 5 of doc 1
+    docs = _docs(
+        spark,
+        ["alpha beta gamma x", "p q r s alpha beta gamma", "alpha beta delta"],
+    ).repartition(3)
+    base = docs.select("doc_id", F.lower("text").alias("txt"))
+    rows = _window_keys(base, 3).collect()
+    keys = {(r.doc_id, r.p): (r.k1, r.k2) for r in rows}
+    assert keys[(0, 1)] == keys[(1, 5)]  # content-only, position-free
+    # 17 distinct 3-windows minus the one shared pair -> all others distinct
+    distinct = {v for v in keys.values()}
+    assert len(distinct) == len(keys) - 1
+
+
+def test_span_kernel_chunk_boundary_consistent(spark):
+    """Keys agree when the same docs land in different kernel chunks."""
+    import geocode_spark.textops.spans as spans
+    from pyspark.sql import functions as F
+
+    texts = [f"a b c d shared span here tail{i}" for i in range(7)]
+    docs = _docs(spark, texts)
+    base = docs.select("doc_id", F.lower("text").alias("txt"))
+    big = {
+        (r.doc_id, r.p): (r.k1, r.k2)
+        for r in spans._window_keys(base, 3).collect()
+    }
+    old = spans._KERNEL_CHUNK_DOCS
+    spans._KERNEL_CHUNK_DOCS = 2
+    try:
+        small = {
+            (r.doc_id, r.p): (r.k1, r.k2)
+            for r in spans._window_keys(base, 3).collect()
+        }
+    finally:
+        spans._KERNEL_CHUNK_DOCS = old
+    # 8 words per doc -> 6 window starts per doc, 7 docs
+    assert big == small and len(big) == 7 * 6
