@@ -362,6 +362,162 @@ QUALIFY rank <= {k}
 ORDER BY rank"""
 
 
+DEFAULT_MERGE_STEPS = 10
+
+
+def bpe_merge_steps(
+    docs: DataFrame, text_col: str = "text", steps: int = DEFAULT_MERGE_STEPS
+) -> DataFrame:
+    """(step, lhs, rhs, merged, cnt): the first `steps` merges a BPE
+    tokenizer induction would apply (Sennrich et al. 2016) — each round
+    counts adjacent symbol pairs weighted by word frequency, merges the
+    winner (ties break on the pair strings) leftmost-greedy
+    non-overlapping in every word, and re-counts. Completes the
+    single-iteration bpe_pair_stats into the full merge loop.
+
+    Scale shape: ONE corpus-sized explode + keyed groupBy builds the
+    word-frequency relation; every round after that runs over the
+    VOCAB-bounded (c, syms) relation — pair explode + keyed groupBy +
+    a 1-row driver collect (the Lloyd-loop precedent,
+    textops/similarity.py) — and the leftmost-greedy merge is a pure
+    Catalyst array fold, no Python. localCheckpoint per round (the
+    graph.py precedent) truncates lineage AND the otherwise-nesting
+    fold expression (the projection-collapse codegen trap). Driver
+    state is K winner rows — metadata-scale by construction.
+
+    Greedy-fold correctness note: a freshly merged symbol lhs||rhs is
+    strictly longer than lhs, so it can never re-match as the fold's
+    left operand within the same round — the fold is exactly
+    non-overlapping leftmost-first. The DuckDB twin implements the SAME
+    semantics via an independent algorithm (match islands + alternating
+    selection), so the gate cross-checks the fold, not itself.
+    """
+    steps = int(steps)
+    spark = docs.sparkSession
+    wf = (
+        docs.select(
+            F.explode(ws_word_array(F.lower(F.col(text_col)))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    syms = wf.select(
+        "c",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for step in range(1, steps + 1):
+        top = (
+            syms.filter(F.size("syms") >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("c").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merged = lhs + rhs
+        merges.append((step, lhs, rhs, merged, cnt))
+        # leftmost-greedy non-overlapping fold; try_element_at stays
+        # NULL-safe on the empty accumulator under ANSI mode
+        folded = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.try_element_at(acc, F.lit(-1)) == F.lit(lhs))
+                & (s == F.lit(rhs)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        syms = syms.select("c", folded.alias("syms")).localCheckpoint(
+            eager=True
+        )
+
+    return spark.createDataFrame(
+        merges, "step bigint, lhs string, rhs string, merged string, cnt bigint"
+    )
+
+
+def bpe_merge_oracle_sql(
+    source: str = "documents", steps: int = DEFAULT_MERGE_STEPS
+) -> str:
+    """DuckDB twin: the K rounds unrolled as CTE stages. The greedy
+    merge is implemented independently of the engine's fold — match
+    positions i (syms[i]=lhs AND syms[i+1]=rhs) group into islands of
+    consecutive positions (only possible when lhs = rhs), and greedy
+    non-overlapping selection keeps the alternating members
+    (i - island_start even); the word is then rebuilt by index."""
+    steps = int(steps)
+    parts = [
+        f"""WITH wds AS (
+  SELECT unnest({ws_word_array_sql("lower(text)")}) AS w FROM {source}
+), wf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wds GROUP BY w
+), syms0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY w) AS wid, c,
+         list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
+  FROM wf
+)"""
+    ]
+    for k in range(1, steps + 1):
+        p = k - 1
+        parts.append(
+            f""", top{k} AS MATERIALIZED (
+  SELECT l, r, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+    SELECT c, unnest(syms[1:len(syms)-1]) AS l, unnest(syms[2:len(syms)]) AS r
+    FROM syms{p} WHERE len(syms) >= 2
+  ) GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1
+), m{k} AS (  -- match positions, islands of consecutive i, greedy keep
+  SELECT wid, i, i - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY i) AS isl
+  FROM (
+    SELECT s.wid,
+           unnest(list_filter(range(1, len(s.syms)),
+                  i -> s.syms[i] = t.l AND s.syms[i+1] = t.r)) AS i
+    FROM syms{p} s CROSS JOIN top{k} t
+  )
+), kept{k} AS (
+  SELECT wid, list(i ORDER BY i) AS kp FROM (
+    SELECT wid, i, MIN(i) OVER (PARTITION BY wid, isl) AS run_start FROM m{k}
+  ) WHERE (i - run_start) % 2 = 0 GROUP BY wid
+), syms{k} AS MATERIALIZED (
+  SELECT s.wid, s.c,
+    CASE WHEN k.kp IS NULL THEN s.syms ELSE list_filter(
+      list_transform(range(1, len(s.syms) + 1),
+        i -> CASE WHEN list_contains(k.kp, i) THEN t.l || t.r
+                  WHEN list_contains(k.kp, i - 1) THEN NULL
+                  ELSE s.syms[i] END),
+      x -> x IS NOT NULL) END AS syms
+  FROM syms{p} s
+  LEFT JOIN kept{k} k USING (wid)
+  CROSS JOIN top{k} t
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, l AS lhs, r AS rhs,"
+        f" l || r AS merged, cnt FROM top{k}"
+        for k in range(1, steps + 1)
+    )
+    parts.append(f"\n{union}\nORDER BY step")
+    return "".join(parts)
+
+
 def bigram_lm_oracle_sql(source: str = "documents") -> str:
     """DuckDB twin: identical tokenization, counts, smoothing, and
     micro-nat quantization — the integer sums match bit-for-bit."""

@@ -145,3 +145,49 @@ def test_int_keep_low_threshold_ignores_nulls(spark):
     assert int_keep_low_threshold(df, "v", keep_ppk=500, bin_width=1) == 1
     allnull = df.filter("v is null")
     assert int_keep_low_threshold(allnull, "v", 500, 1) is None
+
+
+def test_bpe_merge_steps_hand_checked(spark):
+    from geocode_spark.textops.lm import bpe_merge_steps
+
+    # corpus "ab ab ab" x2 + "abc": char pairs (a,b):7 wins step 1;
+    # step 2 merges the next-best among the rewritten symbols
+    rows = bpe_merge_steps(_docs(spark, ["ab ab ab", "ab ab ab", "abc"]),
+                           steps=2).collect()
+    assert (rows[0].step, rows[0].lhs, rows[0].rhs,
+            rows[0].merged, rows[0].cnt) == (1, "a", "b", "ab", 7)
+    # after step 1 every word is [ab] or [ab, c]; only pair left: (ab, c)
+    assert (rows[1].step, rows[1].lhs, rows[1].rhs,
+            rows[1].merged, rows[1].cnt) == (2, "ab", "c", "abc", 1)
+
+
+def test_bpe_merge_greedy_overlap(spark):
+    from geocode_spark.textops.lm import bpe_merge_steps
+
+    # "aaaa" x3: step 1 pair (a,a) cnt 9; greedy leftmost rewrites
+    # [a,a,a,a] -> [aa,aa] (never [a,aa,a]); step 2 must therefore see
+    # pair (aa,aa) cnt 3 -- the no-overlap property made observable
+    rows = bpe_merge_steps(_docs(spark, ["aaaa", "aaaa", "aaaa"]),
+                           steps=2).collect()
+    assert (rows[0].lhs, rows[0].rhs, rows[0].cnt) == ("a", "a", 9)
+    assert (rows[1].lhs, rows[1].rhs, rows[1].cnt) == ("aa", "aa", 3)
+
+
+def test_bpe_merge_steps_effect_size(spark, sf_dir):
+    """>= 3 DISTINCT merges actually apply on the real corpus, merged
+    symbols compound (some step reuses an earlier merge's output), and
+    counts are non-increasing only where ties allow -- the loop is doing
+    real successive work, not re-ranking the same pair table."""
+    from geocode_spark.textops.lm import bpe_merge_steps
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = bpe_merge_steps(docs, steps=8).collect()
+    assert len(rows) == 8
+    merged = [r.merged for r in rows]
+    assert len(set(merged)) == 8  # all distinct merges
+    # compounding: some later step consumes an earlier merged symbol
+    assert any(
+        r.lhs in merged[: i] or r.rhs in merged[: i]
+        for i, r in enumerate(rows)
+    )
+    assert all(r.cnt >= 1 for r in rows)
