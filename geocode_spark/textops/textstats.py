@@ -217,6 +217,14 @@ FROM {source}
 # every 4th doc — identically derived in both engines.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+# dotted quad with per-octet range check (0-255): "256.1.1.1" and
+# "999.1.1.1" must NOT match. \d is ASCII in both Java regex and RE2,
+# (?:...) groups don't shift DuckDB's explicit outer capture group.
+_OCTET = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+IPV4_RE = rf"\b{_OCTET}(?:\.{_OCTET}){{3}}\b"
+# SSN shape 3-2-4: the 2-digit middle can never collide with PHONE_RE's
+# 3-digit middle, and a leading/trailing extra digit kills the \b
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
 PII_INJECT_MOD = 4
 
 
@@ -229,45 +237,66 @@ def pii_corpus(docs: DataFrame) -> DataFrame:
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         F.lit(" today"),
     )
+    did = F.col("doc_id")
+    # ip/ssn positives, including the leading-quad-of-a-longer-sequence
+    # edge ("1.2.3.4.5" contains exactly one match, "1.2.3.4")
+    machine = F.concat(
+        F.col("text"),
+        F.lit(" server 10."), (did % 256).cast("string"),
+        F.lit(".0."), (did % 100).cast("string"),
+        F.lit(" seq 1.2.3.4.5 ssn 123-45-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" end"),
+    )
+    # near-misses that must count ZERO: version string (no \b before the
+    # quad), out-of-range octets, 4-digit-led ssn shape
+    nearmiss = F.lit(
+        " build v1.2.33 from 999.300.1.7 or 256.300.2.8"
+        " ref 1234-56-7890 tail"
+    )
     return docs.select(
         "doc_id",
-        F.when(F.col("doc_id") % PII_INJECT_MOD == 0, contact)
+        F.when(did % PII_INJECT_MOD == 0, contact)
+        .when(did % PII_INJECT_MOD == 1, machine)
+        .when(did % PII_INJECT_MOD == 2, F.concat(F.col("text"), nearmiss))
         .otherwise(F.col("text")).alias("text"),
     )
 
 
 def with_pii_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """THE shared redaction kernel: match counts (computed on the ORIGINAL
-    text) + the text column rewritten email->-<EMAIL> then phone-><PHONE>.
-    Both the oracle-gated pii_redact query and jobs/curation_job.py go
-    through this one function so the shipped corpus can never drift from
-    the gated semantics (pattern constants, count-on-original, replace
-    order)."""
+    text) + the text column rewritten email -> <EMAIL>, phone -> <PHONE>,
+    ipv4 -> <IP>, ssn -> <SSN>, in that order (no replacement token
+    contains a digit, so earlier rewrites can never create later
+    matches). Both the oracle-gated pii_redact query and
+    jobs/curation_job.py go through this one function so the shipped
+    corpus can never drift from the gated semantics (pattern constants,
+    count-on-original, replace order)."""
     t = F.col(text_col)
-    clean = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-    )
-    return (
-        df.withColumn(
-            "n_emails",
-            F.size(F.regexp_extract_all(t, F.lit(f"({EMAIL_RE})"), 1))
+    clean = t
+    out = df
+    for name, pat, token in (
+        ("n_emails", EMAIL_RE, "<EMAIL>"),
+        ("n_phones", PHONE_RE, "<PHONE>"),
+        ("n_ipv4", IPV4_RE, "<IP>"),
+        ("n_ssn", SSN_RE, "<SSN>"),
+    ):
+        out = out.withColumn(
+            name,
+            F.size(F.regexp_extract_all(t, F.lit(f"({pat})"), 1))
             .cast("bigint"),
         )
-        .withColumn(
-            "n_phones",
-            F.size(F.regexp_extract_all(t, F.lit(f"({PHONE_RE})"), 1))
-            .cast("bigint"),
-        )
-        .withColumn(text_col, clean)
-    )
+        clean = F.regexp_replace(clean, pat, token)
+    return out.withColumn(text_col, clean)
 
 
 def pii_redact(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_emails, n_phones, clean_md5): match counts + md5 of the
-    redacted text. Pure Catalyst regex projection — zero shuffle, zero
-    Python."""
+    """(doc_id, n_emails, n_phones, n_ipv4, n_ssn, clean_md5): match
+    counts + md5 of the redacted text. Pure Catalyst regex projection —
+    zero shuffle, zero Python."""
     return with_pii_columns(docs).select(
-        "doc_id", "n_emails", "n_phones", F.md5("text").alias("clean_md5")
+        "doc_id", "n_emails", "n_phones", "n_ipv4", "n_ssn",
+        F.md5("text").alias("clean_md5"),
     )
 
 
@@ -279,21 +308,37 @@ def pii_corpus_sql(source: str = "documents") -> str:
                    || '@example.com or call 555-867-'
                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                    || ' today'
+              WHEN doc_id % {PII_INJECT_MOD} = 1
+              THEN text || ' server 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                   || ' seq 1.2.3.4.5 ssn 123-45-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ' end'
+              WHEN doc_id % {PII_INJECT_MOD} = 2
+              THEN text || ' build v1.2.33 from 999.300.1.7 or 256.300.2.8'
+                   || ' ref 1234-56-7890 tail'
               ELSE text END AS text
   FROM {source}
 )"""
 
 
 def pii_redact_oracle_sql(source: str = "documents") -> str:
-    email, phone = EMAIL_RE, PHONE_RE
+    email, phone, ipv4, ssn = EMAIL_RE, PHONE_RE, IPV4_RE, SSN_RE
     return f"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '({email})', 1)) AS BIGINT)
          AS n_emails,
        CAST(len(regexp_extract_all(text, '({phone})', 1)) AS BIGINT)
          AS n_phones,
-       md5(regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
-                          '{phone}', '<PHONE>', 'g')) AS clean_md5
+       CAST(len(regexp_extract_all(text, '({ipv4})', 1)) AS BIGINT)
+         AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '({ssn})', 1)) AS BIGINT)
+         AS n_ssn,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text, '{email}', '<EMAIL>', 'g'),
+             '{phone}', '<PHONE>', 'g'),
+             '{ipv4}', '<IP>', 'g'),
+             '{ssn}', '<SSN>', 'g')) AS clean_md5
 FROM {pii_corpus_sql(source)}
 """
 

@@ -599,3 +599,39 @@ def test_contamination_score_graded_and_short_doc_zero(spark):
         1: (5, 1, 200),  # 1000 * 1 // 5
         3: (0, 0, 0),
     }
+
+
+def test_pii_ipv4_ssn_shapes(spark):
+    """Per-shape pins for the round-5 patterns: every positive and
+    near-miss shape in the injection corpus gets its own row."""
+    import hashlib
+
+    from geocode_spark.textops.textstats import pii_redact
+
+    cases = [
+        # (text, n_ipv4, n_ssn, redacted)
+        ("host 10.0.0.1 up", 1, 0, "host <IP> up"),
+        ("edge 0.0.0.0 and 255.255.255.255", 2, 0, "edge <IP> and <IP>"),
+        ("seq 1.2.3.4.5 x", 1, 0, "seq <IP>.5 x"),          # leading quad
+        ("from 999.300.1.7 or 256.300.2.8", 0, 0, None),     # out of range
+        ("build v1.2.33 done", 0, 0, None),                  # no \b before
+        ("ssn 123-45-6789.", 0, 1, "ssn <SSN>."),
+        ("ref 1234-56-7890 tail", 0, 0, None),               # 4-digit lead
+        ("pin 123-45-67890", 0, 0, None),                    # 5-digit tail
+        ("call 555-123-4567 not ssn", 0, 0, None),           # phone shape
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, *_1) in enumerate(cases)],
+        "doc_id bigint, text string",
+    )
+    out = pii_redact(df).toPandas().set_index("doc_id")
+    for i, (t, n_ip, n_ssn, clean) in enumerate(cases):
+        assert out.loc[i, "n_ipv4"] == n_ip, (t, out.loc[i, "n_ipv4"])
+        assert out.loc[i, "n_ssn"] == n_ssn, (t, out.loc[i, "n_ssn"])
+        if clean is None:  # near-miss: text must survive byte-identical
+            # (the phone-shape row still rewrites via PHONE_RE)
+            expect = t if "555-" not in t else t.replace(
+                "555-123-4567", "<PHONE>")
+            clean = expect
+        assert (out.loc[i, "clean_md5"]
+                == hashlib.md5(clean.encode()).hexdigest()), t
