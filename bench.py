@@ -114,7 +114,9 @@ SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "64"))
 # replicates harder to keep fixed costs amortized at the high level
 CORPUS_SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL_CORPUS", "512"))
 SELECT_SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL_SELECT", "20"))
-SELECT_SCALE_PARTITIONS = 32  # fatter partitions: the 100k-doc corpus at 128
+SELECT_SCALE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS_SELECT", "32")
+)  # fatter partitions: the 100k-doc corpus at 128
 # partitions measured ms-scale tasks (scheduling, not compute)
 SCALE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "128"))
 
