@@ -113,9 +113,9 @@ SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "64"))
 # the documents table is 40x smaller than pages, so the corpus protocol
 # replicates harder to keep fixed costs amortized at the high level
 CORPUS_SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL_CORPUS", "512"))
-SELECT_SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL_SELECT", "20"))
+SELECT_SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL_SELECT", "160"))
 SELECT_SCALE_PARTITIONS = int(
-    os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS_SELECT", "32")
+    os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS_SELECT", "64")
 )  # fatter partitions: the 100k-doc corpus at 128
 # partitions measured ms-scale tasks (scheduling, not compute)
 SCALE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SCALE_PARTITIONS", "128"))

@@ -482,8 +482,11 @@ def span_dup_stats(
     # dedup on (k1,k2,doc_id), then re-agg) plus a join back. n_windows
     # rides the same per-doc aggregation for free.
     key_win = Window.partitionBy("k1", "k2")
+    # drop the kernel's position column BEFORE the exchange — stats never
+    # use it, and it would otherwise ride the corpus-sized shuffle
     per = (
         _window_keys(base, w)
+        .select("doc_id", "k1", "k2")
         .withColumn(
             "is_dup",
             (
