@@ -5,16 +5,31 @@ pipelines score each document's perplexity under an n-gram LM and filter
 the worst tail; this implements the self-trained variant — the LM is the
 corpus's own add-one-smoothed bigram model — entirely in Catalyst:
 
-  1. bigram relation: one explode over zipped word-array slices
-     (corpus-token-sized, the same accepted shape as the shingle
-     relations in textops.dedup)
-  2. model: two keyed aggregations over the bigram relation — counts are
-     bounded by |distinct bigrams|, far below corpus size
-  3. scoring: one keyed join of the bigram relation back to the model +
-     one groupBy(doc_id)
+  1. bigram relation: one Arrow word-hash kernel pass (corpus-token-
+     sized, the same accepted shape as the shingle relations in
+     textops.dedup)
+  2. model: ONE keyed aggregation over the bigram relation, persisted —
+     bounded by |distinct bigrams|, far below corpus size; every derived
+     model relation (prefix counts, vocab scalars, per-bigram log-prob)
+     is computed from that cached relation at MODEL scale, never by
+     re-scanning the corpus (round-5: Catalyst does not share common
+     subtrees, so the un-persisted formulation re-ran the corpus
+     aggregation once per derived relation)
+  3. scoring: one keyed join of the bigram relation back to the
+     per-bigram model + one groupBy(doc_id). The model side is
+     BROADCAST when its measured row count is below
+     $SPARK_GRAFT_MODEL_BROADCAST_ROWS (default 4M ≈ 100 MB) — the
+     corpus-sized pair relation then never shuffles at all (the
+     groupBy(doc_id) partial-aggregates to one row per doc per input
+     partition because the kernel emits each doc's pairs contiguously).
+     A 100 TB corpus whose distinct-bigram count exceeds the threshold
+     falls back to the keyed shuffle join automatically. The model
+     row count itself is an adjudicated metadata-scale driver action
+     (same class as the IVF sizing sample), which makes these builders
+     EAGER_QUERIES members.
 
 Every exchange is keyed and AQE-sizable; nothing is all-pairs and no
-Python runs.
+Python runs outside the word-hash kernel.
 
 The gate quantizes each bigram's log-probability to micro-nats
 (round(ln(p) * 1e6) as int64) BEFORE the per-document sum, so the
@@ -38,6 +53,18 @@ from ..caching import persist_tracked
 from .textstats import ws_word_array, ws_word_array_sql
 
 LP_SCALE = 1_000_000  # micro-nats
+
+# Broadcast the per-bigram model into the scoring join when it has at most
+# this many rows (~24 B/row -> default ~100 MB); larger models fall back to
+# the keyed shuffle join. Env-tunable for cluster-sized deployments.
+def _model_broadcast_rows() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_MODEL_BROADCAST_ROWS", "4000000"))
+
+
+def _maybe_broadcast(rel: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(rel) if n_rows <= _model_broadcast_rows() else rel
 
 
 def _bigram_pairs(docs: DataFrame, text_col: str, extra_cols=()):
@@ -79,16 +106,25 @@ def _bigram_pairs(docs: DataFrame, text_col: str, extra_cols=()):
 def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_bigrams, nll_micro): negative log-likelihood of each
     document under the corpus's own add-one-smoothed bigram model, in exact
-    integer micro-nats. Documents with fewer than 2 words score (0, 0)."""
+    integer micro-nats. Documents with fewer than 2 words score (0, 0).
+
+    EAGER builder: materializes + counts the |distinct bigrams|-bounded
+    model relation to (a) stop Catalyst re-running the corpus-sized
+    aggregation once per derived model relation and (b) pick
+    broadcast-vs-shuffle for the scoring join from the MEASURED model
+    size (module docstring, step 3)."""
     based, pairs = _bigram_pairs(docs, text_col)
 
-    c2 = pairs.groupBy("k1", "k2").agg(
-        F.count("*").cast("bigint").alias("c2")
+    c2 = persist_tracked(
+        pairs.groupBy("k1", "k2").agg(
+            F.count("*").cast("bigint").alias("c2")
+        )
     )
+    n_model = c2.count()  # metadata-scale action: |distinct bigrams|
     c1 = c2.groupBy("k1").agg(F.sum("c2").cast("bigint").alias("c1"))
     vocab = c2.agg(F.count_distinct("k2").cast("bigint").alias("v"))
     lm = (
-        c2.join(c1, "k1")
+        c2.join(_maybe_broadcast(c1, n_model), "k1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "k1", "k2",
@@ -100,7 +136,7 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
 
-    scored = pairs.join(lm, ["k1", "k2"], "left")
+    scored = pairs.join(_maybe_broadcast(lm, n_model), ["k1", "k2"], "left")
     per = scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
         (-F.coalesce(F.sum("lp_micro"), F.lit(0)))
@@ -129,40 +165,47 @@ def dsir_log_ratio(
     micro-nats. Selecting the top tail of ratio_micro resamples the
     corpus toward the target domain.
 
-    Scale shape: the corpus-sized work is the bigram relation (one
-    explode) + three keyed joins against model relations bounded by
-    |distinct bigrams| (the target model is further bounded by the target
-    subset) + one groupBy(doc_id); the two vocab scalars broadcast.
-    Unseen-in-target bigrams get the smoothed floor 1/(c1_t + V_t) via
-    coalesce, so the score is defined for every document. Per-bigram
-    terms quantize to int64 micro-nats before the sum (same order-exact
-    gate discipline, and same per-bigram ln() boundary-flake caveat, as
-    bigram_lm_score)."""
+    Scale shape (round-5 restructure): the corpus-sized work is the
+    bigram relation (one Arrow kernel pass) + ONE keyed join against a
+    single per-distinct-bigram delta relation + one groupBy(doc_id).
+    Both models persist+count at |distinct bigrams| scale (the target
+    model is further bounded by the target subset); the four model
+    relations merge into the delta at MODEL scale — the log-ratio is
+    computed once per distinct bigram, not once per occurrence — and the
+    delta broadcasts into the scoring join when small (module docstring,
+    step 3; every scored pair exists in the whole-corpus model by
+    construction, so the inner merge loses nothing). Unseen-in-target
+    bigrams get the smoothed floor 1/(c1_t + V_t) via coalesce, so the
+    score is defined for every document. Per-bigram terms quantize to
+    int64 micro-nats before the sum (same order-exact gate discipline,
+    and same per-bigram ln() boundary-flake caveat, as bigram_lm_score).
+
+    EAGER builder: raises ValueError at build time when target_source
+    matches no document with >= 2 words (an empty target model would
+    make every lp_t infinite)."""
     based, pairs = _bigram_pairs(docs, text_col, extra_cols=("source",))
     occ = pairs
 
     def model(rel):
-        c2 = rel.groupBy("k1", "k2").agg(
-            F.count("*").cast("bigint").alias("c2")
+        return persist_tracked(
+            rel.groupBy("k1", "k2").agg(
+                F.count("*").cast("bigint").alias("c2")
+            )
         )
-        c1 = c2.groupBy("k1").agg(F.sum("c2").cast("bigint").alias("c1"))
-        v = c2.agg(F.count_distinct("k2").cast("bigint").alias("v"))
-        return c2, c1, v
 
-    c2c, c1c, vc = model(occ)
-    c2t, c1t, vt = model(occ.filter(F.col("source") == target_source))
-    # lazy guard: an empty target model would make every lp_t
-    # ln(1/0) = +Inf -> Long.MaxValue and the per-doc sums wrap silently;
-    # raise at execution instead (the check rides on v_t, which every
-    # scored row consumes, so projection pruning cannot drop it)
-    vt = vt.select(
-        F.when(F.col("v") > 0, F.col("v"))
-        .otherwise(F.raise_error(F.lit(
+    c2c = model(occ)
+    n_c = c2c.count()  # metadata-scale: |distinct bigrams|, whole corpus
+    c2t = model(occ.filter(F.col("source") == target_source))
+    n_t = c2t.count()  # metadata-scale: |distinct bigrams|, target subset
+    if n_t == 0:
+        raise ValueError(
             f"dsir_log_ratio: target_source {target_source!r} matched "
             "no documents with >= 2 words"
-        )))
-        .alias("v")
-    )
+        )
+    c1c = c2c.groupBy("k1").agg(F.sum("c2").cast("bigint").alias("c1_c"))
+    c1t = c2t.groupBy("k1").agg(F.sum("c2").cast("bigint").alias("c1_t"))
+    vc = c2c.agg(F.count_distinct("k2").cast("bigint").alias("v_c"))
+    vt = c2t.agg(F.count_distinct("k2").cast("bigint").alias("v_t"))
 
     def lp(c2_col, c1_col, v_col):
         return F.round(
@@ -174,20 +217,28 @@ def dsir_log_ratio(
             0,
         ).cast("bigint")
 
-    scored = (
-        occ.join(c2c.withColumnRenamed("c2", "c2_c"), ["k1", "k2"])
-        .join(c1c.withColumnRenamed("c1", "c1_c"), "k1")
-        .join(c2t.withColumnRenamed("c2", "c2_t"), ["k1", "k2"], "left")
-        .join(c1t.withColumnRenamed("c1", "c1_t"), "k1", "left")
-        .crossJoin(F.broadcast(vc.withColumnRenamed("v", "v_c")))
-        .crossJoin(F.broadcast(vt.withColumnRenamed("v", "v_t")))
+    # per-distinct-bigram delta, assembled entirely at model scale
+    delta = (
+        c2c.withColumnRenamed("c2", "c2_c")
+        .join(_maybe_broadcast(c1c, n_c), "k1")
+        .join(
+            _maybe_broadcast(c2t.withColumnRenamed("c2", "c2_t"), n_t),
+            ["k1", "k2"], "left",
+        )
+        .join(_maybe_broadcast(c1t, n_t), "k1", "left")
+        .crossJoin(F.broadcast(vc))
+        .crossJoin(F.broadcast(vt))
         .select(
-            "doc_id",
+            "k1", "k2",
             (
                 lp(F.col("c2_t"), F.col("c1_t"), F.col("v_t"))
                 - lp(F.col("c2_c"), F.col("c1_c"), F.col("v_c"))
             ).alias("d"),
         )
+    )
+
+    scored = occ.join(_maybe_broadcast(delta, n_c), ["k1", "k2"]).select(
+        "doc_id", "d"
     )
     per = scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("cnt"),

@@ -130,9 +130,10 @@ def test_dsir_empty_target_raises(spark):
     from geocode_spark.textops.lm import dsir_log_ratio
 
     rows = [("a b c", "x"), ("d e f", "y")]
-    df = dsir_log_ratio(_docs_src(spark, rows), target_source="nope")
+    # the builder is eager (it counts the target model to size the
+    # scoring join), so the raise happens at construction
     with _pytest.raises(Exception, match="matched no documents"):
-        df.collect()
+        dsir_log_ratio(_docs_src(spark, rows), target_source="nope").collect()
 
 
 def test_int_keep_low_threshold_ignores_nulls(spark):
