@@ -25,6 +25,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from geocode_spark.envtune import tune_allocator_env  # noqa: E402
+
+tune_allocator_env()  # must precede the JVM launch (see envtune.py)
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -94,9 +98,17 @@ def run_bench() -> dict:
         "sf": sf,
         "cpus": CPUS,
     }
+    # BENCH_DETAIL.json is the committed per-round record at the driver's
+    # canonical scale (sf0.1); any other SF_DIR (verify runs at sf0.01,
+    # ladder probes) writes an sf-suffixed sidecar instead of clobbering it
+    # (this overwrite lost the round-4 and round-5 sf0.1 records once each).
+    detail_name = (
+        "BENCH_DETAIL.json" if abs(sf - 0.1) < 1e-9
+        else f"BENCH_DETAIL_sf{sf}.json"
+    )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_DETAIL.json"), "w"
+                     detail_name), "w"
     ) as f:
         json.dump(detail, f, indent=1)
     # compact stdout line = detail minus the rows map, times at 3dp
@@ -316,10 +328,75 @@ def run_scaling_select() -> dict:
         shutil.rmtree(staged, ignore_errors=True)
 
 
+def _cluster_session(nexec: int, cores: int, app: str):
+    """A REAL multi-executor session: Spark's public local-cluster mode
+    launches `nexec` separate executor JVMs (own heap, MemoryStore, python
+    workers, RPC shuffle) on this box — the faithful sandbox analog of the
+    north rule's "N and 4N executors", unlike local[k]'s shared-JVM task
+    threads. Executors are child processes, so they need PYTHONPATH to
+    import geocode_spark for the Arrow kernels."""
+    from pyspark.sql import SparkSession
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env_pp = os.environ.get("PYTHONPATH", "")
+    return (
+        SparkSession.builder.master(f"local-cluster[{nexec},{cores},6144]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(SELECT_SCALE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", "8g")
+        .config("spark.executor.memory", "6g")
+        .config("spark.executorEnv.PYTHONPATH",
+                f"{repo}:{env_pp}" if env_pp else repo)
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def run_scaling_select_cluster() -> dict:
+    """The LM-selection protocol at N=1 vs N=4 REAL executor JVMs (4 cores
+    each) via local-cluster — the letter-of-the-north-rule variant of
+    --scaling-select. Same staged corpus, same three operators, same
+    efficiency formula; only the process topology differs. Run alongside
+    the thread-mode protocol, it separates engine structure from process
+    structure: matching efficiencies across local[k], two concurrent
+    8-slot JVMs, and 1-vs-4 executor JVMs pin the residual on shared-host
+    hardware (the DRAM-bandwidth probe in scripts/box_probes.py), not on
+    anything a real multi-node cluster would share."""
+    import shutil
+    import tempfile
+
+    res = {}
+    staged = tempfile.mkdtemp(prefix="gs_scaling_select_lc_")
+    try:
+        spark = _session(4, "geocode-spark-scaling-select-lc-stage")
+        spark.sparkContext.setLogLevel("ERROR")
+        _scaled_docs(
+            spark, SF_DIR, SELECT_SCALE_REPL,
+            partitions=SELECT_SCALE_PARTITIONS,
+        ).write.mode("overwrite").parquet(f"{staged}/docs")
+        spark.stop()
+        return _run_scaling_select_staged(
+            1, 4, f"{staged}/docs", res,
+            session_factory=lambda n, app: _cluster_session(n, 4, app),
+            unit_name="executors(x4 cores)",
+        )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
 def _run_scaling_select_staged(lo: int, hi: int, docs_path: str,
-                               res: dict) -> dict:
+                               res: dict, session_factory=None,
+                               unit_name: str = "task slots") -> dict:
+    if session_factory is None:
+        session_factory = lambda n, app: _session(n, app)  # noqa: E731
     for cpus in (lo, hi):
-        spark = _session(cpus, f"geocode-spark-scaling-select-{cpus}")
+        spark = session_factory(
+            cpus, f"geocode-spark-scaling-select-{cpus}"
+        )
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(SELECT_SCALE_PARTITIONS)
         )
@@ -363,8 +440,8 @@ def _run_scaling_select_staged(lo: int, hi: int, docs_path: str,
     speedup = res[lo]["sec"] / res[hi]["sec"]
     eff = speedup / (hi / lo)
     return {
-        "metric": "lm-selection scaling efficiency (local[%d] -> local[%d])"
-                  % (lo, hi),
+        "metric": "lm-selection scaling efficiency (%d -> %d %s)"
+                  % (lo, hi, unit_name),
         "value": round(eff, 3),
         "unit": "efficiency",
         "levels": res,
@@ -375,7 +452,9 @@ def _run_scaling_select_staged(lo: int, hi: int, docs_path: str,
 
 
 if __name__ == "__main__":
-    if "--scaling-select" in sys.argv:
+    if "--scaling-select-cluster" in sys.argv:
+        print(json.dumps(run_scaling_select_cluster()))
+    elif "--scaling-select" in sys.argv:
         print(json.dumps(run_scaling_select()))
     elif "--scaling-corpus" in sys.argv:
         print(json.dumps(run_scaling_corpus()))

@@ -86,12 +86,14 @@ def _bigram_pairs(docs: DataFrame, text_col: str, extra_cols=()):
     pairs, which would merge those two words' counts — stated honestly,
     immaterial for selection scoring; the sf0.01 gate's odds are ~1e-9).
 
-    ``pairs`` comes back persist_tracked (caching.clear_caches releases
-    it): every consumer feeds it into 2-3 branches of the same returned
-    plan (model aggregations + the scoring join), and Catalyst does not
-    materialize common subtrees — unpersisted, the tokenize + hash
-    kernel re-runs once per branch, i.e. 2-3 full corpus scans per query
-    (the recompute trap textops.dedup documents).
+    ``pairs`` is deliberately NOT persisted (round-5 reversal): at
+    100 TB a corpus-sized cache cannot exist, and the measured cache
+    write was the worst-scaling stage of the whole family (MemoryStore
+    columnar write ~0.6 GB/s, efficiency 0.38 at 4->16 slots) — so each
+    consumer re-runs the kernel over the source table instead, which is
+    the scale-correct cost model (Catalyst does not share common
+    subtrees; the consumers below are structured so the kernel runs at
+    most twice per query, and not at all over pre-model-scale relations).
     """
     from .spans import word_pair_keys
 
@@ -99,7 +101,7 @@ def _bigram_pairs(docs: DataFrame, text_col: str, extra_cols=()):
     based = docs.select(
         "doc_id", *extra, F.lower(F.col(text_col)).alias("txt")
     )
-    return based, persist_tracked(word_pair_keys(based, extra))
+    return based, word_pair_keys(based, extra)
 
 
 
@@ -110,9 +112,17 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     EAGER builder: materializes + counts the |distinct bigrams|-bounded
     model relation to (a) stop Catalyst re-running the corpus-sized
-    aggregation once per derived model relation and (b) pick
-    broadcast-vs-shuffle for the scoring join from the MEASURED model
-    size (module docstring, step 3)."""
+    aggregation once per derived model relation and (b) pick the scoring
+    strategy from the MEASURED model size (module docstring, step 3):
+    below the broadcast budget the per-bigram log-probs are collected
+    (size-guarded pack) and summed per doc INSIDE the pair kernel
+    (spans.score_pairs_membership) — the corpus-sized pair relation then
+    never exists as rows; above it, the keyed join + groupBy(doc_id)
+    fallback runs, with the pair kernel recomputed per consumer (a
+    second scan of the source table — the 100 TB cost model, where
+    caching a corpus-sized relation is not an option anyway)."""
+    from .spans import _collect_sorted_keys, score_pairs_membership
+
     based, pairs = _bigram_pairs(docs, text_col)
 
     c2 = persist_tracked(
@@ -136,7 +146,17 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
 
-    scored = pairs.join(_maybe_broadcast(lm, n_model), ["k1", "k2"], "left")
+    if n_model <= _model_broadcast_rows():
+        keys, vals = _collect_sorted_keys(lm, n_model, "lp_micro")
+        return score_pairs_membership(
+            based.select("doc_id", "txt"), keys, vals
+        ).select(
+            "doc_id",
+            F.col("n_pairs").alias("n_bigrams"),
+            (-F.col("val_sum")).cast("bigint").alias("nll_micro"),
+        )
+
+    scored = pairs.join(lm, ["k1", "k2"], "left")
     per = scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
         (-F.coalesce(F.sum("lp_micro"), F.lit(0)))
@@ -165,15 +185,20 @@ def dsir_log_ratio(
     micro-nats. Selecting the top tail of ratio_micro resamples the
     corpus toward the target domain.
 
-    Scale shape (round-5 restructure): the corpus-sized work is the
-    bigram relation (one Arrow kernel pass) + ONE keyed join against a
-    single per-distinct-bigram delta relation + one groupBy(doc_id).
-    Both models persist+count at |distinct bigrams| scale (the target
-    model is further bounded by the target subset); the four model
-    relations merge into the delta at MODEL scale — the log-ratio is
-    computed once per distinct bigram, not once per occurrence — and the
-    delta broadcasts into the scoring join when small (module docstring,
-    step 3; every scored pair exists in the whole-corpus model by
+    Scale shape (round-5 restructure): two-and-a-fraction corpus kernel
+    passes and nothing else corpus-sized — (1) whole-corpus pair pass ->
+    model aggregation (persisted + counted at |distinct bigrams| scale),
+    (2) target-subset pair pass (the source filter pushes down to the
+    scan, so this pass reads only the target fraction; carrying `source`
+    through the whole-corpus kernel instead was measured to cost ~50%
+    extra wall — a corpus-sized string column through Arrow both ways),
+    (3) the scoring pass. The four model relations merge into a single
+    per-distinct-bigram delta at MODEL scale (the log-ratio is computed
+    once per distinct bigram, not once per occurrence). Scoring: below
+    the broadcast budget the delta map is collected (size-guarded pack)
+    and summed per doc INSIDE the pair kernel — zero joins, zero
+    corpus-sized exchange; above it, the keyed join + groupBy(doc_id)
+    fallback runs (every scored pair exists in the whole-corpus model by
     construction, so the inner merge loses nothing). Unseen-in-target
     bigrams get the smoothed floor 1/(c1_t + V_t) via coalesce, so the
     score is defined for every document. Per-bigram terms quantize to
@@ -183,8 +208,13 @@ def dsir_log_ratio(
     EAGER builder: raises ValueError at build time when target_source
     matches no document with >= 2 words (an empty target model would
     make every lp_t infinite)."""
-    based, pairs = _bigram_pairs(docs, text_col, extra_cols=("source",))
+    from .spans import _collect_sorted_keys, score_pairs_membership
+
+    based, pairs = _bigram_pairs(docs, text_col)
     occ = pairs
+    _, tgt_pairs = _bigram_pairs(
+        docs.filter(F.col("source") == target_source), text_col
+    )
 
     def model(rel):
         return persist_tracked(
@@ -195,7 +225,7 @@ def dsir_log_ratio(
 
     c2c = model(occ)
     n_c = c2c.count()  # metadata-scale: |distinct bigrams|, whole corpus
-    c2t = model(occ.filter(F.col("source") == target_source))
+    c2t = model(tgt_pairs)
     n_t = c2t.count()  # metadata-scale: |distinct bigrams|, target subset
     if n_t == 0:
         raise ValueError(
@@ -237,9 +267,17 @@ def dsir_log_ratio(
         )
     )
 
-    scored = occ.join(_maybe_broadcast(delta, n_c), ["k1", "k2"]).select(
-        "doc_id", "d"
-    )
+    if n_c <= _model_broadcast_rows():
+        keys, vals = _collect_sorted_keys(delta, n_c, "d")
+        return score_pairs_membership(
+            based.select("doc_id", "txt"), keys, vals
+        ).select(
+            "doc_id",
+            F.col("n_pairs").alias("n_bigrams"),
+            F.col("val_sum").cast("bigint").alias("ratio_micro"),
+        )
+
+    scored = occ.join(delta, ["k1", "k2"]).select("doc_id", "d")
     per = scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("cnt"),
         F.sum("d").cast("bigint").alias("s"),

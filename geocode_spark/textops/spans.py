@@ -63,6 +63,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from .textstats import ws_word_array_sql
 
 DEFAULT_WINDOW = 8  # words per span at sandbox doc sizes (Lee et al. use 50)
@@ -73,6 +74,62 @@ _POLY_BASE_INV = pow(_POLY_BASE, -1, 1 << 64)
 _LEN_MIX = 0xD6E8FEB86659FD93  # odd salt folding word length into the hash
 _LANE_STEPS = (7, 13)  # per-lane Buzhash rotation steps (odd, distinct)
 _KERNEL_CHUNK_DOCS = 1024  # bounds the kernel's per-task numpy working set
+_MIX_ODD = 0xFF51AFD7ED558CCD  # odd multiplier folding lane 2 into lane 1
+
+
+def _broadcast_key_rows() -> int:
+    """Row threshold under which a keyed relation (duplicated-window keys,
+    per-bigram model) is collected + broadcast into the scoring kernel
+    instead of joined — ~24 B/row, default ~100 MB. Shares the env knob
+    with lm._model_broadcast_rows: both gates answer the same question
+    ("does the bounded side fit one executor?") and a deployment that
+    retunes one must retune the other."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_MODEL_BROADCAST_ROWS", "4000000"))
+
+
+def _mix_lanes(k1, k2):
+    """One uint64 probe key from the two int64 window/word-hash lanes:
+    splitmix64(k1 XOR k2 * odd). Used ONLY for broadcast-set membership /
+    broadcast-map lookup, where the adversary-free collision budget is
+    |broadcast side| (<= _broadcast_key_rows(), default 4M) against 2^64:
+    ~1e-6 expected colliding PAIRS at the threshold — a collision merges
+    two keys' membership/value, the same failure class (and smaller odds,
+    because the broadcast side is bounded) as the per-word 2^-64 contract
+    stated in the module docstring. Exact-key formulations remain the
+    fallback path above the threshold."""
+    import numpy as np
+
+    return _splitmix64(
+        k1.astype(np.uint64)
+        ^ (k2.astype(np.uint64) * np.uint64(_MIX_ODD))
+    )
+
+
+def _collect_sorted_keys(rel: DataFrame, n_rows: int, value_col=None):
+    """Driver-side pack of a bounded keyed relation into sorted numpy
+    arrays for kernel-side searchsorted lookup: (sorted_mixed_keys,) or
+    (sorted_mixed_keys, aligned_values). ADJUDICATED driver action: the
+    caller has already counted the relation and verified
+    n_rows <= _broadcast_key_rows() (same size-guarded-pack discipline as
+    similarity.py's query packs); the limit(n+1) re-check makes a racing
+    upstream change an error instead of an OOM."""
+    import numpy as np
+
+    cols = ["k1", "k2"] + ([value_col] if value_col else [])
+    pdf = rel.select(*cols).limit(n_rows + 1).toPandas()
+    if len(pdf) > n_rows:
+        raise AssertionError(
+            f"broadcast key relation grew past its counted size {n_rows}"
+        )
+    mixed = _mix_lanes(
+        pdf["k1"].to_numpy(np.int64), pdf["k2"].to_numpy(np.int64)
+    )
+    order = np.argsort(mixed, kind="stable")
+    if value_col is None:
+        return (mixed[order],)
+    return mixed[order], pdf[value_col].to_numpy(np.int64)[order]
 
 
 def _splitmix64(x):
@@ -183,6 +240,37 @@ def _window_lane(h, w: int, step: int):
     seg = p[w:] ^ p[: nw - w + 1]
     i = np.arange(nw - w + 1, dtype=np.uint64)
     return _rot(seg, (st * i) & np.uint64(63), left=False)
+
+
+def _member(sorted_keys, probe):
+    """Vectorized membership of uint64 `probe` values in the sorted
+    uint64 array `sorted_keys` (searchsorted + equality check)."""
+    import numpy as np
+
+    if len(sorted_keys) == 0 or len(probe) == 0:
+        return np.zeros(len(probe), bool)
+    idx = np.searchsorted(sorted_keys, probe)
+    idx = np.minimum(idx, len(sorted_keys) - 1)
+    return sorted_keys[idx] == probe
+
+
+def _window_mixed(data, a, e, n_words, w: int):
+    """Mixed uint64 probe key per W-word window start over the chunk's
+    flat word stream, plus windows-per-doc counts m."""
+    import numpy as np
+
+    m = np.maximum(n_words - w + 1, 0)
+    total = int(m.sum())
+    if total == 0:
+        return np.zeros(0, np.uint64), m
+    h = _word_hashes(data, a, e)
+    k1 = _window_lane(h, w, _LANE_STEPS[0])
+    k2 = _window_lane(h, w, _LANE_STEPS[1])
+    doc_starts = np.concatenate([[0], np.cumsum(n_words)[:-1]])
+    out_starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(out_starts, m)
+    flat = np.repeat(doc_starts, m) + within
+    return _mix_lanes(k1[flat].view(np.int64), k2[flat].view(np.int64)), m
 
 
 def _kernel_chunk(chunk, w: int, out_schema):
@@ -374,10 +462,35 @@ def _coverage_chunk(chunk, w: int, out_schema):
     st_doc = np.repeat(np.arange(n_docs), st_lens)
     g = doc_start[st_doc] + st_flat - 1  # 0-based flat start index
 
+    cov = _cov_from_starts(g, w, big_n)
+    return _reassemble(
+        chunk.column(0), data, wa, we, n_words, cov, out_schema
+    )
+
+
+def _cov_from_starts(g, w: int, big_n: int):
+    """Flat covered-word bool array from 0-based flat duplicated-window
+    start indices: delta-encode (+1 at g, -1 at g+w) and prefix-sum.
+    Window starts never cross a doc boundary (p <= n-w+1), so per-doc
+    capping is unnecessary."""
+    import numpy as np
+
     delta = np.bincount(g, minlength=big_n + 1).astype(np.int64) - np.bincount(
         g + w, minlength=big_n + 1
     )
-    cov = np.cumsum(delta[:big_n]) > 0
+    return np.cumsum(delta[:big_n]) > 0
+
+
+def _reassemble(doc_id_col, data, wa, we, n_words, cov, out_schema):
+    """(doc_id, n_words, n_removed, text_clean) RecordBatch from the flat
+    word stream and a flat covered-word mask — the order-preserving byte
+    gather shared by the starts-list path and the broadcast-membership
+    path."""
+    import numpy as np
+    import pyarrow as pa
+
+    n_docs = len(n_words)
+    doc_start = np.concatenate([[0], np.cumsum(n_words)])
     ccov = np.concatenate([[0], np.cumsum(cov)])
     removed = ccov[doc_start[1:]] - ccov[doc_start[:-1]]
     kept_counts = n_words - removed
@@ -411,7 +524,7 @@ def _coverage_chunk(chunk, w: int, out_schema):
     )
     return pa.RecordBatch.from_arrays(
         [
-            chunk.column(0),
+            doc_id_col,
             pa.array(n_words, pa.int64()),
             pa.array(removed.astype(np.int64), pa.int64()),
             text_clean,
@@ -452,6 +565,214 @@ def _coverage_rewrite(src: DataFrame, w: int) -> DataFrame:
     return src.mapInArrow(kernel, schema_str)
 
 
+def _dup_keys_rel(base: DataFrame, w: int) -> DataFrame:
+    """(k1, k2) of windows appearing in >= 2 DISTINCT docs — ONE hash
+    aggregation over the kernel's window relation (min != max doc_id per
+    key group; no sort, no window function). Bounded by |distinct
+    duplicated windows|, far below corpus size on real corpora."""
+    return (
+        _window_keys(base, w)
+        .groupBy("k1", "k2")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
+        .select("k1", "k2")
+    )
+
+
+def _stats_membership(src: DataFrame, w: int, dup_sorted) -> DataFrame:
+    """(doc_id, n_windows, dup_windows) for EVERY doc of (doc_id, txt):
+    windows recomputed in-kernel, duplicated-ness tested against the
+    broadcast sorted key set. Zero joins, zero corpus-sized exchange."""
+    import pyarrow as pa
+
+    spark = src.sparkSession
+    bc = spark.sparkContext.broadcast(dup_sorted)
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    schema_str = f"doc_id {id_type}, n_windows bigint, dup_windows bigint"
+
+    def kernel(batches):
+        import numpy as np
+
+        keys = bc.value
+        out_schema = None
+        for batch in batches:
+            if out_schema is None:
+                out_schema = pa.schema(
+                    [
+                        pa.field("doc_id", batch.schema.field(0).type),
+                        pa.field("n_windows", pa.int64()),
+                        pa.field("dup_windows", pa.int64()),
+                    ]
+                )
+            for lo in range(0, batch.num_rows, _KERNEL_CHUNK_DOCS):
+                chunk = batch.slice(lo, _KERNEL_CHUNK_DOCS)
+                data, a, e, n_words = _flat_words(chunk.column(1))
+                mixed, m = _window_mixed(data, a, e, n_words, w)
+                dup = _member(keys, mixed).astype(np.int64)
+                cdup = np.concatenate([[0], np.cumsum(dup)])
+                bounds = np.concatenate([[0], np.cumsum(m)])
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        chunk.column(0),
+                        pa.array(m.astype(np.int64), pa.int64()),
+                        pa.array(
+                            cdup[bounds[1:]] - cdup[bounds[:-1]], pa.int64()
+                        ),
+                    ],
+                    schema=out_schema,
+                )
+
+    return src.mapInArrow(kernel, schema_str)
+
+
+def _rewrite_membership(src: DataFrame, w: int, dup_sorted) -> DataFrame:
+    """(doc_id, n_words, n_removed, text_clean) for EVERY doc of
+    (doc_id, text, txt): windows hashed over the case-folded column,
+    membership against the broadcast set, coverage + byte-gather
+    reassembly over the ORIGINAL-cased column — all inside one
+    mapInArrow stage. The two tokenizations are position-identical
+    because lower() never creates or destroys whitespace."""
+    import pyarrow as pa
+
+    spark = src.sparkSession
+    bc = spark.sparkContext.broadcast(dup_sorted)
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    schema_str = (
+        f"doc_id {id_type}, n_words bigint, n_removed bigint,"
+        " text_clean string"
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        keys = bc.value
+        out_schema = None
+        for batch in batches:
+            if out_schema is None:
+                out_schema = pa.schema(
+                    [
+                        pa.field("doc_id", batch.schema.field(0).type),
+                        pa.field("n_words", pa.int64()),
+                        pa.field("n_removed", pa.int64()),
+                        pa.field("text_clean", pa.utf8()),
+                    ]
+                )
+            for lo in range(0, batch.num_rows, _KERNEL_CHUNK_DOCS):
+                chunk = batch.slice(lo, _KERNEL_CHUNK_DOCS)
+                ldata, la, le, l_words = _flat_words(chunk.column(2))
+                mixed, m = _window_mixed(ldata, la, le, l_words, w)
+                data, a, e, n_words = _flat_words(chunk.column(1))
+                big_n = int(n_words.sum())
+                if big_n == 0:
+                    n_docs = len(n_words)
+                    zero = pa.array(np.zeros(n_docs, np.int64), pa.int64())
+                    yield pa.RecordBatch.from_arrays(
+                        [chunk.column(0), zero, zero,
+                         pa.array([""] * n_docs, pa.utf8())],
+                        schema=out_schema,
+                    )
+                    continue
+                # flat duplicated-window starts: window j of the flat
+                # stream starts at flat word index (doc_start + within),
+                # which _window_mixed already laid out contiguously
+                dup_pos = np.nonzero(_member(keys, mixed))[0]
+                out_starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+                doc_starts = np.concatenate([[0], np.cumsum(n_words)[:-1]])
+                win_doc = np.repeat(np.arange(len(m)), m)
+                g = (
+                    doc_starts[win_doc[dup_pos]]
+                    + (dup_pos - out_starts[win_doc[dup_pos]])
+                )
+                cov = _cov_from_starts(g, w, big_n)
+                yield _reassemble(
+                    chunk.column(0), data, a, e, n_words, cov, out_schema
+                )
+
+    return src.mapInArrow(kernel, schema_str)
+
+
+def score_pairs_membership(
+    src: DataFrame, sorted_keys, values
+) -> DataFrame:
+    """(doc_id, n_pairs, val_sum) for EVERY doc of (doc_id, txt): adjacent
+    word pairs hashed in-kernel (same hash contract as word_pair_keys),
+    each pair's int64 value looked up in the broadcast sorted map
+    (searchsorted), summed per doc. Missing keys contribute 0 to the sum
+    but still count in n_pairs — the semantics of the fallback path's
+    LEFT join + coalesce(sum, 0). Docs with < 2 words emit (0, 0)
+    directly; consumers need no join back. Used by the bigram-LM family
+    (textops.lm) when its |distinct bigrams|-bounded model fits the
+    broadcast budget: the corpus-sized pair relation then never exists as
+    rows at all — one kernel pass replaces explode + model join +
+    groupBy(doc_id)."""
+    import pyarrow as pa
+
+    spark = src.sparkSession
+    bc = spark.sparkContext.broadcast((sorted_keys, values))
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    schema_str = f"doc_id {id_type}, n_pairs bigint, val_sum bigint"
+
+    def kernel(batches):
+        import numpy as np
+
+        keys, vals = bc.value
+        out_schema = None
+        for batch in batches:
+            if out_schema is None:
+                out_schema = pa.schema(
+                    [
+                        pa.field("doc_id", batch.schema.field(0).type),
+                        pa.field("n_pairs", pa.int64()),
+                        pa.field("val_sum", pa.int64()),
+                    ]
+                )
+            for lo in range(0, batch.num_rows, _KERNEL_CHUNK_DOCS):
+                chunk = batch.slice(lo, _KERNEL_CHUNK_DOCS)
+                data, a, e, wc = _flat_words(chunk.column(1))
+                m = np.maximum(wc - 1, 0)
+                total = int(m.sum())
+                if total == 0:
+                    zero = pa.array(np.zeros(len(wc), np.int64), pa.int64())
+                    yield pa.RecordBatch.from_arrays(
+                        [chunk.column(0), zero, zero], schema=out_schema
+                    )
+                    continue
+                h = _word_hashes(data, a, e)
+                doc_starts = np.concatenate([[0], np.cumsum(wc)[:-1]])
+                out_starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+                within = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(out_starts, m)
+                )
+                flat = np.repeat(doc_starts, m) + within
+                mixed = _mix_lanes(
+                    h[flat].view(np.int64), h[flat + 1].view(np.int64)
+                )
+                if len(keys):
+                    idx = np.minimum(
+                        np.searchsorted(keys, mixed), len(keys) - 1
+                    )
+                    pv = np.where(
+                        keys[idx] == mixed, vals[idx], np.int64(0)
+                    )
+                else:
+                    pv = np.zeros(total, np.int64)
+                csum = np.concatenate([[0], np.cumsum(pv)])
+                bounds = np.concatenate([[0], np.cumsum(m)])
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        chunk.column(0),
+                        pa.array(m.astype(np.int64), pa.int64()),
+                        pa.array(
+                            csum[bounds[1:]] - csum[bounds[:-1]], pa.int64()
+                        ),
+                    ],
+                    schema=out_schema,
+                )
+
+    return src.mapInArrow(kernel, schema_str)
+
+
 def _window_hash_sql(w: int, pos: str = "i") -> str:
     """DuckDB twin of one window key at 1-based position `pos` over a
     list column `ws` (inclusive slicing). The oracle keys on the raw
@@ -472,15 +793,27 @@ def span_dup_stats(
     A window repeated only within a single document does not count as
     duplicated (cross-doc criterion, matching Lee et al.'s definition);
     every position whose window is cross-doc-duplicated counts once.
+
+    Scale shape (round-5 broadcast restructure): pass 1 — window kernel
+    + ONE hash aggregation to the duplicated-key relation (_dup_keys_rel,
+    bounded by |distinct duplicated windows|), persisted and COUNTED
+    (adjudicated metadata-scale driver action; makes this an
+    EAGER_QUERIES builder). When the relation fits the broadcast budget
+    (_broadcast_key_rows), pass 2 recomputes each doc's windows in-kernel
+    and tests membership against the broadcast sorted key set — zero
+    joins, zero corpus-sized sort/exchange, output emitted directly for
+    every doc (short docs score (0, 0) in-kernel). Above the budget the
+    exact keyed formulation runs instead: one exchange + sort of the
+    int-only window relation (min != max doc_id over the key window),
+    one groupBy(doc_id), one left join back.
     """
     w = int(window)
     base = docs.select("doc_id", F.lower(F.col(text_col)).alias("txt"))
-    # ONE pass over the window relation: "appears in >= 2 distinct docs"
-    # is exactly min(doc_id) != max(doc_id) over the key group — a single
-    # keyed exchange + sort, where the count_distinct formulation costs
-    # TWO full exchanges of the corpus-token-sized relation (partial
-    # dedup on (k1,k2,doc_id), then re-agg) plus a join back. n_windows
-    # rides the same per-doc aggregation for free.
+    dup = persist_tracked(_dup_keys_rel(base, w))
+    n_dup = dup.count()  # metadata-scale: |distinct duplicated windows|
+    if n_dup <= _broadcast_key_rows():
+        (keys,) = _collect_sorted_keys(dup, n_dup)
+        return _stats_membership(base, w, keys)
     key_win = Window.partitionBy("k1", "k2")
     # drop the kernel's position column BEFORE the exchange — stats never
     # use it, and it would otherwise ride the corpus-sized shuffle
@@ -520,25 +853,34 @@ def span_dedup_rewrite(
     original casing. Overlapping duplicated windows merge naturally
     through the covered-position set.
 
-    Scale shape (round-5 restructure): the corpus-token-sized work is
-    (a) the window-key kernel, (b) ONE keyed exchange + sort of the
-    int-only window relation for the dup test (min != max doc_id over
-    the key group — no count_distinct double-exchange, no join back),
-    and (c) one groupBy(doc_id) collecting each doc's duplicated-window
-    START positions (doc-length-bounded state, the accepted reassembly
-    shape). Coverage + reassembly then run at DOC level in a second
-    vectorized Arrow kernel (delta-encode starts -> prefix-sum coverage
-    -> gather surviving word bytes), replacing the old word-level
-    posexplode + sort-merge join + rangeBetween window + collect_list
-    reassembly — the per-word string shuffle that dominated the old
-    plan's wall clock is gone entirely. No all-pairs work; Python only
-    as numpy over Arrow buffers.
+    Scale shape (round-5 broadcast restructure, same two-pass shape as
+    span_dup_stats): pass 1 — window kernel + ONE hash aggregation to
+    the duplicated-key relation, persisted + counted (EAGER builder).
+    Below the broadcast budget, pass 2 re-hashes each doc's windows over
+    the case-folded text, tests membership against the broadcast sorted
+    key set, and runs coverage (delta-encode duplicated starts ->
+    prefix-sum) + byte-gather reassembly over the ORIGINAL-cased text —
+    all in ONE mapInArrow stage with zero joins and zero corpus-sized
+    exchange (the old plan's 46M-row sort, collect_list shuffle, and
+    text-side join are gone; only the model-sized dup-key agg shuffles).
+    Above the budget, the exact keyed formulation runs: window-function
+    dup test + groupBy(doc_id) collect_list + join back to the text.
+    No all-pairs work; Python only as numpy over Arrow buffers.
     """
     w = int(window)
-    base = docs.select("doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("text"))
+    base = docs.select(
+        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("text")
+    )
+    lowered = base.select("doc_id", F.lower("text").alias("txt"))
+    dup = persist_tracked(_dup_keys_rel(lowered, w))
+    n_dup = dup.count()  # metadata-scale: |distinct duplicated windows|
+    if n_dup <= _broadcast_key_rows():
+        (keys,) = _collect_sorted_keys(dup, n_dup)
+        src = base.select("doc_id", "text", F.lower("text").alias("txt"))
+        return _rewrite_membership(src, w, keys)
     key_win = Window.partitionBy("k1", "k2")
     starts = (
-        _window_keys(base.select("doc_id", F.lower("text").alias("txt")), w)
+        _window_keys(lowered, w)
         .withColumn("d0", F.min("doc_id").over(key_win))
         .withColumn("d1", F.max("doc_id").over(key_win))
         .filter(F.col("d0") != F.col("d1"))

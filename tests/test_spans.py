@@ -304,3 +304,33 @@ def test_span_kernel_chunk_boundary_consistent(spark):
         spans._KERNEL_CHUNK_DOCS = old
     # 8 words per doc -> 6 window starts per doc, 7 docs
     assert big == small and len(big) == 7 * 6
+
+
+def test_span_broadcast_and_keyed_paths_agree(spark, monkeypatch):
+    """The broadcast-membership fast path and the exact keyed fallback
+    (forced via the shared broadcast-budget env knob) must produce
+    identical stats AND identical rewrites — including the mixed-repeat
+    / short-doc / empty-doc edges."""
+    texts = [
+        "a b c d e f",          # shares "a b c" and "b c d" with doc 1
+        "z a b c d y",
+        "solo words only here",
+        "a b",                   # shorter than the window
+        "",                      # empty
+        "a b c a b c a b c",     # within-doc repeats + cross-doc dup
+    ]
+    docs = _docs(spark, texts)
+
+    def snap():
+        stats = sorted(
+            map(tuple, span_dup_stats(docs, window=3).collect())
+        )
+        rewrite = sorted(
+            map(tuple, span_dedup_rewrite(docs, window=3).collect())
+        )
+        return stats, rewrite
+
+    fast = snap()
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_BROADCAST_ROWS", "0")
+    slow = snap()
+    assert fast == slow
