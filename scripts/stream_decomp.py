@@ -73,18 +73,22 @@ def decompose(spark, sf_dir: str) -> dict:
             out["drain_sec"] = round(time.perf_counter() - t0, 3)
         out["rows"] = read_stream_results(spark, f"{root}/out").count()
 
-        # per-batch operator vs harness split from the query's progress
-        add_batch = total = 0.0
+        # per-batch operator vs harness split from the query's progress:
+        # durationMs.triggerExecution is the per-batch TOTAL; addBatch
+        # (the foreachBatch body = plan + broadcast + batch compute +
+        # sink write) is one component of it, the rest is offset/commit
+        # log + source discovery + state bookkeeping
+        add_batch = trigger = 0.0
         batches = 0
         for prog in q.recentProgress:
             d = prog["durationMs"] if isinstance(prog, dict) else prog.durationMs
             add_batch += d.get("addBatch", 0) / 1e3
-            total += sum(v for v in d.values()) / 1e3
+            trigger += d.get("triggerExecution", 0) / 1e3
             batches += 1
         out["n_batches"] = batches
         out["addBatch_sec"] = round(add_batch, 3)
-        out["harness_sec"] = round(total - add_batch, 3)
-        out["untracked_sec"] = round(out["drain_sec"] - total, 3)
+        out["commitlog_sec"] = round(trigger - add_batch, 3)
+        out["startstop_sec"] = round(out["drain_sec"] - trigger, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
