@@ -25,8 +25,9 @@ corpus's own add-one-smoothed bigram model — entirely in Catalyst:
      A 100 TB corpus whose distinct-bigram count exceeds the threshold
      falls back to the keyed shuffle join automatically. The model
      row count itself is an adjudicated metadata-scale driver action
-     (same class as the IVF sizing sample), which makes these builders
-     EAGER_QUERIES members.
+     (same class as the IVF sizing sample) — cheap enough that bench
+     keeps these ops in the warm+timed pattern rather than
+     EAGER_QUERIES, which is reserved for real training loops.
 
 Every exchange is keyed and AQE-sizable; nothing is all-pairs and no
 Python runs outside the word-hash kernel.
@@ -54,13 +55,10 @@ from .textstats import ws_word_array, ws_word_array_sql
 
 LP_SCALE = 1_000_000  # micro-nats
 
-# Broadcast the per-bigram model into the scoring join when it has at most
-# this many rows (~24 B/row -> default ~100 MB); larger models fall back to
-# the keyed shuffle join. Env-tunable for cluster-sized deployments.
-def _model_broadcast_rows() -> int:
-    import os
-
-    return int(os.environ.get("SPARK_GRAFT_MODEL_BROADCAST_ROWS", "4000000"))
+# Broadcast budget for the per-bigram model: the canonical definition (and
+# env knob) lives in spans._broadcast_key_rows — both modules answer the
+# same question and must move together.
+from .spans import _broadcast_key_rows as _model_broadcast_rows  # noqa: E402
 
 
 def _maybe_broadcast(rel: DataFrame, n_rows: int) -> DataFrame:
@@ -147,9 +145,9 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
     if n_model <= _model_broadcast_rows():
-        keys, vals = _collect_sorted_keys(lm, n_model, "lp_micro")
+        pack = _collect_sorted_keys(lm, n_model, "lp_micro")
         return score_pairs_membership(
-            based.select("doc_id", "txt"), keys, vals
+            based.select("doc_id", "txt"), pack
         ).select(
             "doc_id",
             F.col("n_pairs").alias("n_bigrams"),
@@ -268,9 +266,9 @@ def dsir_log_ratio(
     )
 
     if n_c <= _model_broadcast_rows():
-        keys, vals = _collect_sorted_keys(delta, n_c, "d")
+        pack = _collect_sorted_keys(delta, n_c, "d")
         return score_pairs_membership(
-            based.select("doc_id", "txt"), keys, vals
+            based.select("doc_id", "txt"), pack
         ).select(
             "doc_id",
             F.col("n_pairs").alias("n_bigrams"),

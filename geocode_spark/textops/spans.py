@@ -12,10 +12,15 @@ itself, Spark-first:
   1. window relation: one Arrow-vectorized pass producing a 128-bit
      rolling-hash key per W-word window start (corpus-token-sized — the
      same accepted shape as the shingle relations in textops.dedup)
-  2. duplicated-window relation: one keyed groupBy(key) keeping keys
-     seen in >= 2 DISTINCT docs — bounded by |distinct duplicated
+  2. duplicated-window relation: one keyed hash aggregation keeping
+     keys seen in >= 2 DISTINCT docs — bounded by |distinct duplicated
      windows|, far below corpus size
-  3. per-doc profile / rewrite: keyed joins back + keyed groupBy(doc_id)
+  3. per-doc profile / rewrite: below the broadcast budget
+     (_broadcast_key_rows), a SECOND kernel pass probes the collected
+     dup-key pack lane-exactly and computes profile / coverage /
+     reassembly doc-locally (zero joins, zero corpus-sized exchange);
+     above it, the exact keyed formulations (window-function dup test +
+     groupBy + join back) run instead
 
 Every exchange is keyed and AQE-sizable; nothing is all-pairs.
 
@@ -90,15 +95,14 @@ def _broadcast_key_rows() -> int:
 
 
 def _mix_lanes(k1, k2):
-    """One uint64 probe key from the two int64 window/word-hash lanes:
-    splitmix64(k1 XOR k2 * odd). Used ONLY for broadcast-set membership /
-    broadcast-map lookup, where the adversary-free collision budget is
-    |broadcast side| (<= _broadcast_key_rows(), default 4M) against 2^64:
-    ~1e-6 expected colliding PAIRS at the threshold — a collision merges
-    two keys' membership/value, the same failure class (and smaller odds,
-    because the broadcast side is bounded) as the per-word 2^-64 contract
-    stated in the module docstring. Exact-key formulations remain the
-    fallback path above the threshold."""
+    """One uint64 SORT/SEARCH key from the two int64 window/word-hash
+    lanes: splitmix64(k1 XOR k2 * odd). This is only the index into the
+    broadcast pack — _probe verifies BOTH 64-bit lanes on every candidate
+    hit (and walks equal-mixed-key runs), so membership/lookup is EXACT
+    on the (k1, k2) pair and the module's 2^-128 window contract (and the
+    lm family's exact-model contract) survives the broadcast path
+    unchanged. Mixed-key collisions only cost the probe an extra
+    comparison."""
     import numpy as np
 
     return _splitmix64(
@@ -108,10 +112,10 @@ def _mix_lanes(k1, k2):
 
 
 def _collect_sorted_keys(rel: DataFrame, n_rows: int, value_col=None):
-    """Driver-side pack of a bounded keyed relation into sorted numpy
-    arrays for kernel-side searchsorted lookup: (sorted_mixed_keys,) or
-    (sorted_mixed_keys, aligned_values). ADJUDICATED driver action: the
-    caller has already counted the relation and verified
+    """Driver-side pack of a bounded keyed relation for kernel-side
+    lane-verified lookup: dict of aligned numpy arrays (mixed sorted
+    ascending; k1/k2/val aligned to it; ~24-32 B/row). ADJUDICATED driver
+    action: the caller has already counted the relation and verified
     n_rows <= _broadcast_key_rows() (same size-guarded-pack discipline as
     similarity.py's query packs); the limit(n+1) re-check makes a racing
     upstream change an error instead of an OOM."""
@@ -123,13 +127,49 @@ def _collect_sorted_keys(rel: DataFrame, n_rows: int, value_col=None):
         raise AssertionError(
             f"broadcast key relation grew past its counted size {n_rows}"
         )
-    mixed = _mix_lanes(
-        pdf["k1"].to_numpy(np.int64), pdf["k2"].to_numpy(np.int64)
-    )
+    k1 = pdf["k1"].to_numpy(np.int64)
+    k2 = pdf["k2"].to_numpy(np.int64)
+    mixed = _mix_lanes(k1, k2)
     order = np.argsort(mixed, kind="stable")
-    if value_col is None:
-        return (mixed[order],)
-    return mixed[order], pdf[value_col].to_numpy(np.int64)[order]
+    pack = {"mixed": mixed[order], "k1": k1[order], "k2": k2[order]}
+    if value_col is not None:
+        pack["val"] = pdf[value_col].to_numpy(np.int64)[order]
+    return pack
+
+
+def _probe(pack, k1, k2):
+    """Vectorized EXACT lookup of (k1, k2) int64 lane pairs in a
+    _collect_sorted_keys pack: searchsorted on the mixed key, then both
+    lanes verified; entries whose mixed keys collide are adjacent in the
+    sorted pack, so unresolved probes step forward through the run (the
+    loop depth is the longest mixed-collision run — 1 in practice).
+    Returns (found_mask, entry_idx) with entry_idx valid where found."""
+    import numpy as np
+
+    keys = pack["mixed"]
+    n = len(keys)
+    total = len(k1)
+    found = np.zeros(total, bool)
+    pos = np.zeros(total, np.int64)
+    if n == 0 or total == 0:
+        return found, pos
+    mixed = _mix_lanes(k1, k2)
+    pos = np.searchsorted(keys, mixed).astype(np.int64)
+    active = np.arange(total)
+    while len(active):
+        p = pos[active]
+        in_run = (p < n) & (keys[np.minimum(p, n - 1)] == mixed[active])
+        cand = active[in_run]
+        if len(cand) == 0:
+            break
+        hit = (pack["k1"][pos[cand]] == k1[cand]) & (
+            pack["k2"][pos[cand]] == k2[cand]
+        )
+        found[cand[hit]] = True
+        cont = cand[~hit]
+        pos[cont] += 1
+        active = cont
+    return found, pos
 
 
 def _splitmix64(x):
@@ -242,35 +282,95 @@ def _window_lane(h, w: int, step: int):
     return _rot(seg, (st * i) & np.uint64(63), left=False)
 
 
-def _member(sorted_keys, probe):
-    """Vectorized membership of uint64 `probe` values in the sorted
-    uint64 array `sorted_keys` (searchsorted + equality check)."""
+def _flat_starts(group_counts, item_counts):
+    """Flat ITEM index of each emitted element: group g emits its first
+    item_counts[g] items (windows/pairs per doc), laid out contiguously.
+    Returns the int64 flat index array of length item_counts.sum() — the
+    layout shared by every kernel in this module."""
     import numpy as np
 
-    if len(sorted_keys) == 0 or len(probe) == 0:
-        return np.zeros(len(probe), bool)
-    idx = np.searchsorted(sorted_keys, probe)
-    idx = np.minimum(idx, len(sorted_keys) - 1)
-    return sorted_keys[idx] == probe
+    m = item_counts
+    total = int(m.sum())
+    group_starts = np.concatenate([[0], np.cumsum(group_counts)[:-1]])
+    out_starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(out_starts, m)
+    return np.repeat(group_starts, m) + within
 
 
-def _window_mixed(data, a, e, n_words, w: int):
-    """Mixed uint64 probe key per W-word window start over the chunk's
-    flat word stream, plus windows-per-doc counts m."""
+def _segment_sums(vals, m):
+    """Per-group int64 sums over contiguously-laid-out values (cumsum +
+    group-boundary differences)."""
+    import numpy as np
+
+    csum = np.concatenate([[0], np.cumsum(vals.astype(np.int64))])
+    bounds = np.concatenate([[0], np.cumsum(m)])
+    return csum[bounds[1:]] - csum[bounds[:-1]]
+
+
+def _window_lanes(data, a, e, n_words, w: int):
+    """(k1_flat, k2_flat, m): both int64 window-key lanes for every
+    W-word window start over the chunk's flat word stream, plus
+    windows-per-doc counts m."""
     import numpy as np
 
     m = np.maximum(n_words - w + 1, 0)
-    total = int(m.sum())
-    if total == 0:
-        return np.zeros(0, np.uint64), m
+    if int(m.sum()) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, m
     h = _word_hashes(data, a, e)
     k1 = _window_lane(h, w, _LANE_STEPS[0])
     k2 = _window_lane(h, w, _LANE_STEPS[1])
-    doc_starts = np.concatenate([[0], np.cumsum(n_words)[:-1]])
-    out_starts = np.concatenate([[0], np.cumsum(m)[:-1]])
-    within = np.arange(total, dtype=np.int64) - np.repeat(out_starts, m)
-    flat = np.repeat(doc_starts, m) + within
-    return _mix_lanes(k1[flat].view(np.int64), k2[flat].view(np.int64)), m
+    flat = _flat_starts(n_words, m)
+    return k1[flat].view(np.int64), k2[flat].view(np.int64), m
+
+
+def _pair_lanes(data, a, e, wc):
+    """(k1_flat, k2_flat, m): per-adjacent-word-pair hash lanes (left
+    word, right word) over the chunk's flat word stream, plus
+    pairs-per-doc counts m."""
+    import numpy as np
+
+    m = np.maximum(wc - 1, 0)
+    if int(m.sum()) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, m
+    h = _word_hashes(data, a, e)
+    flat = _flat_starts(wc, m)
+    return h[flat].view(np.int64), h[flat + 1].view(np.int64), m
+
+
+_KERNEL_CHUNK_BYTES = 32 * 1024 * 1024  # per-chunk text-byte budget
+
+
+def _chunk_bounds(batch, text_cols):
+    """(lo, n) chunk ranges over an Arrow batch bounded BOTH by doc count
+    (_KERNEL_CHUNK_DOCS) and by total text bytes across `text_cols`
+    (_KERNEL_CHUNK_BYTES): a row-count-only bound lets a partition of
+    MB-scale documents blow the kernel's transient numpy working set
+    (~tens of bytes per input byte) past worker memory. Every chunk has
+    at least one row, so a single over-budget document still processes
+    (its kernel cost is then its own size, not amplified)."""
+    import numpy as np
+
+    n_rows = batch.num_rows
+    lens = np.zeros(n_rows, np.int64)
+    for ci in text_cols:
+        col = batch.column(ci)
+        off = np.frombuffer(col.buffers()[1], np.int32)[
+            col.offset : col.offset + n_rows + 1
+        ].astype(np.int64)
+        lens += np.diff(off)
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    lo = 0
+    while lo < n_rows:
+        # furthest hi with cum[hi]-cum[lo] <= budget (vectorized; the
+        # doc-count cap still applies); always advance at least one row
+        hi = int(
+            np.searchsorted(cum, cum[lo] + _KERNEL_CHUNK_BYTES, "right") - 1
+        )
+        n = max(1, min(hi - lo, _KERNEL_CHUNK_DOCS))
+        yield lo, n
+        lo += n
 
 
 def _kernel_chunk(chunk, w: int, out_schema):
@@ -280,7 +380,7 @@ def _kernel_chunk(chunk, w: int, out_schema):
     import pyarrow as pa
 
     data, a, e, n_words = _flat_words(chunk.column(1))
-    m = np.maximum(n_words - w + 1, 0)  # windows per doc
+    k1f, k2f, m = _window_lanes(data, a, e, n_words, w)
     total = int(m.sum())
     if total == 0:
         return pa.RecordBatch.from_arrays(
@@ -292,20 +392,15 @@ def _kernel_chunk(chunk, w: int, out_schema):
             ],
             schema=out_schema,
         )
-    h = _word_hashes(data, a, e)
-    k1 = _window_lane(h, w, _LANE_STEPS[0])
-    k2 = _window_lane(h, w, _LANE_STEPS[1])
-    doc_starts = np.concatenate([[0], np.cumsum(n_words)[:-1]])
     out_starts = np.concatenate([[0], np.cumsum(m)[:-1]])
     doc_idx = np.repeat(np.arange(len(n_words)), m)
     within = np.arange(total, dtype=np.int64) - np.repeat(out_starts, m)
-    flat = np.repeat(doc_starts, m) + within
     return pa.RecordBatch.from_arrays(
         [
             chunk.column(0).take(pa.array(doc_idx)),
             pa.array((within + 1).astype(np.int32), pa.int32()),
-            pa.array(k1[flat].view(np.int64), pa.int64()),
-            pa.array(k2[flat].view(np.int64), pa.int64()),
+            pa.array(k1f, pa.int64()),
+            pa.array(k2f, pa.int64()),
         ],
         schema=out_schema,
     )
@@ -337,10 +432,8 @@ def _window_keys(src: DataFrame, w: int) -> DataFrame:
                         pa.field("k2", pa.int64()),
                     ]
                 )
-            for lo in range(0, batch.num_rows, _KERNEL_CHUNK_DOCS):
-                yield _kernel_chunk(
-                    batch.slice(lo, _KERNEL_CHUNK_DOCS), w, out_schema
-                )
+            for lo, n in _chunk_bounds(batch, (1,)):
+                yield _kernel_chunk(batch.slice(lo, n), w, out_schema)
 
     return src.mapInArrow(kernel, schema_str)
 
@@ -356,9 +449,8 @@ def _pair_chunk(chunk, n_pass: int, out_schema):
     import pyarrow as pa
 
     data, a, e, wc = _flat_words(chunk.column(n_pass))
-    m = np.maximum(wc - 1, 0)  # adjacent pairs per doc
-    total = int(m.sum())
-    if total == 0:
+    k1f, k2f, m = _pair_lanes(data, a, e, wc)
+    if int(m.sum()) == 0:
         empty_idx = pa.array(np.zeros(0, np.int64))
         return pa.RecordBatch.from_arrays(
             [chunk.column(j).take(empty_idx) for j in range(n_pass)]
@@ -368,19 +460,10 @@ def _pair_chunk(chunk, n_pass: int, out_schema):
             ],
             schema=out_schema,
         )
-    h = _word_hashes(data, a, e)
-    doc_starts = np.concatenate([[0], np.cumsum(wc)[:-1]])
-    out_starts = np.concatenate([[0], np.cumsum(m)[:-1]])
-    doc_idx = np.repeat(np.arange(len(wc)), m)
-    within = np.arange(total, dtype=np.int64) - np.repeat(out_starts, m)
-    flat = np.repeat(doc_starts, m) + within
-    idx = pa.array(doc_idx)
+    idx = pa.array(np.repeat(np.arange(len(wc)), m))
     return pa.RecordBatch.from_arrays(
         [chunk.column(j).take(idx) for j in range(n_pass)]
-        + [
-            pa.array(h[flat].view(np.int64), pa.int64()),
-            pa.array(h[flat + 1].view(np.int64), pa.int64()),
-        ],
+        + [pa.array(k1f, pa.int64()), pa.array(k2f, pa.int64())],
         schema=out_schema,
     )
 
@@ -421,10 +504,8 @@ def word_pair_keys(src: DataFrame, extra_cols=()) -> DataFrame:
                     ]
                     + [pa.field("k1", pa.int64()), pa.field("k2", pa.int64())]
                 )
-            for lo in range(0, batch.num_rows, _KERNEL_CHUNK_DOCS):
-                yield _pair_chunk(
-                    batch.slice(lo, _KERNEL_CHUNK_DOCS), n_pass, out_schema
-                )
+            for lo, n in _chunk_bounds(batch, (n_pass,)):
+                yield _pair_chunk(batch.slice(lo, n), n_pass, out_schema)
 
     return src.mapInArrow(kernel, schema_str)
 
@@ -557,10 +638,8 @@ def _coverage_rewrite(src: DataFrame, w: int) -> DataFrame:
                         pa.field("text_clean", pa.utf8()),
                     ]
                 )
-            for lo in range(0, batch.num_rows, _KERNEL_CHUNK_DOCS):
-                yield _coverage_chunk(
-                    batch.slice(lo, _KERNEL_CHUNK_DOCS), w, out_schema
-                )
+            for lo, n in _chunk_bounds(batch, (1,)):
+                yield _coverage_chunk(batch.slice(lo, n), w, out_schema)
 
     return src.mapInArrow(kernel, schema_str)
 
@@ -579,21 +658,21 @@ def _dup_keys_rel(base: DataFrame, w: int) -> DataFrame:
     )
 
 
-def _stats_membership(src: DataFrame, w: int, dup_sorted) -> DataFrame:
+def _stats_membership(src: DataFrame, w: int, pack) -> DataFrame:
     """(doc_id, n_windows, dup_windows) for EVERY doc of (doc_id, txt):
-    windows recomputed in-kernel, duplicated-ness tested against the
-    broadcast sorted key set. Zero joins, zero corpus-sized exchange."""
+    windows recomputed in-kernel, duplicated-ness tested lane-exactly
+    against the broadcast pack. Zero joins, zero corpus-sized exchange."""
     import pyarrow as pa
 
     spark = src.sparkSession
-    bc = spark.sparkContext.broadcast(dup_sorted)
+    bc = spark.sparkContext.broadcast(pack)
     id_type = src.schema["doc_id"].dataType.simpleString()
     schema_str = f"doc_id {id_type}, n_windows bigint, dup_windows bigint"
 
     def kernel(batches):
         import numpy as np
 
-        keys = bc.value
+        keyset = bc.value
         out_schema = None
         for batch in batches:
             if out_schema is None:
@@ -604,20 +683,16 @@ def _stats_membership(src: DataFrame, w: int, dup_sorted) -> DataFrame:
                         pa.field("dup_windows", pa.int64()),
                     ]
                 )
-            for lo in range(0, batch.num_rows, _KERNEL_CHUNK_DOCS):
-                chunk = batch.slice(lo, _KERNEL_CHUNK_DOCS)
+            for lo, n in _chunk_bounds(batch, (1,)):
+                chunk = batch.slice(lo, n)
                 data, a, e, n_words = _flat_words(chunk.column(1))
-                mixed, m = _window_mixed(data, a, e, n_words, w)
-                dup = _member(keys, mixed).astype(np.int64)
-                cdup = np.concatenate([[0], np.cumsum(dup)])
-                bounds = np.concatenate([[0], np.cumsum(m)])
+                k1f, k2f, m = _window_lanes(data, a, e, n_words, w)
+                dup, _ = _probe(keyset, k1f, k2f)
                 yield pa.RecordBatch.from_arrays(
                     [
                         chunk.column(0),
                         pa.array(m.astype(np.int64), pa.int64()),
-                        pa.array(
-                            cdup[bounds[1:]] - cdup[bounds[:-1]], pa.int64()
-                        ),
+                        pa.array(_segment_sums(dup, m), pa.int64()),
                     ],
                     schema=out_schema,
                 )
@@ -625,17 +700,17 @@ def _stats_membership(src: DataFrame, w: int, dup_sorted) -> DataFrame:
     return src.mapInArrow(kernel, schema_str)
 
 
-def _rewrite_membership(src: DataFrame, w: int, dup_sorted) -> DataFrame:
+def _rewrite_membership(src: DataFrame, w: int, pack) -> DataFrame:
     """(doc_id, n_words, n_removed, text_clean) for EVERY doc of
     (doc_id, text, txt): windows hashed over the case-folded column,
-    membership against the broadcast set, coverage + byte-gather
-    reassembly over the ORIGINAL-cased column — all inside one
-    mapInArrow stage. The two tokenizations are position-identical
+    lane-exact membership against the broadcast pack, coverage +
+    byte-gather reassembly over the ORIGINAL-cased column — all inside
+    one mapInArrow stage. The two tokenizations are position-identical
     because lower() never creates or destroys whitespace."""
     import pyarrow as pa
 
     spark = src.sparkSession
-    bc = spark.sparkContext.broadcast(dup_sorted)
+    bc = spark.sparkContext.broadcast(pack)
     id_type = src.schema["doc_id"].dataType.simpleString()
     schema_str = (
         f"doc_id {id_type}, n_words bigint, n_removed bigint,"
@@ -645,7 +720,7 @@ def _rewrite_membership(src: DataFrame, w: int, dup_sorted) -> DataFrame:
     def kernel(batches):
         import numpy as np
 
-        keys = bc.value
+        keyset = bc.value
         out_schema = None
         for batch in batches:
             if out_schema is None:
@@ -657,10 +732,10 @@ def _rewrite_membership(src: DataFrame, w: int, dup_sorted) -> DataFrame:
                         pa.field("text_clean", pa.utf8()),
                     ]
                 )
-            for lo in range(0, batch.num_rows, _KERNEL_CHUNK_DOCS):
-                chunk = batch.slice(lo, _KERNEL_CHUNK_DOCS)
+            for lo, n in _chunk_bounds(batch, (1, 2)):
+                chunk = batch.slice(lo, n)
                 ldata, la, le, l_words = _flat_words(chunk.column(2))
-                mixed, m = _window_mixed(ldata, la, le, l_words, w)
+                k1f, k2f, m = _window_lanes(ldata, la, le, l_words, w)
                 data, a, e, n_words = _flat_words(chunk.column(1))
                 big_n = int(n_words.sum())
                 if big_n == 0:
@@ -674,8 +749,9 @@ def _rewrite_membership(src: DataFrame, w: int, dup_sorted) -> DataFrame:
                     continue
                 # flat duplicated-window starts: window j of the flat
                 # stream starts at flat word index (doc_start + within),
-                # which _window_mixed already laid out contiguously
-                dup_pos = np.nonzero(_member(keys, mixed))[0]
+                # the layout _flat_starts lays out contiguously
+                member, _ = _probe(keyset, k1f, k2f)
+                dup_pos = np.nonzero(member)[0]
                 out_starts = np.concatenate([[0], np.cumsum(m)[:-1]])
                 doc_starts = np.concatenate([[0], np.cumsum(n_words)[:-1]])
                 win_doc = np.repeat(np.arange(len(m)), m)
@@ -691,16 +767,14 @@ def _rewrite_membership(src: DataFrame, w: int, dup_sorted) -> DataFrame:
     return src.mapInArrow(kernel, schema_str)
 
 
-def score_pairs_membership(
-    src: DataFrame, sorted_keys, values
-) -> DataFrame:
+def score_pairs_membership(src: DataFrame, pack) -> DataFrame:
     """(doc_id, n_pairs, val_sum) for EVERY doc of (doc_id, txt): adjacent
     word pairs hashed in-kernel (same hash contract as word_pair_keys),
-    each pair's int64 value looked up in the broadcast sorted map
-    (searchsorted), summed per doc. Missing keys contribute 0 to the sum
-    but still count in n_pairs — the semantics of the fallback path's
-    LEFT join + coalesce(sum, 0). Docs with < 2 words emit (0, 0)
-    directly; consumers need no join back. Used by the bigram-LM family
+    each pair's int64 value looked up LANE-EXACTLY in the broadcast pack
+    (_probe), summed per doc. Missing keys contribute 0 to the sum but
+    still count in n_pairs — the semantics of the fallback path's LEFT
+    join + coalesce(sum, 0). Docs with < 2 words emit (0, 0) directly;
+    consumers need no join back. Used by the bigram-LM family
     (textops.lm) when its |distinct bigrams|-bounded model fits the
     broadcast budget: the corpus-sized pair relation then never exists as
     rows at all — one kernel pass replaces explode + model join +
@@ -708,14 +782,14 @@ def score_pairs_membership(
     import pyarrow as pa
 
     spark = src.sparkSession
-    bc = spark.sparkContext.broadcast((sorted_keys, values))
+    bc = spark.sparkContext.broadcast(pack)
     id_type = src.schema["doc_id"].dataType.simpleString()
     schema_str = f"doc_id {id_type}, n_pairs bigint, val_sum bigint"
 
     def kernel(batches):
         import numpy as np
 
-        keys, vals = bc.value
+        keyset = bc.value
         out_schema = None
         for batch in batches:
             if out_schema is None:
@@ -726,46 +800,29 @@ def score_pairs_membership(
                         pa.field("val_sum", pa.int64()),
                     ]
                 )
-            for lo in range(0, batch.num_rows, _KERNEL_CHUNK_DOCS):
-                chunk = batch.slice(lo, _KERNEL_CHUNK_DOCS)
+            for lo, n in _chunk_bounds(batch, (1,)):
+                chunk = batch.slice(lo, n)
                 data, a, e, wc = _flat_words(chunk.column(1))
-                m = np.maximum(wc - 1, 0)
-                total = int(m.sum())
-                if total == 0:
+                k1f, k2f, m = _pair_lanes(data, a, e, wc)
+                if int(m.sum()) == 0:
                     zero = pa.array(np.zeros(len(wc), np.int64), pa.int64())
                     yield pa.RecordBatch.from_arrays(
                         [chunk.column(0), zero, zero], schema=out_schema
                     )
                     continue
-                h = _word_hashes(data, a, e)
-                doc_starts = np.concatenate([[0], np.cumsum(wc)[:-1]])
-                out_starts = np.concatenate([[0], np.cumsum(m)[:-1]])
-                within = (
-                    np.arange(total, dtype=np.int64)
-                    - np.repeat(out_starts, m)
-                )
-                flat = np.repeat(doc_starts, m) + within
-                mixed = _mix_lanes(
-                    h[flat].view(np.int64), h[flat + 1].view(np.int64)
-                )
-                if len(keys):
-                    idx = np.minimum(
-                        np.searchsorted(keys, mixed), len(keys) - 1
-                    )
+                found, idx = _probe(keyset, k1f, k2f)
+                if len(keyset["mixed"]):
                     pv = np.where(
-                        keys[idx] == mixed, vals[idx], np.int64(0)
+                        found, keyset["val"][np.where(found, idx, 0)],
+                        np.int64(0),
                     )
                 else:
-                    pv = np.zeros(total, np.int64)
-                csum = np.concatenate([[0], np.cumsum(pv)])
-                bounds = np.concatenate([[0], np.cumsum(m)])
+                    pv = np.zeros(len(found), np.int64)
                 yield pa.RecordBatch.from_arrays(
                     [
                         chunk.column(0),
                         pa.array(m.astype(np.int64), pa.int64()),
-                        pa.array(
-                            csum[bounds[1:]] - csum[bounds[:-1]], pa.int64()
-                        ),
+                        pa.array(_segment_sums(pv, m), pa.int64()),
                     ],
                     schema=out_schema,
                 )
@@ -812,8 +869,8 @@ def span_dup_stats(
     dup = persist_tracked(_dup_keys_rel(base, w))
     n_dup = dup.count()  # metadata-scale: |distinct duplicated windows|
     if n_dup <= _broadcast_key_rows():
-        (keys,) = _collect_sorted_keys(dup, n_dup)
-        return _stats_membership(base, w, keys)
+        pack = _collect_sorted_keys(dup, n_dup)
+        return _stats_membership(base, w, pack)
     key_win = Window.partitionBy("k1", "k2")
     # drop the kernel's position column BEFORE the exchange — stats never
     # use it, and it would otherwise ride the corpus-sized shuffle
@@ -855,7 +912,8 @@ def span_dedup_rewrite(
 
     Scale shape (round-5 broadcast restructure, same two-pass shape as
     span_dup_stats): pass 1 — window kernel + ONE hash aggregation to
-    the duplicated-key relation, persisted + counted (EAGER builder).
+    the duplicated-key relation, persisted + counted (a metadata-scale
+    eager count; bench still warms this op — see span_dup_stats).
     Below the broadcast budget, pass 2 re-hashes each doc's windows over
     the case-folded text, tests membership against the broadcast sorted
     key set, and runs coverage (delta-encode duplicated starts ->
@@ -875,9 +933,9 @@ def span_dedup_rewrite(
     dup = persist_tracked(_dup_keys_rel(lowered, w))
     n_dup = dup.count()  # metadata-scale: |distinct duplicated windows|
     if n_dup <= _broadcast_key_rows():
-        (keys,) = _collect_sorted_keys(dup, n_dup)
+        pack = _collect_sorted_keys(dup, n_dup)
         src = base.select("doc_id", "text", F.lower("text").alias("txt"))
-        return _rewrite_membership(src, w, keys)
+        return _rewrite_membership(src, w, pack)
     key_win = Window.partitionBy("k1", "k2")
     starts = (
         _window_keys(lowered, w)

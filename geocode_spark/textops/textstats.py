@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-WS = r"\s+"
+# Explicit 6-byte ASCII whitespace class, NOT \s: Java's non-Unicode \s is
+# [ \t\n\x0B\f\r] but RE2's (DuckDB) excludes \x0B, so a '\s+' tokenizer
+# silently diverges between the engine and its oracle twin on documents
+# containing vertical tabs. The explicit class is byte-identical in both
+# dialects AND matches the byte set the Arrow kernel splits on
+# (spans._flat_words). Engine semantics are unchanged (Java \s == this set).
+WS = r"[ \t\n\x0B\f\r]+"
 # BPE-ish word/number/symbol tokenization (ASCII classes — identical in Java
 # regex and RE2).
 RE_TOKEN = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"

@@ -334,3 +334,74 @@ def test_span_broadcast_and_keyed_paths_agree(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_MODEL_BROADCAST_ROWS", "0")
     slow = snap()
     assert fast == slow
+
+
+def test_probe_walks_mixed_key_collision_runs():
+    """Two distinct (k1,k2) pairs CAN share a mixed sort key (constructed
+    algebraically here: mix = splitmix64(k1 ^ k2*ODD), so
+    k1b = k1a ^ k2a*ODD ^ k2b*ODD collides with (k1a, k2a)); the probe
+    must resolve BOTH by walking the equal-mixed-key run and verifying
+    lanes — membership stays exact on the 128-bit lane pair."""
+    import numpy as np
+
+    from geocode_spark.textops.spans import _MIX_ODD, _mix_lanes, _probe
+
+    odd = np.uint64(_MIX_ODD)
+    k1a, k2a, k2b = np.uint64(12345), np.uint64(777), np.uint64(999)
+    with np.errstate(over="ignore"):  # wrapping uint64 math is the point
+        k1b = k1a ^ (k2a * odd) ^ (k2b * odd)
+    k1 = np.array([k1a, k1b, 42], np.uint64).view(np.int64)
+    k2 = np.array([k2a, k2b, 43], np.uint64).view(np.int64)
+    mixed = _mix_lanes(k1, k2)
+    assert mixed[0] == mixed[1] and mixed[0] != mixed[2]  # real collision
+
+    order = np.argsort(mixed, kind="stable")
+    pack = {
+        "mixed": mixed[order],
+        "k1": k1[order],
+        "k2": k2[order],
+        "val": np.array([100, 200, 300], np.int64)[order],
+    }
+    found, idx = _probe(pack, k1, k2)
+    assert found.all()
+    assert (pack["k1"][idx] == k1).all() and (pack["k2"][idx] == k2).all()
+    assert sorted(pack["val"][idx]) == [100, 200, 300]
+    # same-mix NON-member (third lane pair colliding with the run) misses
+    k2c = np.uint64(555)
+    with np.errstate(over="ignore"):
+        k1c = k1a ^ (k2a * odd) ^ (k2c * odd)
+    f2, _ = _probe(
+        pack,
+        np.array([k1c], np.uint64).view(np.int64),
+        np.array([k2c], np.uint64).view(np.int64),
+    )
+    assert not f2.any()
+
+
+def test_chunk_bounds_byte_budget():
+    """Chunking is bounded by BYTES, not only rows: a batch of large docs
+    splits even below the row cap, and an over-budget single doc still
+    yields its own chunk."""
+    import pyarrow as pa
+
+    import geocode_spark.textops.spans as spans
+
+    old = spans._KERNEL_CHUNK_BYTES
+    spans._KERNEL_CHUNK_BYTES = 100
+    try:
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array(list(range(4)), pa.int64()),
+                pa.array(["x" * 60, "y" * 60, "z" * 250, "w" * 10]),
+            ],
+            names=["doc_id", "txt"],
+        )
+        ranges = list(spans._chunk_bounds(batch, (1,)))
+        # 60+60 > 100 -> split; 250 alone over budget -> own chunk
+        assert ranges == [(0, 1), (1, 1), (2, 1), (3, 1)]
+        spans._KERNEL_CHUNK_BYTES = 130
+        ranges = list(spans._chunk_bounds(batch, (1,)))
+        assert ranges == [(0, 2), (2, 1), (3, 1)]
+        assert sum(n for _, n in ranges) == 4
+    finally:
+        spans._KERNEL_CHUNK_BYTES = old
