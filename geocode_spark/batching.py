@@ -160,7 +160,7 @@ def run_resumable(
     score_sum, seconds}.
     """
     t0 = time.perf_counter()
-    _write_run_meta(spark, out_dir, n_batches)
+    _write_run_meta(spark, out_dir, n_batches, resume=resume)
     done = completed_batches(out_dir) if resume else set()
     pending = [k for k in range(n_batches) if k not in done]
     batched = with_batch_id(result_df, n_batches, key=key).withColumn(
@@ -175,17 +175,21 @@ def run_resumable(
     return _summarize(out_dir, n_batches, sorted(done), t0)
 
 
-def _write_run_meta(spark, out_dir: str, n_batches: int) -> None:
+def _write_run_meta(
+    spark, out_dir: str, n_batches: int, resume: bool = True
+) -> None:
     """F8: stamp the run directory with engine identification — the
     distributed analog of the reference's per-request client version header
     (User-Agent at geocode.py:83-96). Underscore-prefixed, so Spark/DuckDB
     parquet readers skip it. Every artifact a run produces is attributable:
     per-batch ledgers carry engine/version per record; this sidecar carries
-    the run-level stamp. A pure-resume run keeps the original stamp: the
-    already-committed batches were produced by THAT version, and overwriting
-    it would misattribute them to the resuming engine."""
+    the run-level stamp. A pure-RESUME run keeps the original stamp (the
+    already-committed batches were produced by THAT version — overwriting
+    would misattribute them to the resuming engine), but a resume=False
+    re-run REWRITES every batch, so the stamp must follow the engine that
+    actually produced the directory's contents."""
     os.makedirs(out_dir, exist_ok=True)
-    if os.path.exists(os.path.join(out_dir, "_run_meta.json")):
+    if resume and os.path.exists(os.path.join(out_dir, "_run_meta.json")):
         return
     tmp = os.path.join(out_dir, "_run_meta.json.tmp")
     with open(tmp, "w") as fh:
@@ -327,7 +331,7 @@ def run_resumable_staged(
     from the key after the transform — it is a pure key function, so staged
     assignment and output assignment always agree."""
     t0 = time.perf_counter()
-    _write_run_meta(spark, out_dir, n_batches)
+    _write_run_meta(spark, out_dir, n_batches, resume=resume)
     done = completed_batches(out_dir) if resume else set()
     pending = [k for k in range(n_batches) if k not in done]
     if pending:

@@ -19,8 +19,9 @@ itself, Spark-first:
      (_broadcast_key_rows), a SECOND kernel pass probes the collected
      dup-key pack lane-exactly and computes profile / coverage /
      reassembly doc-locally (zero joins, zero corpus-sized exchange);
-     above it, the exact keyed formulations (window-function dup test +
-     groupBy + join back) run instead
+     above it, the exact keyed formulations run instead (hash join of
+     the window relation against the persisted dup relation + groupBy +
+     join back — no corpus-wide sort)
 
 Every exchange is keyed and AQE-sizable; nothing is all-pairs.
 
@@ -37,17 +38,17 @@ Arrow string buffers are consumed as raw bytes):
   - per-word 64-bit hash: polynomial over the flat byte buffer via an
     exclusive prefix-sum in the inverse base (one vectorized pass over
     total bytes), finalized with splitmix64
-  - per-window key: cyclic-polynomial rolling hash (Buzhash; Cohen 1997,
-    "Recursive hashing functions for n-grams") — XOR of per-word hashes
-    left-rotated by (step * offset) mod 64, computed for every position
-    from ONE prefix-XOR array via rotate-back, in TWO independent lanes
-    (rotation steps 7 and 13) for a 128-bit effective key
+  - per-window key: polynomial rolling hash over the word hashes (the
+    Rabin-Karp family), computed for every position from ONE exclusive
+    prefix pass in the inverse base, in TWO independent-base lanes for a
+    128-bit effective key — position-weighted, so no rotation-period
+    collision class at any window size
 
 Collision odds, stated honestly: two distinct WORDS collide at ~2^-64
 per pair (a corpus with 10^8 distinct words expects ~3e-4 colliding
 pairs — such a pair would alias those words corpus-wide); two windows
-over non-colliding words collide only if BOTH independent lanes XOR to
-equal values, ~2^-128 per pair (never, at any plausible scale). The
+over non-colliding words collide only if BOTH independent-base lane
+polynomials agree, ~2^-128 per pair (never, at any plausible scale). The
 DuckDB oracle twin keys on the raw case-folded window STRING, so the
 correctness gate cross-checks the hashing end-to-end against an
 implementation that shares none of it.
@@ -65,7 +66,7 @@ character spans, which a whitespace tokenizer does not keep).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import persist_tracked
@@ -77,7 +78,15 @@ DEFAULT_WINDOW = 8  # words per span at sandbox doc sizes (Lee et al. use 50)
 _POLY_BASE = 6364136223846793005
 _POLY_BASE_INV = pow(_POLY_BASE, -1, 1 << 64)
 _LEN_MIX = 0xD6E8FEB86659FD93  # odd salt folding word length into the hash
-_LANE_STEPS = (7, 13)  # per-lane Buzhash rotation steps (odd, distinct)
+# Per-lane window-polynomial bases (odd, distinct; golden-ratio / xxhash
+# mix constants). Positional weights B^offset make the window key depend
+# on word ORDER at every offset — unlike a rotation-based (Buzhash) lane,
+# whose rotation amounts repeat with period 64 and therefore collide
+# SYSTEMATICALLY for windows >= 65 words (two same-content words swapped
+# 64 offsets apart contribute identically). Polynomial lanes have no such
+# period: any window size is valid.
+_LANE_BASES = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F)
+_LANE_BASE_INVS = tuple(pow(b, -1, 1 << 64) for b in _LANE_BASES)
 _KERNEL_CHUNK_DOCS = 1024  # bounds the kernel's per-task numpy working set
 _MIX_ODD = 0xFF51AFD7ED558CCD  # odd multiplier folding lane 2 into lane 1
 
@@ -182,19 +191,6 @@ def _splitmix64(x):
     return x ^ (x >> np.uint64(31))
 
 
-def _rot(x, k, left: bool):
-    """Vectorized uint64 rotate by per-element amounts k in [0, 64)."""
-    import numpy as np
-
-    inv = np.uint64(64) - k
-    if left:
-        rotated = (x << k) | (x >> inv)
-    else:
-        rotated = (x >> k) | (x << inv)
-    # k == 0 would shift by 64 (undefined in C); those lanes keep x
-    return np.where(k == np.uint64(0), x, rotated)
-
-
 def _flat_words(ta):
     """Byte-level whitespace tokenizer over an Arrow StringArray of
     DOCUMENTS (no Python objects): returns (data, a, e, wc) — the flat
@@ -262,24 +258,35 @@ def _word_hashes(data, a, e):
     return _splitmix64(raw ^ lens * np.uint64(_LEN_MIX))
 
 
-def _window_lane(h, w: int, step: int):
-    """Buzhash window keys for every flat start position: one prefix-XOR
-    of rotated word hashes, then an O(1) segment-XOR + rotate-back per
-    position. Content-only: rotl(h_u, s*u) rotated back by s*i equals
-    rotl(h_u, s*(u-i)), which depends only on the in-window offset."""
+def _window_lane(h, w: int, lane: int):
+    """Polynomial window keys for every flat start position — the same
+    prefix-sum-in-the-inverse-base algebra as ``_word_hashes``, over word
+    hashes instead of bytes: K(i) = sum_{u=i..i+w-1} h_u * B^(i+w-1-u)
+    mod 2^64, computed for every position from ONE exclusive prefix pass
+    (S[t] = sum_{u<t} h_u * B^-u; K(i) = (S[i+w]-S[i]) * B^(i+w-1)),
+    splitmix64-finalized. Positional weights depend on the in-window
+    offset only, so equal windows key equal at any start; unequal windows
+    collide at ~2^-64 per lane with NO systematic class at any window
+    size (see _LANE_BASES note)."""
     import numpy as np
 
     nw = len(h)
     if nw < w:
         return np.zeros(0, np.uint64)
-    st = np.uint64(step)
-    t = np.arange(nw, dtype=np.uint64)
-    rotated = _rot(h, (st * t) & np.uint64(63), left=True)
-    p = np.zeros(nw + 1, np.uint64)
-    np.bitwise_xor.accumulate(rotated, out=p[1:])
-    seg = p[w:] ^ p[: nw - w + 1]
-    i = np.arange(nw - w + 1, dtype=np.uint64)
-    return _rot(seg, (st * i) & np.uint64(63), left=False)
+    base = np.uint64(_LANE_BASES[lane])
+    base_inv = np.uint64(_LANE_BASE_INVS[lane])
+    mp = np.cumprod(
+        np.concatenate([np.ones(1, np.uint64),
+                        np.full(nw - 1, base, np.uint64)])
+    )
+    mi = np.cumprod(
+        np.concatenate([np.ones(1, np.uint64),
+                        np.full(nw - 1, base_inv, np.uint64)])
+    )
+    s = np.zeros(nw + 1, np.uint64)
+    np.cumsum(h * mi, out=s[1:])
+    seg = (s[w:] - s[: nw - w + 1]) * mp[w - 1 :]
+    return _splitmix64(seg)
 
 
 def _flat_starts(group_counts, item_counts):
@@ -318,8 +325,8 @@ def _window_lanes(data, a, e, n_words, w: int):
         z = np.zeros(0, np.int64)
         return z, z, m
     h = _word_hashes(data, a, e)
-    k1 = _window_lane(h, w, _LANE_STEPS[0])
-    k2 = _window_lane(h, w, _LANE_STEPS[1])
+    k1 = _window_lane(h, w, 0)
+    k2 = _window_lane(h, w, 1)
     flat = _flat_starts(n_words, m)
     return k1[flat].view(np.int64), k2[flat].view(np.int64), m
 
@@ -373,6 +380,48 @@ def _chunk_bounds(batch, text_cols):
         lo += n
 
 
+def _map_chunks(src: DataFrame, schema_str, out_fields, text_cols, chunk_fn):
+    """Shared mapInArrow scaffolding for every kernel in this module: one
+    generator that derives the Arrow output schema from the first batch,
+    walks byte- and doc-count-bounded chunk ranges (_chunk_bounds), and
+    delegates each chunk to ``chunk_fn(chunk, out_schema)``. A fix to the
+    chunk loop or schema derivation lands HERE, once.
+
+    out_fields: list of either an int (copy that input field's name and
+    type — passthrough columns) or a (name, pa.DataType) pair."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        out_schema = None
+        for batch in batches:
+            if out_schema is None:
+                out_schema = pa.schema(
+                    [
+                        batch.schema.field(f)
+                        if isinstance(f, int)
+                        else pa.field(*f)
+                        for f in out_fields
+                    ]
+                )
+            for lo, n in _chunk_bounds(batch, text_cols):
+                yield chunk_fn(batch.slice(lo, n), out_schema)
+
+    return src.mapInArrow(kernel, schema_str)
+
+
+def _empty_rewrite_batch(doc_id_col, n_docs: int, out_schema):
+    """(doc_id, 0, 0, "") rewrite rows for a chunk whose docs are all
+    empty — shared by the starts-list and broadcast-membership paths."""
+    import numpy as np
+    import pyarrow as pa
+
+    zero = pa.array(np.zeros(n_docs, np.int64), pa.int64())
+    return pa.RecordBatch.from_arrays(
+        [doc_id_col, zero, zero, pa.array([""] * n_docs, pa.utf8())],
+        schema=out_schema,
+    )
+
+
 def _kernel_chunk(chunk, w: int, out_schema):
     """One Arrow chunk (doc_id, txt) -> RecordBatch (doc_id, p, k1, k2),
     one row per W-word window start, p 1-based within the doc."""
@@ -419,23 +468,13 @@ def _window_keys(src: DataFrame, w: int) -> DataFrame:
     src = src.select(
         "doc_id", F.coalesce(F.col("txt"), F.lit("")).alias("txt")
     )
-
-    def kernel(batches):
-        out_schema = None
-        for batch in batches:
-            if out_schema is None:
-                out_schema = pa.schema(
-                    [
-                        pa.field("doc_id", batch.schema.field(0).type),
-                        pa.field("p", pa.int32()),
-                        pa.field("k1", pa.int64()),
-                        pa.field("k2", pa.int64()),
-                    ]
-                )
-            for lo, n in _chunk_bounds(batch, (1,)):
-                yield _kernel_chunk(batch.slice(lo, n), w, out_schema)
-
-    return src.mapInArrow(kernel, schema_str)
+    return _map_chunks(
+        src,
+        schema_str,
+        [0, ("p", pa.int32()), ("k1", pa.int64()), ("k2", pa.int64())],
+        (1,),
+        lambda chunk, os: _kernel_chunk(chunk, w, os),
+    )
 
 
 def _pair_chunk(chunk, n_pass: int, out_schema):
@@ -444,7 +483,7 @@ def _pair_chunk(chunk, n_pass: int, out_schema):
     k2 = right), flat word order. A bigram is a 2-word window whose two
     word hashes the consumers need separately (the backoff model groups
     by k1 alone), so this reuses the word-hash machinery without the
-    Buzhash combine."""
+    window-polynomial combine."""
     import numpy as np
     import pyarrow as pa
 
@@ -489,25 +528,14 @@ def word_pair_keys(src: DataFrame, extra_cols=()) -> DataFrame:
     src = src.select(
         "doc_id", *extra, F.coalesce(F.col("txt"), F.lit("")).alias("txt")
     )
-
-    def kernel(batches):
-        out_schema = None
-        for batch in batches:
-            if out_schema is None:
-                out_schema = pa.schema(
-                    [
-                        pa.field(
-                            batch.schema.field(j).name,
-                            batch.schema.field(j).type,
-                        )
-                        for j in range(n_pass)
-                    ]
-                    + [pa.field("k1", pa.int64()), pa.field("k2", pa.int64())]
-                )
-            for lo, n in _chunk_bounds(batch, (n_pass,)):
-                yield _pair_chunk(batch.slice(lo, n), n_pass, out_schema)
-
-    return src.mapInArrow(kernel, schema_str)
+    return _map_chunks(
+        src,
+        schema_str,
+        list(range(n_pass))
+        + [("k1", pa.int64()), ("k2", pa.int64())],
+        (n_pass,),
+        lambda chunk, os: _pair_chunk(chunk, n_pass, os),
+    )
 
 
 def _coverage_chunk(chunk, w: int, out_schema):
@@ -530,11 +558,7 @@ def _coverage_chunk(chunk, w: int, out_schema):
     n_docs = len(n_words)
     big_n = int(n_words.sum())
     if big_n == 0:  # every doc in the chunk is empty
-        zero = pa.array(np.zeros(n_docs, np.int64), pa.int64())
-        return pa.RecordBatch.from_arrays(
-            [chunk.column(0), zero, zero, pa.array([""] * n_docs, pa.utf8())],
-            schema=out_schema,
-        )
+        return _empty_rewrite_batch(chunk.column(0), n_docs, out_schema)
     doc_start = np.concatenate([[0], np.cumsum(n_words)])  # inclusive bounds
 
     st = chunk.column(2)
@@ -625,23 +649,18 @@ def _coverage_rewrite(src: DataFrame, w: int) -> DataFrame:
         f"doc_id {id_type}, n_words bigint, n_removed bigint,"
         " text_clean string"
     )
-
-    def kernel(batches):
-        out_schema = None
-        for batch in batches:
-            if out_schema is None:
-                out_schema = pa.schema(
-                    [
-                        pa.field("doc_id", batch.schema.field(0).type),
-                        pa.field("n_words", pa.int64()),
-                        pa.field("n_removed", pa.int64()),
-                        pa.field("text_clean", pa.utf8()),
-                    ]
-                )
-            for lo, n in _chunk_bounds(batch, (1,)):
-                yield _coverage_chunk(batch.slice(lo, n), w, out_schema)
-
-    return src.mapInArrow(kernel, schema_str)
+    return _map_chunks(
+        src,
+        schema_str,
+        [
+            0,
+            ("n_words", pa.int64()),
+            ("n_removed", pa.int64()),
+            ("text_clean", pa.utf8()),
+        ],
+        (1,),
+        lambda chunk, os: _coverage_chunk(chunk, w, os),
+    )
 
 
 def _dup_keys_rel(base: DataFrame, w: int) -> DataFrame:
@@ -669,35 +688,28 @@ def _stats_membership(src: DataFrame, w: int, pack) -> DataFrame:
     id_type = src.schema["doc_id"].dataType.simpleString()
     schema_str = f"doc_id {id_type}, n_windows bigint, dup_windows bigint"
 
-    def kernel(batches):
+    def chunk_fn(chunk, out_schema):
         import numpy as np
 
-        keyset = bc.value
-        out_schema = None
-        for batch in batches:
-            if out_schema is None:
-                out_schema = pa.schema(
-                    [
-                        pa.field("doc_id", batch.schema.field(0).type),
-                        pa.field("n_windows", pa.int64()),
-                        pa.field("dup_windows", pa.int64()),
-                    ]
-                )
-            for lo, n in _chunk_bounds(batch, (1,)):
-                chunk = batch.slice(lo, n)
-                data, a, e, n_words = _flat_words(chunk.column(1))
-                k1f, k2f, m = _window_lanes(data, a, e, n_words, w)
-                dup, _ = _probe(keyset, k1f, k2f)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        chunk.column(0),
-                        pa.array(m.astype(np.int64), pa.int64()),
-                        pa.array(_segment_sums(dup, m), pa.int64()),
-                    ],
-                    schema=out_schema,
-                )
+        data, a, e, n_words = _flat_words(chunk.column(1))
+        k1f, k2f, m = _window_lanes(data, a, e, n_words, w)
+        dup, _ = _probe(bc.value, k1f, k2f)
+        return pa.RecordBatch.from_arrays(
+            [
+                chunk.column(0),
+                pa.array(m.astype(np.int64), pa.int64()),
+                pa.array(_segment_sums(dup, m), pa.int64()),
+            ],
+            schema=out_schema,
+        )
 
-    return src.mapInArrow(kernel, schema_str)
+    return _map_chunks(
+        src,
+        schema_str,
+        [0, ("n_windows", pa.int64()), ("dup_windows", pa.int64())],
+        (1,),
+        chunk_fn,
+    )
 
 
 def _rewrite_membership(src: DataFrame, w: int, pack) -> DataFrame:
@@ -717,54 +729,46 @@ def _rewrite_membership(src: DataFrame, w: int, pack) -> DataFrame:
         " text_clean string"
     )
 
-    def kernel(batches):
+    def chunk_fn(chunk, out_schema):
         import numpy as np
 
-        keyset = bc.value
-        out_schema = None
-        for batch in batches:
-            if out_schema is None:
-                out_schema = pa.schema(
-                    [
-                        pa.field("doc_id", batch.schema.field(0).type),
-                        pa.field("n_words", pa.int64()),
-                        pa.field("n_removed", pa.int64()),
-                        pa.field("text_clean", pa.utf8()),
-                    ]
-                )
-            for lo, n in _chunk_bounds(batch, (1, 2)):
-                chunk = batch.slice(lo, n)
-                ldata, la, le, l_words = _flat_words(chunk.column(2))
-                k1f, k2f, m = _window_lanes(ldata, la, le, l_words, w)
-                data, a, e, n_words = _flat_words(chunk.column(1))
-                big_n = int(n_words.sum())
-                if big_n == 0:
-                    n_docs = len(n_words)
-                    zero = pa.array(np.zeros(n_docs, np.int64), pa.int64())
-                    yield pa.RecordBatch.from_arrays(
-                        [chunk.column(0), zero, zero,
-                         pa.array([""] * n_docs, pa.utf8())],
-                        schema=out_schema,
-                    )
-                    continue
-                # flat duplicated-window starts: window j of the flat
-                # stream starts at flat word index (doc_start + within),
-                # the layout _flat_starts lays out contiguously
-                member, _ = _probe(keyset, k1f, k2f)
-                dup_pos = np.nonzero(member)[0]
-                out_starts = np.concatenate([[0], np.cumsum(m)[:-1]])
-                doc_starts = np.concatenate([[0], np.cumsum(n_words)[:-1]])
-                win_doc = np.repeat(np.arange(len(m)), m)
-                g = (
-                    doc_starts[win_doc[dup_pos]]
-                    + (dup_pos - out_starts[win_doc[dup_pos]])
-                )
-                cov = _cov_from_starts(g, w, big_n)
-                yield _reassemble(
-                    chunk.column(0), data, a, e, n_words, cov, out_schema
-                )
+        ldata, la, le, l_words = _flat_words(chunk.column(2))
+        k1f, k2f, m = _window_lanes(ldata, la, le, l_words, w)
+        data, a, e, n_words = _flat_words(chunk.column(1))
+        big_n = int(n_words.sum())
+        if big_n == 0:
+            return _empty_rewrite_batch(
+                chunk.column(0), len(n_words), out_schema
+            )
+        # flat duplicated-window starts: window j of the flat stream
+        # starts at flat word index (doc_start + within), the layout
+        # _flat_starts lays out contiguously
+        member, _ = _probe(bc.value, k1f, k2f)
+        dup_pos = np.nonzero(member)[0]
+        out_starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+        doc_starts = np.concatenate([[0], np.cumsum(n_words)[:-1]])
+        win_doc = np.repeat(np.arange(len(m)), m)
+        g = (
+            doc_starts[win_doc[dup_pos]]
+            + (dup_pos - out_starts[win_doc[dup_pos]])
+        )
+        cov = _cov_from_starts(g, w, big_n)
+        return _reassemble(
+            chunk.column(0), data, a, e, n_words, cov, out_schema
+        )
 
-    return src.mapInArrow(kernel, schema_str)
+    return _map_chunks(
+        src,
+        schema_str,
+        [
+            0,
+            ("n_words", pa.int64()),
+            ("n_removed", pa.int64()),
+            ("text_clean", pa.utf8()),
+        ],
+        (1, 2),
+        chunk_fn,
+    )
 
 
 def score_pairs_membership(src: DataFrame, pack) -> DataFrame:
@@ -786,48 +790,40 @@ def score_pairs_membership(src: DataFrame, pack) -> DataFrame:
     id_type = src.schema["doc_id"].dataType.simpleString()
     schema_str = f"doc_id {id_type}, n_pairs bigint, val_sum bigint"
 
-    def kernel(batches):
+    def chunk_fn(chunk, out_schema):
         import numpy as np
 
         keyset = bc.value
-        out_schema = None
-        for batch in batches:
-            if out_schema is None:
-                out_schema = pa.schema(
-                    [
-                        pa.field("doc_id", batch.schema.field(0).type),
-                        pa.field("n_pairs", pa.int64()),
-                        pa.field("val_sum", pa.int64()),
-                    ]
-                )
-            for lo, n in _chunk_bounds(batch, (1,)):
-                chunk = batch.slice(lo, n)
-                data, a, e, wc = _flat_words(chunk.column(1))
-                k1f, k2f, m = _pair_lanes(data, a, e, wc)
-                if int(m.sum()) == 0:
-                    zero = pa.array(np.zeros(len(wc), np.int64), pa.int64())
-                    yield pa.RecordBatch.from_arrays(
-                        [chunk.column(0), zero, zero], schema=out_schema
-                    )
-                    continue
-                found, idx = _probe(keyset, k1f, k2f)
-                if len(keyset["mixed"]):
-                    pv = np.where(
-                        found, keyset["val"][np.where(found, idx, 0)],
-                        np.int64(0),
-                    )
-                else:
-                    pv = np.zeros(len(found), np.int64)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        chunk.column(0),
-                        pa.array(m.astype(np.int64), pa.int64()),
-                        pa.array(_segment_sums(pv, m), pa.int64()),
-                    ],
-                    schema=out_schema,
-                )
+        data, a, e, wc = _flat_words(chunk.column(1))
+        k1f, k2f, m = _pair_lanes(data, a, e, wc)
+        if int(m.sum()) == 0:
+            zero = pa.array(np.zeros(len(wc), np.int64), pa.int64())
+            return pa.RecordBatch.from_arrays(
+                [chunk.column(0), zero, zero], schema=out_schema
+            )
+        found, idx = _probe(keyset, k1f, k2f)
+        if len(keyset["mixed"]):
+            pv = np.where(
+                found, keyset["val"][np.where(found, idx, 0)], np.int64(0)
+            )
+        else:
+            pv = np.zeros(len(found), np.int64)
+        return pa.RecordBatch.from_arrays(
+            [
+                chunk.column(0),
+                pa.array(m.astype(np.int64), pa.int64()),
+                pa.array(_segment_sums(pv, m), pa.int64()),
+            ],
+            schema=out_schema,
+        )
 
-    return src.mapInArrow(kernel, schema_str)
+    return _map_chunks(
+        src,
+        schema_str,
+        [0, ("n_pairs", pa.int64()), ("val_sum", pa.int64())],
+        (1,),
+        chunk_fn,
+    )
 
 
 def _window_hash_sql(w: int, pos: str = "i") -> str:
@@ -854,15 +850,17 @@ def span_dup_stats(
     Scale shape (round-5 broadcast restructure): pass 1 — window kernel
     + ONE hash aggregation to the duplicated-key relation (_dup_keys_rel,
     bounded by |distinct duplicated windows|), persisted and COUNTED
-    (adjudicated metadata-scale driver action; makes this an
-    EAGER_QUERIES builder). When the relation fits the broadcast budget
+    (adjudicated metadata-scale driver action; NOT an EAGER_QUERIES
+    member — that list is reserved for real training loops, and bench
+    measures this op warm+timed). When the relation fits the broadcast
+    budget
     (_broadcast_key_rows), pass 2 recomputes each doc's windows in-kernel
     and tests membership against the broadcast sorted key set — zero
     joins, zero corpus-sized sort/exchange, output emitted directly for
     every doc (short docs score (0, 0) in-kernel). Above the budget the
-    exact keyed formulation runs instead: one exchange + sort of the
-    int-only window relation (min != max doc_id over the key window),
-    one groupBy(doc_id), one left join back.
+    exact keyed formulation runs instead: the int-only window relation
+    hash-joins the persisted pass-1 dup relation (marker column — no
+    corpus-wide sort), one groupBy(doc_id), one left join back.
     """
     w = int(window)
     base = docs.select("doc_id", F.lower(F.col(text_col)).alias("txt"))
@@ -871,22 +869,21 @@ def span_dup_stats(
     if n_dup <= _broadcast_key_rows():
         pack = _collect_sorted_keys(dup, n_dup)
         return _stats_membership(base, w, pack)
-    key_win = Window.partitionBy("k1", "k2")
     # drop the kernel's position column BEFORE the exchange — stats never
-    # use it, and it would otherwise ride the corpus-sized shuffle
+    # use it, and it would otherwise ride the corpus-sized shuffle. The
+    # dup test is a hash join against the ALREADY-PERSISTED pass-1 dup
+    # relation (no corpus-wide sort, and pass 1's work is reused), with
+    # a marker column so one pass yields both counts.
     per = (
         _window_keys(base, w)
         .select("doc_id", "k1", "k2")
-        .withColumn(
-            "is_dup",
-            (
-                F.min("doc_id").over(key_win) != F.max("doc_id").over(key_win)
-            ).cast("bigint"),
-        )
+        .join(dup.withColumn("is_dup", F.lit(1)), ["k1", "k2"], "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_windows"),
-            F.sum("is_dup").cast("bigint").alias("dup_windows"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("dup_windows"),
         )
     )
     # docs shorter than W words emit no windows and left-join to (0, 0)
@@ -921,8 +918,9 @@ def span_dedup_rewrite(
     all in ONE mapInArrow stage with zero joins and zero corpus-sized
     exchange (the old plan's 46M-row sort, collect_list shuffle, and
     text-side join are gone; only the model-sized dup-key agg shuffles).
-    Above the budget, the exact keyed formulation runs: window-function
-    dup test + groupBy(doc_id) collect_list + join back to the text.
+    Above the budget, the exact keyed formulation runs: semi-join of
+    the window relation against the persisted pass-1 dup relation +
+    groupBy(doc_id) collect_list + join back to the text.
     No all-pairs work; Python only as numpy over Arrow buffers.
     """
     w = int(window)
@@ -936,12 +934,12 @@ def span_dedup_rewrite(
         pack = _collect_sorted_keys(dup, n_dup)
         src = base.select("doc_id", "text", F.lower("text").alias("txt"))
         return _rewrite_membership(src, w, pack)
-    key_win = Window.partitionBy("k1", "k2")
+    # duplicated starts via a semi-join against the ALREADY-PERSISTED
+    # pass-1 dup relation — a hash join, not the old corpus-wide
+    # sort + min/max window function that re-derived what pass 1 knows
     starts = (
         _window_keys(lowered, w)
-        .withColumn("d0", F.min("doc_id").over(key_win))
-        .withColumn("d1", F.max("doc_id").over(key_win))
-        .filter(F.col("d0") != F.col("d1"))
+        .join(dup, ["k1", "k2"], "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_list("p").alias("starts"))
     )

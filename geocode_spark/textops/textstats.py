@@ -272,9 +272,15 @@ def pii_corpus(docs: DataFrame) -> DataFrame:
 def with_pii_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """THE shared redaction kernel: match counts (computed on the ORIGINAL
     text) + the text column rewritten email -> <EMAIL>, phone -> <PHONE>,
-    ipv4 -> <IP>, ssn -> <SSN>, in that order (no replacement token
-    contains a digit, so earlier rewrites can never create later
-    matches). Both the oracle-gated pii_redact query and
+    ipv4 -> <IP>, ssn -> <SSN>, in that order. The rewrites CASCADE over
+    the working text: a replacement token never contains a digit, but its
+    '>' does introduce a word boundary, so an earlier rewrite CAN expose
+    a later-pattern match the original text lacked (e.g.
+    'a@b.co123-45-6789' -> '<EMAIL>123-45-6789' -> '<EMAIL><SSN>' while
+    n_ssn, counted on the original, stays 0). That cascade is the safe
+    direction for redaction — it only ever removes MORE digit material —
+    and the engine and its DuckDB twin apply the identical sequence, so
+    the gate pins it. Both the oracle-gated pii_redact query and
     jobs/curation_job.py go through this one function so the shipped
     corpus can never drift from the gated semantics (pattern constants,
     count-on-original, replace order)."""

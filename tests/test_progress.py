@@ -173,3 +173,22 @@ def test_run_status_log_and_meta_sidecar(spark, fixtures_dir, sf_dir, tmp_path):
         log=lambda m: None, status_log=status_blocks.append,
     )
     assert s2["skipped"] == [0, 1, 2, 3] and status_blocks == []
+
+    # a pure-RESUME run must keep the producing run's stamp...
+    doctored = dict(meta, engine="older-engine/0.0")
+    meta_path = os.path.join(out, "_run_meta.json")
+    json.dump(doctored, open(meta_path, "w"))
+    run_resumable(
+        spark, result, out, n_batches=4, key="primary_key",
+        log=lambda m: None,
+    )
+    assert json.load(open(meta_path))["engine"] == "older-engine/0.0"
+    # ...but a resume=False re-run REWRITES every batch, so the stamp
+    # must follow the engine that now produced the directory's contents
+    run_resumable(
+        spark, result, out, n_batches=4, key="primary_key",
+        resume=False, log=lambda m: None,
+    )
+    assert (
+        json.load(open(meta_path))["engine"] == f"{ENGINE_NAME}/{__version__}"
+    )

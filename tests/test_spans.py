@@ -281,29 +281,78 @@ def test_span_kernel_window_keys_content_only(spark):
     assert len(distinct) == len(keys) - 1
 
 
-def test_span_kernel_chunk_boundary_consistent(spark):
-    """Keys agree when the same docs land in different kernel chunks."""
+def test_span_kernel_chunk_boundary_consistent():
+    """Keys agree when the same docs land in different kernel chunks.
+
+    Driven driver-side through _kernel_chunk directly: patching
+    spans._KERNEL_CHUNK_DOCS on the driver does NOT reach executor
+    python workers (they re-import the module), so a Spark-side version
+    of this test silently runs identical chunking on both sides — the
+    zero-effect-gate trap. Direct chunk calls make the split real."""
+    import pyarrow as pa
+
     import geocode_spark.textops.spans as spans
-    from pyspark.sql import functions as F
 
     texts = [f"a b c d shared span here tail{i}" for i in range(7)]
-    docs = _docs(spark, texts)
-    base = docs.select("doc_id", F.lower("text").alias("txt"))
-    big = {
-        (r.doc_id, r.p): (r.k1, r.k2)
-        for r in spans._window_keys(base, 3).collect()
-    }
-    old = spans._KERNEL_CHUNK_DOCS
-    spans._KERNEL_CHUNK_DOCS = 2
-    try:
-        small = {
-            (r.doc_id, r.p): (r.k1, r.k2)
-            for r in spans._window_keys(base, 3).collect()
-        }
-    finally:
-        spans._KERNEL_CHUNK_DOCS = old
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(list(range(7)), pa.int64()), pa.array(texts)],
+        names=["doc_id", "txt"],
+    )
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("p", pa.int32()),
+            pa.field("k1", pa.int64()),
+            pa.field("k2", pa.int64()),
+        ]
+    )
+
+    def keys(chunk_docs):
+        got = {}
+        lo = 0
+        while lo < batch.num_rows:
+            out = spans._kernel_chunk(
+                batch.slice(lo, chunk_docs), 3, out_schema
+            )
+            for r in out.to_pylist():
+                got[(r["doc_id"], r["p"])] = (r["k1"], r["k2"])
+            lo += chunk_docs
+        return got
+
+    big, small, single = keys(7), keys(2), keys(1)
     # 8 words per doc -> 6 window starts per doc, 7 docs
-    assert big == small and len(big) == 7 * 6
+    assert big == small == single and len(big) == 7 * 6
+
+
+def test_window_lane_no_rotation_period_collision():
+    """Regression for the Buzhash period-64 class this module moved away
+    from: at window=65, two windows that swap same-content words exactly
+    64 offsets apart collided SYSTEMATICALLY in both rotation lanes.
+    Polynomial lanes weight by in-window offset, so the swap must change
+    both lanes — and equal content must still key equal at any start."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geocode_spark.textops.spans import (
+        _flat_words,
+        _window_lane,
+        _word_hashes,
+    )
+
+    def lanes(doc, w):
+        data, a, e, _ = _flat_words(pa.array([doc]))
+        h = _word_hashes(data, a, e)
+        return _window_lane(h, w, 0), _window_lane(h, w, 1)
+
+    words = [f"w{i}" for i in range(70)]
+    swapped = words[:]
+    swapped[0], swapped[64] = swapped[64], swapped[0]
+    k1a, k2a = lanes(" ".join(words), 65)
+    k1b, k2b = lanes(" ".join(swapped), 65)
+    assert not (k1a[0] == k1b[0] and k2a[0] == k2b[0])
+    # start-offset invariance: the same window content at a shifted start
+    k1c, k2c = lanes("pad " + " ".join(words), 65)
+    assert (k1a == k1c[1:]).all() and (k2a == k2c[1:]).all()
 
 
 def test_span_broadcast_and_keyed_paths_agree(spark, monkeypatch):
