@@ -104,6 +104,100 @@ FROM flagged
 GROUP BY doc_id"""
 
 
+# ------------------------------------------------ keep-first line dedup
+def line_dedup_keep_first(docs: DataFrame,
+                          text_col: str = "text") -> DataFrame:
+    """(doc_id, clean_text, n_lines_kept, n_lines_removed): C4-style
+    GLOBAL exact line deduplication — every non-empty line value keeps
+    only its FIRST occurrence corpus-wide (ordered by (doc_id, pos));
+    later occurrences are removed and each document reassembles its
+    surviving lines in order. Complements strip_boilerplate: that
+    operator removes ALL occurrences of frequent lines, this one
+    removes REPEATS of any line. Empty lines are never deduplicated
+    (removing every blank line in the corpus but one would be
+    nonsense, and '' would be a mega-hot shuffle key).
+
+    Scale shape: one keyed groupBy(line) to the first-occurrence
+    relation, one shuffle-hash join back on line (hinted: both sides
+    are corpus-scale so sort-merge would sort line STRINGS; hashing
+    them is strictly cheaper, and AQE handles hot-line skew), and the
+    groupBy(doc_id) reassembly every line-rewrite op must pay. No
+    broadcast: |distinct lines| is corpus-scale at 100 TB. The
+    first-occurrence min is taken over a PACKED int64 ordinal
+    (doc_id * 2^21 + pos) rather than min(struct(doc_id, pos)):
+    struct min is not hash-aggregable in Spark and silently demotes
+    the aggregation to SortAggregate — a corpus-wide sort (plan-
+    checked in tests). The packing bounds (doc_id < 2^42, < 2^21
+    lines per doc) are raise_error-guarded, not assumed.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    ordinal = F.when(
+        (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < F.lit(1 << 42).cast("bigint"))
+        & (F.col("pos") < F.lit(1 << 21)),
+        F.col("doc_id").cast("bigint") * F.lit(1 << 21).cast("bigint")
+        + F.col("pos").cast("bigint"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "line_dedup_keep_first: doc_id/pos outside the packed-"
+                "ordinal bounds (doc_id < 2^42, pos < 2^21)"
+            )
+        ).cast("bigint")
+    )
+    lines = lines.withColumn("ord", ordinal)
+    first = (
+        lines.filter(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.min("ord").alias("first_ord"))
+    )
+    flagged = lines.join(first.hint("shuffle_hash"), "line", "left")
+    is_kept = (F.col("line") == "") | (F.col("ord") == F.col("first_ord"))
+    kept_struct = F.array_sort(
+        F.collect_list(F.when(is_kept, F.struct("pos", "line")))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n", F.transform(kept_struct, lambda s: s["line"])
+        ).alias("clean_text"),
+        F.sum(is_kept.cast("bigint")).cast("bigint").alias("n_lines_kept"),
+        F.sum((~is_kept).cast("bigint"))
+        .cast("bigint")
+        .alias("n_lines_removed"),
+    )
+
+
+def line_dedup_keep_first_oracle_sql(lines_source_sql: str) -> str:
+    """DuckDB twin over a (doc_id, text) SELECT: row_number over
+    (line ORDER BY doc_id, pos) = 1 marks the keeper — the window
+    formulation is clearer in SQL; the engine's min-struct + join is
+    the shuffle-cheaper equivalent."""
+    return f"""
+WITH src AS ({lines_source_sql}),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM src
+), ranked AS (
+  SELECT doc_id, line, pos,
+         (line = '' OR row_number() OVER (
+            PARTITION BY line ORDER BY doc_id, pos) = 1) AS is_kept
+  FROM lines
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE is_kept), '') AS clean_text,
+       CAST(count(*) FILTER (WHERE is_kept) AS BIGINT) AS n_lines_kept,
+       CAST(count(*) FILTER (WHERE NOT is_kept) AS BIGINT)
+         AS n_lines_removed
+FROM ranked
+GROUP BY doc_id"""
+
+
 def synthetic_line_corpus(docs: DataFrame) -> DataFrame:
     """(doc_id, text): deterministic multi-line corpus for the boilerplate
     gate — the testdata documents are single-line, so the gate synthesizes
