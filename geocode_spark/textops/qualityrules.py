@@ -174,6 +174,174 @@ def c4_line_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_lines, dup_lines, line_chars, dup_line_chars, word_chars,
+    top2_chars, top3_chars, top4_chars, dupline_ok, duplinechar_ok,
+    top2_ok, top3_ok, top4_ok, keep): the Gopher (Rae et al. 2021 A1.1)
+    within-document repetition rules — duplicate-line fraction <= 0.30,
+    duplicate-line CHARACTER fraction <= 0.20, and the fraction of word
+    characters contained in occurrences of the most frequent word
+    {2,3,4}-gram <= {0.20, 0.18, 0.16}.
+
+    Definitions (stated because the paper leaves them loose): a line is
+    "duplicated" iff its exact value occurs >= 2 times in the document;
+    dup_lines / dup_line_chars count ALL occurrences of duplicated
+    values. top-N char mass = occurrences * characters of the gram's
+    words (separators excluded), tie-broken toward the larger char mass
+    — ties on BOTH count and char length leave the fraction unchanged,
+    so the tiebreak never affects a flag. Ratio flags are integer
+    cross-multiplications (float-free, /0-free: empty denominators fail
+    their rule only through the conjunction with gopher_quality's
+    word-count gate; here empty docs pass vacuously, matching "no
+    repetition evidence").
+
+    Scale shape: ZERO exchanges, like its qualityrules siblings — all
+    per-document: each unit family (lines; word {2,3,4}-grams) is
+    array_sorted WITHIN the doc row, equal-value runs are extracted as
+    aligned (start, end) index arrays, and run statistics fold over
+    them with higher-order functions. Sorting is per-doc O(u log u) on
+    the doc's own units — no corpus-wide anything. Per-run maxima ride
+    a PACKED int64 (count * 2^32 + char_len; a 2^31-occurrence or
+    2^32-char unit would need a multi-GB single document, impossible
+    before this math matters). The plan is a projection pipelined into
+    the scan (plan-pinned in tests).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    # STAGED projections: each sorted array / index array materializes
+    # as a real column before anything indexes into it — an inline
+    # `element_at(array_sort(...), i)` inside a per-element lambda
+    # re-evaluates the sort PER ELEMENT (measured: ~14 s/doc on the gate
+    # variants), and CollapseProject keeps multi-referenced non-cheap
+    # aliases staged rather than re-inlining them.
+    def _runs_cols(sorted_col: str, n: int = 1):
+        """(starts, ends) 1-based run-boundary index arrays over an
+        already-STAGED sorted array column. Neighbor access via 0-based
+        F.get: out-of-bounds yields NULL (x != NULL -> NULL, absorbed by
+        the i==1 / i==n disjunct) — element_at would RAISE on index 0
+        under ANSI mode, and SQL OR does not short-circuit."""
+        arr = F.col(sorted_col)
+        size = F.size(arr)
+        idx = F.when(size >= 1, F.sequence(F.lit(1), size)).otherwise(
+            F.array().cast("array<int>")
+        )
+        starts = F.filter(
+            idx,
+            lambda i: (i == 1) | (F.get(arr, i - 1) != F.get(arr, i - 2)),
+        )
+        ends = F.filter(
+            idx,
+            lambda i: (i == size) | (F.get(arr, i - 1) != F.get(arr, i)),
+        )
+        return starts, ends
+
+    def _sum64(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint"),
+        )
+
+    ws = ws_word_array(t)
+    staged = docs.select("doc_id", ws.alias("ws"),
+                         F.array_sort(F.split(t, "\n")).alias("lsort"))
+
+    def _grams(n: int):
+        arr = F.col("ws")
+        return F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(arr, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    staged = staged.select(
+        "doc_id", "ws", "lsort",
+        *[F.array_sort(_grams(n)).alias(f"g{n}sort") for n in (2, 3, 4)],
+    )
+    run_cols = []
+    for fam in ("lsort", "g2sort", "g3sort", "g4sort"):
+        s, e = _runs_cols(fam)
+        run_cols += [s.alias(f"{fam}_s"), e.alias(f"{fam}_e")]
+    staged = staged.select("*", *run_cols)
+
+    def _pack_col(fam: str, n: int):
+        arr = F.col(fam)
+        return F.coalesce(
+            F.array_max(
+                F.zip_with(
+                    F.col(f"{fam}_s"),
+                    F.col(f"{fam}_e"),
+                    lambda a, b: (b - a + 1).cast("bigint")
+                    * F.lit(1 << 32).cast("bigint")
+                    + (
+                        F.length(F.element_at(arr, a)) - (n - 1)
+                    ).cast("bigint"),
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        )
+
+    l_run_len = F.zip_with(
+        F.col("lsort_s"), F.col("lsort_e"), lambda a, b: b - a + 1
+    )
+    l_run_chars = F.zip_with(
+        F.col("lsort_s"),
+        F.col("lsort_e"),
+        lambda a, b: (b - a + 1).cast("bigint")
+        * F.length(F.element_at(F.col("lsort"), a)).cast("bigint"),
+    )
+    staged = staged.select(
+        "doc_id", "ws", "lsort",
+        l_run_len.alias("lrl"), l_run_chars.alias("lrc"),
+        *[_pack_col(f"g{n}sort", n).alias(f"pack{n}") for n in (2, 3, 4)],
+    )
+
+    def _top_chars(n: int):
+        # (count) * (word chars of the gram), unpacked with exact
+        # bitwise ops — float division is exact only below 2^53
+        pack = F.col(f"pack{n}")
+        return F.shiftright(pack, 32).cast("bigint") * pack.bitwiseAND(
+            F.lit((1 << 32) - 1).cast("bigint")
+        )
+
+    counts = {
+        "n_lines": F.size(F.col("lsort")).cast("bigint"),
+        "dup_lines": _sum64(F.filter(F.col("lrl"), lambda r: r >= 2)),
+        "line_chars": _sum64(F.col("lrc")),
+        "dup_line_chars": _sum64(
+            F.zip_with(
+                F.col("lrl"), F.col("lrc"),
+                lambda r, c: F.when(r >= 2, c).otherwise(0),
+            )
+        ),
+        "word_chars": _sum64(F.transform(F.col("ws"), F.length)),
+        "top2_chars": _top_chars(2),
+        "top3_chars": _top_chars(3),
+        "top4_chars": _top_chars(4),
+    }
+    out = staged.select(
+        "doc_id", *[v.cast("bigint").alias(k) for k, v in counts.items()]
+    )
+    flags = {
+        "dupline_ok": 10 * F.col("dup_lines") <= 3 * F.col("n_lines"),
+        "duplinechar_ok": 5 * F.col("dup_line_chars")
+        <= F.col("line_chars"),
+        "top2_ok": 5 * F.col("top2_chars") <= F.col("word_chars"),
+        "top3_ok": 50 * F.col("top3_chars") <= 9 * F.col("word_chars"),
+        "top4_ok": 25 * F.col("top4_chars") <= 4 * F.col("word_chars"),
+    }
+    out = out.select(
+        "*", *[_flag(cond).alias(name) for name, cond in flags.items()]
+    )
+    keep = F.lit(1).cast("bigint")
+    for name in flags:
+        keep = keep * F.col(name)
+    return out.withColumn("keep", keep)
+
+
 # ------------------------------------------------------------- oracle twins
 def _sql_str(s: str) -> str:
     """SQL single-quoted literal of a python string; embedded newlines
@@ -280,6 +448,82 @@ SELECT doc_id, clean_text, n_lines_kept, n_lines_removed,
 FROM c"""
 
 
+def gopher_repetition_oracle_sql(source: str = "documents") -> str:
+    """DuckDB twin of gopher_repetition — deliberately RELATIONAL
+    (unnest + GROUP BY + per-doc max over the same packed int64), so the
+    gate cross-checks the engine's sorted-run array formulation against
+    an implementation that shares none of it."""
+    gram_ctes, gram_sel, gram_join = [], [], []
+    for n in (2, 3, 4):
+        expr = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+        gram_ctes.append(f"""g{n} AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(len(ws) - {n - 1}, 0) + 1),
+    i -> {expr})) AS gram
+  FROM w
+), m{n} AS (
+  SELECT doc_id, max(pack) AS pack FROM (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) * 4294967296
+             + CAST(len(gram) - {n - 1} AS BIGINT) AS pack
+    FROM g{n} GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+)""")
+        gram_sel.append(
+            f"COALESCE((m{n}.pack >> 32) * (m{n}.pack & 4294967295), 0)"
+            f" AS top{n}_chars"
+        )
+        gram_join.append(f"LEFT JOIN m{n} USING (doc_id)")
+    return rf"""
+WITH src AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM {source}
+), w AS (
+  SELECT doc_id, {ws_word_array_sql("text")} AS ws FROM src
+), lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM src
+), lg AS (
+  SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY doc_id, line
+), ls AS (
+  SELECT doc_id,
+    CAST(sum(cnt) AS BIGINT) AS n_lines,
+    CAST(COALESCE(sum(cnt) FILTER (WHERE cnt >= 2), 0) AS BIGINT)
+      AS dup_lines,
+    CAST(sum(cnt * len(line)) AS BIGINT) AS line_chars,
+    CAST(COALESCE(sum(cnt * len(line)) FILTER (WHERE cnt >= 2), 0)
+      AS BIGINT) AS dup_line_chars
+  FROM lg GROUP BY doc_id
+), wc AS (
+  SELECT doc_id,
+    CAST(COALESCE(list_sum(list_transform(ws, x -> len(x))), 0) AS BIGINT)
+      AS word_chars
+  FROM w
+), {", ".join(gram_ctes)}
+SELECT src.doc_id, ls.n_lines, ls.dup_lines, ls.line_chars,
+  ls.dup_line_chars, wc.word_chars,
+  {", ".join(gram_sel)},
+  CAST(CASE WHEN 10 * ls.dup_lines <= 3 * ls.n_lines
+    THEN 1 ELSE 0 END AS BIGINT) AS dupline_ok,
+  CAST(CASE WHEN 5 * ls.dup_line_chars <= ls.line_chars
+    THEN 1 ELSE 0 END AS BIGINT) AS duplinechar_ok,
+  CAST(CASE WHEN 5 * COALESCE((m2.pack >> 32) * (m2.pack & 4294967295), 0)
+    <= wc.word_chars THEN 1 ELSE 0 END AS BIGINT) AS top2_ok,
+  CAST(CASE WHEN 50 * COALESCE((m3.pack >> 32) * (m3.pack & 4294967295), 0)
+    <= 9 * wc.word_chars THEN 1 ELSE 0 END AS BIGINT) AS top3_ok,
+  CAST(CASE WHEN 25 * COALESCE((m4.pack >> 32) * (m4.pack & 4294967295), 0)
+    <= 4 * wc.word_chars THEN 1 ELSE 0 END AS BIGINT) AS top4_ok,
+  CAST(CASE WHEN 10 * ls.dup_lines <= 3 * ls.n_lines
+    AND 5 * ls.dup_line_chars <= ls.line_chars
+    AND 5 * COALESCE((m2.pack >> 32) * (m2.pack & 4294967295), 0)
+      <= wc.word_chars
+    AND 50 * COALESCE((m3.pack >> 32) * (m3.pack & 4294967295), 0)
+      <= 9 * wc.word_chars
+    AND 25 * COALESCE((m4.pack >> 32) * (m4.pack & 4294967295), 0)
+      <= 4 * wc.word_chars
+    THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM src JOIN ls USING (doc_id) JOIN wc USING (doc_id)
+{" ".join(gram_join)}"""
+
+
 # --------------------------------------------------------- gate corpus
 # Deterministic per-rule variants (doc_id % 8), each isolating ONE Gopher
 # rule failure where feasible (the r4 lesson: a gate corpus must exercise
@@ -330,6 +574,53 @@ C4_MIXED_DOC = "\n".join(
 )
 C4_BAD_DOC = "\n".join(_C4_BAD_LINES)
 _C4_VARIANTS = (C4_GOOD_DOC, C4_MIXED_DOC, C4_BAD_DOC)
+
+
+# Repetition-gate variants (doc_id % 4): clean doc passes every
+# repetition rule; the line-repeat doc fails the line rules but keeps
+# gram rules green (the repeated line is internally diverse, so no
+# single gram dominates); the gram-repeat doc fails the top-gram rules
+# on a single dominating pair with distinct lines.
+# Sized so the top-gram char-fraction rules have dilution headroom: in a
+# short doc even a COUNT-1 gram can exceed 16% of word characters, so
+# rule isolation needs docs long enough that only the injected
+# repetition trips its rule (flag expectations pinned per-variant in
+# tests/test_qualityrules.py).
+REP_CLEAN_TEXT = "\n".join(
+    " ".join(f"term{r}{c}" for c in range(8)) for r in range(10)
+)
+_REP_DUP_LINE = "alpha bravo charlie delta echo foxtrot golf hotel"
+REP_DUPLINE_TEXT = "\n".join(
+    [_REP_DUP_LINE] * 7
+    + [" ".join(f"fill{r}{c}" for c in range(9)) for r in range(14)]
+)
+REP_TOPGRAM_TEXT = "\n".join(
+    [("alpha beta " * 30).strip()]
+    + [" ".join(f"tail{r}{c}" for c in range(9)) for r in range(10)]
+)
+_REP_VARIANTS = (REP_CLEAN_TEXT, REP_DUPLINE_TEXT, REP_TOPGRAM_TEXT)
+
+
+def rep_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, text): doc_id % 4 -> clean / line-repeat / gram-repeat
+    variant, or the document's own text."""
+    did = F.pmod(F.col("doc_id"), F.lit(4))
+    text = F.col("text")
+    for i, variant in enumerate(_REP_VARIANTS):
+        text = F.when(did == i, F.lit(variant)).otherwise(text)
+    return docs.select("doc_id", text.alias("text"))
+
+
+def rep_corpus_sql(source: str = "documents") -> str:
+    whens = "\n".join(
+        f"  WHEN doc_id % 4 = {i} THEN {_sql_str(v)}"
+        for i, v in enumerate(_REP_VARIANTS)
+    )
+    return f"""
+SELECT doc_id, CASE
+{whens}
+  ELSE text END AS text
+FROM {source}"""
 
 
 def gopher_corpus(docs: DataFrame) -> DataFrame:

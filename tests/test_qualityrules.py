@@ -97,6 +97,47 @@ def test_c4_all_bad_doc_empty_clean_text(spark):
     assert good["keep_doc"] == 1 and good["n_sentences"] >= 3
 
 
+def test_gopher_repetition_exact_counts(spark):
+    from geocode_spark.textops.qualityrules import gopher_repetition
+
+    # hand-computed: lines [ab, ab, cd] -> 'a b'x2 dup run; words
+    # a(1) b(1) a(1) b(1) c(1) d(1); top bigram 'a b' count 2, chars 2
+    row = gopher_repetition(
+        _one(spark, "a b\na b\nc d")
+    ).collect()[0]
+    assert row["n_lines"] == 3 and row["dup_lines"] == 2
+    assert row["line_chars"] == 9 and row["dup_line_chars"] == 6
+    assert row["word_chars"] == 6
+    # bigrams: (a,b)x2 (b,a)x1 (b,c)x1 (c,d)x1 -> top 'a b' 2 occ x 2 ch
+    assert row["top2_chars"] == 4
+    # trigrams each once; 3 word-chars each -> top mass 3
+    assert row["top3_chars"] == 3
+    assert row["top4_chars"] == 4  # 4-grams once, 4 word chars
+
+
+def test_gopher_repetition_variant_isolation(spark):
+    from geocode_spark.textops.qualityrules import (
+        REP_CLEAN_TEXT,
+        REP_DUPLINE_TEXT,
+        REP_TOPGRAM_TEXT,
+        gopher_repetition,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, REP_CLEAN_TEXT), (1, REP_DUPLINE_TEXT), (2, REP_TOPGRAM_TEXT)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_repetition(docs).collect()}
+    rep_flags = ("dupline_ok", "duplinechar_ok")
+    gram_flags = ("top2_ok", "top3_ok", "top4_ok")
+    assert all(rows[0][f] == 1 for f in rep_flags + gram_flags)
+    assert rows[0]["keep"] == 1
+    assert all(rows[1][f] == 0 for f in rep_flags)
+    assert all(rows[1][f] == 1 for f in gram_flags)
+    assert all(rows[2][f] == 1 for f in rep_flags)
+    assert all(rows[2][f] == 0 for f in gram_flags)
+
+
 def test_plan_shapes(spark):
     """gopher/c4 must stay zero-exchange projections; line dedup must
     stay hash-only (the packed-ordinal min exists precisely because
@@ -108,9 +149,12 @@ def test_plan_shapes(spark):
         [(i, f"line a\nline b{i}") for i in range(10)],
         "doc_id long, text string",
     )
+    from geocode_spark.textops.qualityrules import gopher_repetition
+
     for df in (
         gopher_quality(gopher_corpus(docs)),
         c4_line_filter(docs),
+        gopher_repetition(docs),
     ):
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
