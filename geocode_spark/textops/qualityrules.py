@@ -342,6 +342,117 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("keep", keep)
 
 
+# ---------------------------------------------- hashed linear classifier
+# fastText-style quality-classifier INFERENCE (Joulin et al. 2017; the
+# model-based filter stage of CCNet / LLaMA-style curation): tokens and
+# adjacent-token bigrams hash into FT_BUCKETS weight slots, the doc score
+# is the sum of slot weights. Weights here are a DETERMINISTIC SYNTHETIC
+# stand-in derived from the slot id (this sandbox ships no trained model
+# and no external data); the plumbing — hash -> bucket -> weight sum, all
+# integer, zero-shuffle — is the real inference path. A deployment with a
+# trained model swaps _ft_weight for a broadcast bucket->weight map
+# (model-sized, the lm.py broadcast discipline).
+FT_BUCKETS = 1 << 16
+_FT_MIX_A = 2654435761
+_FT_MIX_C = 40503
+_FT_MOD1 = 1000003
+_FT_MOD2 = 100001  # weights in [-50000, 50000] micro-units
+
+
+def _ft_bucket(word: Column) -> Column:
+    """Slot id in [0, FT_BUCKETS): first 8 md5 hex chars as an int —
+    the cross-dialect-stable hash (DuckDB twin: ('0x'||substr)::BIGINT).
+    All intermediates < 2^48, so ANSI-mode bigint arithmetic never
+    overflows."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(word), 1, 8), 16, 10).cast("bigint"),
+        F.lit(FT_BUCKETS).cast("bigint"),
+    )
+
+
+def _ft_weight(bucket: Column) -> Column:
+    return (
+        F.pmod(
+            F.pmod(
+                bucket * F.lit(_FT_MIX_A).cast("bigint")
+                + F.lit(_FT_MIX_C).cast("bigint"),
+                F.lit(_FT_MOD1).cast("bigint"),
+            ),
+            F.lit(_FT_MOD2).cast("bigint"),
+        )
+        - F.lit(50000).cast("bigint")
+    )
+
+
+def hashed_linear_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_terms, score_micro, label): hashed bag-of-{token,
+    bigram} linear score over case-folded whitespace tokens; label = 1
+    iff score_micro >= 0. Zero-exchange projection (plan-pinned);
+    integer-exact in both dialects."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = docs.select(
+        "doc_id", ws_word_array(F.lower(t)).alias("ws")
+    )
+    ws = F.col("ws")
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.select("doc_id", "ws", bigrams.alias("bg"))
+
+    def _wsum(arr):
+        return F.aggregate(
+            F.transform(arr, lambda x: _ft_weight(_ft_bucket(x))),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    score = (_wsum(F.col("ws")) + _wsum(F.col("bg"))).cast("bigint")
+    n_terms = (F.size(F.col("ws")) + F.size(F.col("bg"))).cast("bigint")
+    return staged.select(
+        "doc_id",
+        n_terms.alias("n_terms"),
+        score.alias("score_micro"),
+        _flag(score >= 0).alias("label"),
+    )
+
+
+def hashed_linear_score_oracle_sql(source: str = "documents") -> str:
+    def weight(expr: str) -> str:
+        bucket = f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT % {FT_BUCKETS})"
+        return (
+            f"((({bucket} * {_FT_MIX_A} + {_FT_MIX_C}) % {_FT_MOD1})"
+            f" % {_FT_MOD2} - 50000)"
+        )
+
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         {ws_word_array_sql("lower(COALESCE(text, ''))")} AS ws
+  FROM {source}
+), b AS (
+  SELECT doc_id, ws,
+         list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i + 1]) AS bg
+  FROM w
+), s AS (
+  SELECT doc_id,
+    CAST(len(ws) + len(bg) AS BIGINT) AS n_terms,
+    CAST(COALESCE(list_sum(list_transform(ws, x -> {weight("x")})), 0)
+       + COALESCE(list_sum(list_transform(bg, x -> {weight("x")})), 0)
+       AS BIGINT) AS score_micro
+  FROM b
+)
+SELECT doc_id, n_terms, score_micro,
+  CAST(CASE WHEN score_micro >= 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+FROM s"""
+
+
 # ------------------------------------------------------------- oracle twins
 def _sql_str(s: str) -> str:
     """SQL single-quoted literal of a python string; embedded newlines

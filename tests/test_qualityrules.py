@@ -138,6 +138,38 @@ def test_gopher_repetition_variant_isolation(spark):
     assert all(rows[2][f] == 0 for f in gram_flags)
 
 
+def test_hashed_linear_score_terms_and_determinism(spark):
+    from geocode_spark.textops.qualityrules import (
+        _FT_MIX_A,
+        _FT_MIX_C,
+        _FT_MOD1,
+        _FT_MOD2,
+        FT_BUCKETS,
+        hashed_linear_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "Alpha beta"), (1, "alpha  BETA"), (2, "solo"), (3, ""),
+         (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in hashed_linear_score(docs).collect()}
+    # case-folded and whitespace-normalized: same terms, same score
+    assert rows[0]["score_micro"] == rows[1]["score_micro"]
+    assert rows[0]["n_terms"] == 3  # 2 unigrams + 1 bigram
+    assert rows[2]["n_terms"] == 1 and rows[3]["n_terms"] == 0
+    assert rows[3]["score_micro"] == 0 and rows[4]["score_micro"] == 0
+    # python recomputation of the synthetic weight path
+    import hashlib
+
+    def weight(term):
+        b = int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % FT_BUCKETS
+        return (b * _FT_MIX_A + _FT_MIX_C) % _FT_MOD1 % _FT_MOD2 - 50000
+
+    expected = weight("alpha") + weight("beta") + weight("alpha beta")
+    assert rows[0]["score_micro"] == expected
+
+
 def test_plan_shapes(spark):
     """gopher/c4 must stay zero-exchange projections; line dedup must
     stay hash-only (the packed-ordinal min exists precisely because
@@ -149,12 +181,16 @@ def test_plan_shapes(spark):
         [(i, f"line a\nline b{i}") for i in range(10)],
         "doc_id long, text string",
     )
-    from geocode_spark.textops.qualityrules import gopher_repetition
+    from geocode_spark.textops.qualityrules import (
+        gopher_repetition,
+        hashed_linear_score,
+    )
 
     for df in (
         gopher_quality(gopher_corpus(docs)),
         c4_line_filter(docs),
         gopher_repetition(docs),
+        hashed_linear_score(docs),
     ):
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
