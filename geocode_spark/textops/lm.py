@@ -170,6 +170,105 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def perplexity_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll_micro, bucket): CCNet-style perplexity
+    bucketing (Wenzek et al. 2020) — documents ranked by average bigram-LM
+    negative log-likelihood and split into equal-count 'head' (lowest
+    NLL, best), 'middle', 'tail' terciles; docs with no bigrams get
+    avg_nll_micro = -1 (sentinel, keeps the column int64) and bucket
+    'unscored'.
+
+    Thresholds are EXACT discrete terciles: t_k = smallest avg value whose
+    cumulative count reaches ceil(k*N/3). Scale shape: the per-value
+    distribution relation is bounded by |distinct integer micro-nat
+    averages| (value-domain-bounded, the same justification as
+    length_quantiles' count-map state), so the single ordered window pass
+    over it is model-scale, never corpus-scale; the two thresholds then
+    broadcast back into a corpus-sized projection. Integer `div`
+    throughout — no float crosses the engine/oracle boundary."""
+    scored = bigram_lm_score(docs, text_col).select(
+        "doc_id",
+        "n_bigrams",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.expr("nll_micro div n_bigrams"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("avg_nll_micro"),
+    )
+    dist = (
+        scored.filter(F.col("avg_nll_micro") >= 0)
+        .groupBy("avg_nll_micro")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w_cum = Window.orderBy("avg_nll_micro").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.orderBy("avg_nll_micro").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = dist.select(
+        "avg_nll_micro",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("tot"),
+    )
+    thr = cum.agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(tot + 2) div 3"),
+                F.col("avg_nll_micro"),
+            )
+        ).alias("t1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(2 * tot + 2) div 3"),
+                F.col("avg_nll_micro"),
+            )
+        ).alias("t2"),
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_bigrams",
+        "avg_nll_micro",
+        F.when(F.col("avg_nll_micro") < 0, F.lit("unscored"))
+        .when(F.col("avg_nll_micro") <= F.col("t1"), F.lit("head"))
+        .when(F.col("avg_nll_micro") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def perplexity_buckets_oracle_sql(source: str = "documents") -> str:
+    return f"""
+WITH base AS ({bigram_lm_oracle_sql(source)}),
+scored AS (
+  SELECT doc_id, n_bigrams,
+         CAST(CASE WHEN n_bigrams > 0 THEN nll_micro // n_bigrams
+                   ELSE -1 END AS BIGINT) AS avg_nll_micro
+  FROM base
+), dist AS (
+  SELECT avg_nll_micro, CAST(count(*) AS BIGINT) AS c
+  FROM scored WHERE avg_nll_micro >= 0 GROUP BY avg_nll_micro
+), cum AS (
+  SELECT avg_nll_micro,
+         sum(c) OVER (ORDER BY avg_nll_micro) AS cum,
+         sum(c) OVER () AS tot
+  FROM dist
+), thr AS (
+  SELECT min(CASE WHEN cum >= (tot + 2) // 3 THEN avg_nll_micro END) AS t1,
+         min(CASE WHEN cum >= (2 * tot + 2) // 3 THEN avg_nll_micro END)
+           AS t2
+  FROM cum
+)
+SELECT s.doc_id, s.n_bigrams, s.avg_nll_micro,
+  CASE WHEN s.avg_nll_micro < 0 THEN 'unscored'
+       WHEN s.avg_nll_micro <= thr.t1 THEN 'head'
+       WHEN s.avg_nll_micro <= thr.t2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM scored s CROSS JOIN thr"""
+
+
 def dsir_log_ratio(
     docs: DataFrame,
     target_source: str = "src0",

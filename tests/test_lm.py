@@ -192,3 +192,42 @@ def test_bpe_merge_steps_effect_size(spark, sf_dir):
         for i, r in enumerate(rows)
     )
     assert all(r.cnt >= 1 for r in rows)
+
+
+def test_perplexity_buckets_semantics(spark):
+    """Exact discrete terciles over hand-sized score groups: three docs
+    per distinct average NLL tier, ties share a bucket, short docs get
+    the -1 sentinel and 'unscored'."""
+    from geocode_spark.textops.lm import perplexity_buckets
+
+    # three fluency tiers: repeated common bigrams (low NLL) vs
+    # mixed vs all-distinct words (high NLL under the corpus's own LM)
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b a b"),
+            (1, "a b a b c d c d"),
+            (2, "q w e r t y u i"),
+            (3, "solo"),  # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in perplexity_buckets(docs).collect()}
+    assert rows[3]["avg_nll_micro"] == -1
+    assert rows[3]["bucket"] == "unscored"
+    scored = [rows[i] for i in (0, 1, 2)]
+    # ordering: more repeated structure -> lower avg NLL -> earlier bucket
+    nlls = [r["avg_nll_micro"] for r in scored]
+    assert nlls == sorted(nlls)
+    assert [r["bucket"] for r in scored] == ["head", "middle", "tail"]
+
+
+def test_perplexity_buckets_tie_sharing(spark):
+    from geocode_spark.textops.lm import perplexity_buckets
+
+    # identical docs -> identical avg NLL -> ONE bucket for all of them
+    docs = spark.createDataFrame(
+        [(i, "same text in every document here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    rows = perplexity_buckets(docs).collect()
+    assert len({r.bucket for r in rows}) == 1 and rows[0].bucket == "head"
