@@ -136,17 +136,68 @@ def resize_plan(pages: DataFrame, max_dim: int = DEFAULT_MAX_DIM) -> DataFrame:
                     tw.alias("target_w"), th.alias("target_h"))
 
 
-def decode_image(pages: DataFrame, fake: bool = False) -> DataFrame:
-    """Pixel decode. STUB: no image library exists in this environment.
+def has_image_library() -> bool:
+    """Optional-dependency probe: True iff PIL is importable. The sandbox
+    ships no image library, so the real decode path below is exercised
+    only in environments that do (the probe keeps the capability gate
+    honest instead of hardcoding 'not available')."""
+    try:
+        import PIL.Image  # noqa: F401
 
-    fake=True emits deterministic header-derived pseudo-features (f0..f2) so
-    the downstream contract (schema, batching, oracle compare) is exercised;
-    fake=False raises NotImplementedError at plan-build time, by design."""
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(pages: DataFrame, fake: bool = False) -> DataFrame:
+    """Pixel decode to mean-channel features.
+
+    fake=True emits deterministic header-derived pseudo-features (f0..f2)
+    so the downstream contract (schema, batching, oracle compare) is
+    exercised without a decoder. fake=False requires a real image library
+    (probed via has_image_library); when present, decodes each binary
+    payload in an Arrow-batched kernel and emits per-channel means into
+    the SAME (url, f0, f1, f2) schema — when absent it raises
+    NotImplementedError at plan-build time."""
     if not fake:
-        raise NotImplementedError(
-            "pixel decode requires an image library (PIL/opencv) — not "
-            "available in this environment; pass fake=True for the "
-            "deterministic plumbing-test features"
+        if not has_image_library():
+            raise NotImplementedError(
+                "pixel decode requires an image library (PIL) — not "
+                "available in this environment; pass fake=True for the "
+                "deterministic plumbing-test features"
+            )
+        import pandas as pd  # noqa: F401 — worker-side imports below
+
+        def kernel(batches):
+            import io
+
+            import pandas as pd
+            from PIL import Image
+
+            for pdf in batches:
+                feats = []
+                for payload in pdf["html"]:
+                    try:
+                        img = Image.open(io.BytesIO(payload)).convert("RGB")
+                        px = img.resize((8, 8)).getdata()
+                        chans = list(zip(*px))
+                        feats.append(
+                            [int(sum(c) // len(c)) for c in chans[:3]]
+                        )
+                    except Exception:
+                        feats.append([-1, -1, -1])
+                out = pd.DataFrame(
+                    {
+                        "url": pdf["url"],
+                        "f0": [f[0] for f in feats],
+                        "f1": [f[1] for f in feats],
+                        "f2": [f[2] for f in feats],
+                    }
+                )
+                yield out
+
+        return pages.select("url", "html").mapInPandas(
+            kernel, "url string, f0 bigint, f1 bigint, f2 bigint"
         )
     m = image_meta(pages)
     w, h = F.col("width"), F.col("height")

@@ -243,14 +243,23 @@ def test_resize_plan_preserves_aspect_bound(spark):
     assert (small.target_w == small.width).all()
 
 
-def test_decode_image_requires_fake_flag(spark):
+def test_decode_image_probe_gates_real_path(spark):
     from geocode_spark.fixtures import ensure_fixtures
-    from geocode_spark.textops.multimodal import decode_image
+    from geocode_spark.textops.multimodal import (
+        decode_image,
+        has_image_library,
+    )
 
     fix = str(ensure_fixtures(SF_DIR))
     pages = spark.read.parquet(f"{fix}/pages.parquet")
-    with pytest.raises(NotImplementedError):
-        decode_image(pages)
+    if has_image_library():
+        # real path: same schema contract; fixture payloads are not
+        # valid images, so every row takes the (-1,-1,-1) error lane
+        out = decode_image(pages).limit(5).toPandas()
+        assert set(out.columns) == {"url", "f0", "f1", "f2"}
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_image(pages)
     out = decode_image(pages, fake=True).limit(5).toPandas()
     assert set(out.columns) == {"url", "f0", "f1", "f2"}
 
