@@ -130,9 +130,13 @@ def line_dedup_keep_first(docs: DataFrame,
     checked in tests). The packing bounds (doc_id < 2^42, < 2^21
     lines per doc) are raise_error-guarded, not assumed.
     """
+    # coalesce NULL text: split(NULL) explodes to zero rows and the doc
+    # would VANISH from the output instead of surviving as ('', 1, 0)
     lines = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     ordinal = F.when(
         (F.col("doc_id") >= 0)
@@ -176,7 +180,9 @@ def line_dedup_keep_first_oracle_sql(lines_source_sql: str) -> str:
     formulation is clearer in SQL; the engine's min-struct + join is
     the shuffle-cheaper equivalent."""
     return f"""
-WITH src AS ({lines_source_sql}),
+WITH src AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM ({lines_source_sql})
+),
 lines AS (
   SELECT doc_id,
          unnest(string_split(text, chr(10))) AS line,

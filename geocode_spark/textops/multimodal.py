@@ -3,18 +3,21 @@
 The pages fixture carries an `html: binary` column whose payload is a
 deterministic synthetic image container: magic b"FIMG" + big-endian uint16
 (width, height) + a text excerpt. Real image/audio decode libraries are NOT
-installed in this environment, so the decode KERNELS are stubbed — but the
-Spark-side plumbing (binary column handling, Arrow-batched pandas UDFs over
-mapInPandas, schema contracts, per-row fan-out for frame sampling) is real
-and oracle-checked:
+installed in this environment, so decode_image's real lane is gated behind
+an optional-dependency probe (has_image_library) and its deterministic fake
+lane carries the gate — the Spark-side plumbing (binary column handling,
+Arrow-batched pandas UDFs over mapInPandas, schema contracts, per-row
+fan-out for frame sampling) is real and oracle-checked:
 
   image_meta    — header parse (magic/width/height/bytes/aspect) in a pandas
                   UDF; DuckDB oracle re-parses the SAME bytes via hex-digit
                   arithmetic, so the two independent binary decoders must agree.
   resize_plan   — aspect-preserving target dims (pure arithmetic).
-  decode_image  — pixel decode stub: raises NotImplementedError unless
-                  fake=True, which emits deterministic hash-like features that
-                  the oracle reproduces (keeps the contract testable end to end).
+  decode_image  — pixel decode: with PIL present, an Arrow-batched kernel
+                  emits per-channel means; without it (this sandbox), raises
+                  NotImplementedError unless fake=True, which emits
+                  deterministic hash-like features that the oracle reproduces
+                  (keeps the contract testable end to end either way).
   frame_sample  — pretend-video frame sampling: byte-length-derived frame
                   count, strided index explode (real per-frame fan-out shape).
   audio_meta    — treat post-header bytes as 8-bit PCM samples: sample count,
@@ -166,8 +169,6 @@ def decode_image(pages: DataFrame, fake: bool = False) -> DataFrame:
                 "available in this environment; pass fake=True for the "
                 "deterministic plumbing-test features"
             )
-        import pandas as pd  # noqa: F401 — worker-side imports below
-
         def kernel(batches):
             import io
 

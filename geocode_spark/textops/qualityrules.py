@@ -66,6 +66,9 @@ C4_BAD_PHRASES = (
 )
 C4_MIN_LINE_WORDS = 5
 C4_MIN_SENTENCES = 3
+# one sentence = a terminal mark followed by whitespace (a sentinel
+# newline is appended before counting so the final mark counts)
+SENTENCE_RE = r"([.!?][ \t\r\n])"
 
 
 def _flag(cond: Column) -> Column:
@@ -80,57 +83,63 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     alpha_ok, stop_ok, keep): the Gopher rule set per document — raw
     counts, one 0/1 flag per rule, and the conjunction."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    ws = ws_word_array(t)
-    lines = F.split(t, "\n")
-    n_words = F.size(ws).cast("bigint")
-    n_chars = F.aggregate(
-        F.transform(ws, F.length),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x.cast("bigint"),
-    )
-    n_lines = F.size(lines).cast("bigint")
-    n_sym = F.size(
-        F.regexp_extract_all(t, F.lit(SYMBOL_RE), 1)
-    ).cast("bigint")
-    n_bullet = F.size(
-        F.filter(lines, lambda line: line.rlike(BULLET_RE))
-    ).cast("bigint")
-    n_ellipsis = F.size(
-        F.filter(lines, lambda line: line.rlike(ELLIPSIS_RE))
-    ).cast("bigint")
-    n_alpha = F.size(
-        F.filter(ws, lambda word: word.rlike(ALPHA_RE))
-    ).cast("bigint")
-    ws_low = F.transform(ws, F.lower)
-    n_stop = sum(
-        (
-            F.array_contains(ws_low, s).cast("bigint")
-            for s in GOPHER_STOPWORDS
-        ),
-        F.lit(0).cast("bigint"),
-    )
-    flags = {
-        "wc_ok": (n_words >= 50) & (n_words <= 100000),
-        "mwl_ok": (n_words > 0)
-        & (3 * n_words <= n_chars)
-        & (n_chars <= 10 * n_words),
-        "sym_ok": 10 * n_sym <= n_words,
-        "bullet_ok": 10 * n_bullet <= 9 * n_lines,
-        "ellipsis_ok": 10 * n_ellipsis <= 3 * n_lines,
-        "alpha_ok": (n_words > 0) & (5 * n_alpha >= 4 * n_words),
-        "stop_ok": n_stop >= 2,
-    }
-    out = docs.select(
+    # stage the tokenized arrays as real columns (the sibling operators'
+    # measured staging lesson): inlined, the ws_word_array tree would be
+    # embedded in ~11 sibling expressions — counts plus 8 stopword probes
+    staged = docs.select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_chars.alias("n_chars"),
-        n_lines.alias("n_lines"),
-        n_sym.alias("n_sym"),
-        n_bullet.alias("n_bullet"),
-        n_ellipsis.alias("n_ellipsis"),
-        n_alpha.alias("n_alpha"),
-        n_stop.alias("n_stop"),
-        *[_flag(cond).alias(name) for name, cond in flags.items()],
+        ws_word_array(t).alias("ws"),
+        F.split(t, "\n").alias("lines"),
+        F.size(F.regexp_extract_all(t, F.lit(SYMBOL_RE), 1))
+        .cast("bigint")
+        .alias("n_sym"),
+    )
+    staged = staged.select(
+        "*", F.transform(F.col("ws"), F.lower).alias("wsl")
+    )
+    ws, lines = F.col("ws"), F.col("lines")
+    staged = staged.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(ws, F.length),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint"),
+        ).alias("n_chars"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        "n_sym",
+        F.size(F.filter(lines, lambda line: line.rlike(BULLET_RE)))
+        .cast("bigint")
+        .alias("n_bullet"),
+        F.size(F.filter(lines, lambda line: line.rlike(ELLIPSIS_RE)))
+        .cast("bigint")
+        .alias("n_ellipsis"),
+        F.size(F.filter(ws, lambda word: word.rlike(ALPHA_RE)))
+        .cast("bigint")
+        .alias("n_alpha"),
+        sum(
+            (
+                F.array_contains(F.col("wsl"), s).cast("bigint")
+                for s in GOPHER_STOPWORDS
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("n_stop"),
+    )
+    c = F.col
+    flags = {
+        "wc_ok": (c("n_words") >= 50) & (c("n_words") <= 100000),
+        "mwl_ok": (c("n_words") > 0)
+        & (3 * c("n_words") <= c("n_chars"))
+        & (c("n_chars") <= 10 * c("n_words")),
+        "sym_ok": 10 * c("n_sym") <= c("n_words"),
+        "bullet_ok": 10 * c("n_bullet") <= 9 * c("n_lines"),
+        "ellipsis_ok": 10 * c("n_ellipsis") <= 3 * c("n_lines"),
+        "alpha_ok": (c("n_words") > 0)
+        & (5 * c("n_alpha") >= 4 * c("n_words")),
+        "stop_ok": c("n_stop") >= 2,
+    }
+    out = staged.select(
+        "*", *[_flag(cond).alias(name) for name, cond in flags.items()]
     )
     keep = F.lit(1).cast("bigint")
     for name in flags:
@@ -161,8 +170,15 @@ def c4_line_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
     kept = F.filter(lines, keep_line)
     clean = F.array_join(kept, "\n")
     n_kept = F.size(kept).cast("bigint")
+    # sentence = terminal mark followed by whitespace or end-of-text
+    # (sentinel newline appended so the final mark counts). RE2 has no
+    # lookahead, so the boundary is consumed — non-overlapping scan still
+    # counts 'a. b. c.' as 3 and 'version 2.5.1' as 0, the point of the
+    # rule (a bare character count called one sentence per '.').
     n_sentences = F.size(
-        F.regexp_extract_all(clean, F.lit("([.!?])"), 1)
+        F.regexp_extract_all(
+            F.concat(clean, F.lit("\n")), F.lit(SENTENCE_RE), 1
+        )
     ).cast("bigint")
     return docs.select(
         "doc_id",
@@ -552,9 +568,10 @@ WITH g AS (
   FROM k
 )
 SELECT doc_id, clean_text, n_lines_kept, n_lines_removed,
-  CAST(len(regexp_extract_all(clean_text, '([.!?])', 1)) AS BIGINT)
-    AS n_sentences,
-  CAST(CASE WHEN len(regexp_extract_all(clean_text, '([.!?])', 1))
+  CAST(len(regexp_extract_all(clean_text || chr(10), '{SENTENCE_RE}', 1))
+    AS BIGINT) AS n_sentences,
+  CAST(CASE WHEN
+    len(regexp_extract_all(clean_text || chr(10), '{SENTENCE_RE}', 1))
     >= {C4_MIN_SENTENCES} THEN 1 ELSE 0 END AS BIGINT) AS keep_doc
 FROM c"""
 
@@ -712,68 +729,59 @@ REP_TOPGRAM_TEXT = "\n".join(
 _REP_VARIANTS = (REP_CLEAN_TEXT, REP_DUPLINE_TEXT, REP_TOPGRAM_TEXT)
 
 
-def rep_corpus(docs: DataFrame) -> DataFrame:
-    """(doc_id, text): doc_id % 4 -> clean / line-repeat / gram-repeat
-    variant, or the document's own text."""
-    did = F.pmod(F.col("doc_id"), F.lit(4))
+def _variant_corpus(docs: DataFrame, variants, mod: int) -> DataFrame:
+    """(doc_id, text): pmod(doc_id, mod) selects a crafted variant (by
+    index) or, past the variants, the document's own text — THE shared
+    injection shape for every gate corpus in this module."""
+    did = F.pmod(F.col("doc_id"), F.lit(mod))
     text = F.col("text")
-    for i, variant in enumerate(_REP_VARIANTS):
+    for i, variant in enumerate(variants):
         text = F.when(did == i, F.lit(variant)).otherwise(text)
     return docs.select("doc_id", text.alias("text"))
 
 
-def rep_corpus_sql(source: str = "documents") -> str:
+def _variant_corpus_sql(variants, mod: int, source: str) -> str:
+    # ((x % m) + m) % m == Spark's pmod for negative doc_ids too —
+    # DuckDB's % is sign-preserving, and a bare `doc_id % m` would fall
+    # through every WHEN arm for negative ids while the engine injects
     whens = "\n".join(
-        f"  WHEN doc_id % 4 = {i} THEN {_sql_str(v)}"
-        for i, v in enumerate(_REP_VARIANTS)
+        f"  WHEN ((doc_id % {mod}) + {mod}) % {mod} = {i}"
+        f" THEN {_sql_str(v)}"
+        for i, v in enumerate(variants)
     )
     return f"""
 SELECT doc_id, CASE
 {whens}
   ELSE text END AS text
 FROM {source}"""
+
+
+def rep_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, text): doc_id % 4 -> clean / line-repeat / gram-repeat
+    variant, or the document's own text."""
+    return _variant_corpus(docs, _REP_VARIANTS, 4)
+
+
+def rep_corpus_sql(source: str = "documents") -> str:
+    return _variant_corpus_sql(_REP_VARIANTS, 4, source)
 
 
 def gopher_corpus(docs: DataFrame) -> DataFrame:
     """(doc_id, text): rule-variant injection over the documents table —
     doc_id % 8 picks one of the seven crafted variants (each isolating a
     rule) or, for 7, the document's own text."""
-    did = F.pmod(F.col("doc_id"), F.lit(8))
-    text = F.col("text")
-    for i, variant in enumerate(_GOPHER_VARIANTS):
-        text = F.when(did == i, F.lit(variant)).otherwise(text)
-    return docs.select("doc_id", text.alias("text"))
+    return _variant_corpus(docs, _GOPHER_VARIANTS, 8)
 
 
 def gopher_corpus_sql(source: str = "documents") -> str:
-    whens = "\n".join(
-        f"  WHEN doc_id % 8 = {i} THEN {_sql_str(v)}"
-        for i, v in enumerate(_GOPHER_VARIANTS)
-    )
-    return f"""
-SELECT doc_id, CASE
-{whens}
-  ELSE text END AS text
-FROM {source}"""
+    return _variant_corpus_sql(_GOPHER_VARIANTS, 8, source)
 
 
 def c4_corpus(docs: DataFrame) -> DataFrame:
     """(doc_id, text): doc_id % 4 -> fully-good doc / mixed doc /
     all-bad doc / the document's own text."""
-    did = F.pmod(F.col("doc_id"), F.lit(4))
-    text = F.col("text")
-    for i, variant in enumerate(_C4_VARIANTS):
-        text = F.when(did == i, F.lit(variant)).otherwise(text)
-    return docs.select("doc_id", text.alias("text"))
+    return _variant_corpus(docs, _C4_VARIANTS, 4)
 
 
 def c4_corpus_sql(source: str = "documents") -> str:
-    whens = "\n".join(
-        f"  WHEN doc_id % 4 = {i} THEN {_sql_str(v)}"
-        for i, v in enumerate(_C4_VARIANTS)
-    )
-    return f"""
-SELECT doc_id, CASE
-{whens}
-  ELSE text END AS text
-FROM {source}"""
+    return _variant_corpus_sql(_C4_VARIANTS, 4, source)

@@ -196,8 +196,9 @@ def test_plan_shapes(spark):
             df._jdf.queryExecution(), "formatted"
         )
         assert "Exchange" not in plan
-    plan = line_dedup_keep_first(docs)._sc._jvm.PythonSQLUtils.explainString(
-        line_dedup_keep_first(docs)._jdf.queryExecution(), "formatted"
+    ld = line_dedup_keep_first(docs)
+    plan = ld._sc._jvm.PythonSQLUtils.explainString(
+        ld._jdf.queryExecution(), "formatted"
     )
     assert "SortAggregate" not in plan
     assert "SortMergeJoin" not in plan
