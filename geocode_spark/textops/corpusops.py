@@ -571,3 +571,171 @@ SELECT doc_id,
             ELSE 0.0 END AS repetition_ratio
 FROM base
 """
+
+
+# ------------------------------------------------------------ BM25 retrieval
+# Okapi BM25 (Robertson & Zaragoza 2009) with the Lucene non-negative idf
+# variant: idf = ln((N - df + 0.5) / (df + 0.5) + 1). Free parameters at
+# the standard defaults.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("hash", "join", "vector")  # gate query over the fixture corpus
+_MICRO = 1000000.0
+
+
+def bm25_topk(
+    docs: DataFrame, query: tuple = BM25_QUERY, k: int = 10
+) -> DataFrame:
+    """(doc_id, score_micro, rank): the top-k documents for a fixed query
+    term set under BM25 — the ranked-retrieval primitive a curation
+    pipeline uses for targeted selection and retrieval-based
+    decontamination (find the corpus docs closest to a benchmark query).
+
+    Scale shape: the query is a SMALL FIXED term set, so nothing ever
+    explodes — per-doc term frequencies are `size(filter(toks, = term))`
+    array projections computed in the same zero-exchange scan as dl, the
+    corpus statistics (N, avgdl, per-term df) are ONE metadata-sized
+    1-row aggregate broadcast back, and the final top-k is
+    TakeOrderedAndProject (per-partition top-k, then a k-row merge at the
+    driver side of the plan — never a global sort). At 100 TB the whole
+    query is scan-bound plus one 1-row exchange.
+
+    Integer-exactness: each per-term partial score is quantized to int64
+    micro-units BEFORE the per-doc sum (the lm.py discipline), so the
+    cross-term addition is order-exact; idf passes through round(·, 6)
+    first so a 1-ulp ln() divergence between Java and libm cannot reach
+    the quantizer (the tfidf_top_terms argument). Constants are combined
+    ONLY inside the expression tree (`1.0 + k1`, `1.0 - b`), never
+    pre-folded in Python, so the engine and the DuckDB twin execute the
+    same IEEE operation sequence.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col("text"), F.lit(""))), F.lit(TOKEN_RE)
+    )
+    staged = docs.select("doc_id", toks.alias("toks"))
+    def _tf(i: int, q: str):
+        # one-arg lambda: a two-arg lambda would make F.filter pass
+        # (element, index) and silently compare tokens to positions
+        return (
+            F.size(F.filter(F.col("toks"), lambda w: w == F.lit(q)))
+            .cast("bigint")
+            .alias(f"tf_{i}")
+        )
+
+    tf_cols = [_tf(i, q) for i, q in enumerate(query)]
+    per = staged.select(
+        "doc_id", F.size("toks").cast("bigint").alias("dl"), *tf_cols
+    )
+    stats = per.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias(
+            "avgdl"
+        ),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{i}")
+            for i in range(len(query))
+        ],
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+
+    def term_micro(i: int):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfq = F.col(f"df_{i}").cast("double")
+        idf6 = F.round(
+            F.log(
+                (F.col("n_docs").cast("double") - dfq + F.lit(0.5))
+                / (dfq + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            6,
+        )
+        den = tf + k1 * (
+            F.lit(1.0)
+            - b
+            + b * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        sm = F.round(idf6 * ((tf * (F.lit(1.0) + k1)) / den) * F.lit(_MICRO), 0)
+        return F.when(F.col(f"tf_{i}") > 0, sm.cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
+    matched = sum(F.col(f"tf_{i}") for i in range(len(query)))
+    scored = (
+        per.join(F.broadcast(stats))
+        .withColumn(
+            "score_micro",
+            sum(term_micro(i) for i in range(len(query))).cast("bigint"),
+        )
+        .filter(matched > 0)
+        .select("doc_id", "score_micro")
+    )
+    top = scored.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def bm25_topk_oracle_sql(
+    source: str = "documents", query: tuple = BM25_QUERY, k: int = 10
+) -> str:
+    """DuckDB twin of bm25_topk — the identical IEEE operation sequence
+    (same literals, same parenthesization, round(·,6) on idf, int64
+    micro-unit quantization before the cross-term sum)."""
+    n = len(query)
+    tf_sel = ",\n         ".join(
+        f"CAST(len(list_filter(toks, w -> w = '{q}')) AS BIGINT) AS tf_{i}"
+        for i, q in enumerate(query)
+    )
+    df_sel = ",\n       ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{i}"
+        for i in range(n)
+    )
+    def term_sql(i: int) -> str:
+        idf = (
+            f"round(ln((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE)"
+            f" + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0), 6)"
+        )
+        den = (
+            f"(CAST(tf_{i} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B}"
+            f" + {BM25_B} * (CAST(dl AS DOUBLE) / avgdl)))"
+        )
+        sm = (
+            f"CAST(round({idf} * ((CAST(tf_{i} AS DOUBLE)"
+            f" * (1.0 + {BM25_K1})) / {den}) * {_MICRO}, 0) AS BIGINT)"
+        )
+        return f"CASE WHEN tf_{i} > 0 THEN {sm} ELSE CAST(0 AS BIGINT) END"
+
+    terms = "\n         + ".join(term_sql(i) for i in range(n))
+    matched = " + ".join(f"tf_{i}" for i in range(n))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '{TOKEN_RE}', 1)
+           AS toks
+  FROM {source}
+), per AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         {tf_sel}
+  FROM base
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+       {df_sel}
+  FROM per
+), scored AS (
+  SELECT doc_id,
+         CAST({terms} AS BIGINT) AS score_micro
+  FROM per CROSS JOIN st
+  WHERE {matched} > 0
+)
+SELECT doc_id, score_micro,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT)
+         AS rank
+FROM scored
+ORDER BY score_micro DESC, doc_id
+LIMIT {int(k)}
+"""

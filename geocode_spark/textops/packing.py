@@ -504,3 +504,137 @@ def url_dedup(urls: DataFrame, key: str = "doc_id",
             F.count("*").alias("n_variants"),
         )
     )
+
+
+# ---------------------------------------------------- domain blocklist filter
+# Every production crawl pipeline's first gate (C4 blocks its "bad words"
+# domains; RefinedWeb/FineWeb ship curated blocklists): drop a page when
+# its host IS a blocked domain or is any SUBDOMAIN of one (label-boundary
+# suffix match — "cdn.media.example5.com" matches blocked "example5.com"
+# but "notexample5.com" does not).
+BLOCKED_DOMAINS = (
+    "example5.com",          # blocks every .com variant of group 5
+    "media.example7.com",    # blocks only the cdn.media variant of group 7
+    "www.example11.com",     # blocks only the www variant of group 11
+    "example9.org",          # blocks only the .org variant of group 9
+    "example999.com",        # matches nothing — pins inert blocklist rows
+)
+HOST_FROM_URL_RE = r"^[a-z]+://([^/:?#]+)"
+
+
+def default_blocklist(spark) -> DataFrame:
+    """The fixed gate blocklist as a 1-column relation. Real deployments
+    swap in a read of their curated list; everything downstream only
+    assumes the relation is metadata-scale (blocklists are ~10^5-10^6
+    rows — broadcast-sized by nature)."""
+    return spark.createDataFrame(
+        [(d,) for d in BLOCKED_DOMAINS], "domain string"
+    )
+
+
+def synthetic_frontier_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, url): a deterministic frontier with SUBDOMAIN structure —
+    the url_dedup synthetic corpus (above) exercises canonicalization but
+    its hosts are all 2-label, so it cannot gate suffix matching. Groups
+    of 4 doc_ids share a site number N = (doc_id//4) % 50; the 4 variants
+    are the bare host, a www subdomain, a 2-deep cdn.media subdomain, and
+    a sibling .org host."""
+    n = ((F.col("doc_id") / F.lit(4)).cast("bigint") % 50).cast("string")
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    site = F.concat(F.lit("example"), n)
+    host = (
+        F.when(v == 0, F.concat(site, F.lit(".com")))
+        .when(v == 1, F.concat(F.lit("www."), site, F.lit(".com")))
+        .when(v == 2, F.concat(F.lit("cdn.media."), site, F.lit(".com")))
+        .otherwise(F.concat(site, F.lit(".org")))
+    )
+    url = F.concat(
+        F.lit("http://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def synthetic_frontier_corpus_sql(source: str = "documents") -> str:
+    """DuckDB twin of synthetic_frontier_corpus."""
+    n = "CAST(CAST(doc_id // 4 AS BIGINT) % 50 AS VARCHAR)"
+    site = f"concat('example', {n})"
+    return f"""
+SELECT doc_id,
+       concat('http://',
+              CASE doc_id % 4
+                WHEN 0 THEN concat({site}, '.com')
+                WHEN 1 THEN concat('www.', {site}, '.com')
+                WHEN 2 THEN concat('cdn.media.', {site}, '.com')
+                ELSE concat({site}, '.org')
+              END,
+              '/p/', CAST(doc_id AS VARCHAR)) AS url
+FROM {source}"""
+
+
+def blocklist_filter(frontier: DataFrame, blocklist: DataFrame) -> DataFrame:
+    """(doc_id, host, blocked_domain, keep): label-boundary suffix match of
+    each URL's host against a blocked-domain relation; keep=0 when any
+    suffix (down to 2 labels) is listed, blocked_domain = the
+    lexicographically smallest matching entry (deterministic under
+    multi-hit).
+
+    Scale shape: the per-host candidate set is its own >= 2-label suffix
+    list — bounded by label count, never corpus-sized fan-out beyond
+    ~4x — equi-joined against the BROADCAST blocklist (metadata-scale by
+    nature); only the HITS relation (blocked docs) aggregates and joins
+    back, which AQE broadcasts when small. The corpus-sized side is never
+    shuffled: one scan + one bounded explode + a broadcast join each way.
+    """
+    host = F.lower(F.regexp_extract("url", HOST_FROM_URL_RE, 1))
+    hosts = frontier.select("doc_id", host.alias("host"))
+    labels = F.split(F.col("host"), r"\.")
+    sufs = F.when(
+        F.size(labels) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(labels) - 1),
+            lambda i: F.array_join(
+                F.slice(labels, i, F.size(labels) - i + 1), "."
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hits = (
+        hosts.select("doc_id", F.explode(sufs).alias("domain"))
+        .join(F.broadcast(blocklist), "domain")
+        .groupBy("doc_id")
+        .agg(F.min("domain").alias("blocked_domain"))
+    )
+    return hosts.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "host",
+        "blocked_domain",
+        F.when(F.col("blocked_domain").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("keep"),
+    )
+
+
+def blocklist_filter_oracle_sql(source: str = "documents") -> str:
+    """DuckDB twin of blocklist_filter over the synthetic frontier."""
+    bl = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+    return f"""
+WITH bl AS (
+  SELECT unnest([{bl}]) AS domain
+), hosts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '{HOST_FROM_URL_RE}', 1)) AS host
+  FROM ({synthetic_frontier_corpus_sql(source)})
+), suf AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(labels)),
+                i -> array_to_string(labels[i:], '.'))) AS domain
+  FROM (SELECT doc_id, string_split(host, '.') AS labels FROM hosts)
+), hits AS (
+  SELECT s.doc_id, min(s.domain) AS blocked_domain
+  FROM suf s JOIN bl USING (domain)
+  GROUP BY s.doc_id
+)
+SELECT h.doc_id, h.host, hits.blocked_domain,
+       CAST(CASE WHEN hits.blocked_domain IS NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+FROM hosts h LEFT JOIN hits USING (doc_id)"""
