@@ -33,7 +33,8 @@ spark.sparkContext.setLogLevel("ERROR")
 qs = e.queries()
 for name in ("geocode_wgs84", "utm_wgs84_roundtrip", "image_bytehash",
              "image_hash_pairs", "bigram_lm_score", "bpe_pair_stats",
-             "span_dup_stats", "span_dedup_rewrite"):
+             "span_dup_stats", "span_dedup_rewrite",
+             "winnow_fingerprints"):
     n = qs[name](spark, %(sf)r).count()
     print(f"DONE {name} {n}", flush=True)
 """
@@ -50,7 +51,8 @@ def test_codegen_compiles_projection_and_dhash_families(sf_dir):
     assert proc.returncode == 0, f"probe failed:\n{err[-3000:]}"
     for name in ("geocode_wgs84", "utm_wgs84_roundtrip", "image_bytehash",
                  "image_hash_pairs", "bigram_lm_score", "bpe_pair_stats",
-                 "span_dup_stats", "span_dedup_rewrite"):
+                 "span_dup_stats", "span_dedup_rewrite",
+             "winnow_fingerprints"):
         assert f"DONE {name} " in out, f"{name} did not complete:\n{out}"
     for marker in ("Failed to compile", "grows beyond 64 KB"):
         assert marker not in err, (
