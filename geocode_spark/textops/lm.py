@@ -578,8 +578,21 @@ def bpe_merge_steps(
     semantics via an independent algorithm (match islands + alternating
     selection), so the gate cross-checks the fold, not itself.
     """
-    steps = int(steps)
-    spark = docs.sparkSession
+    merges, _ = _bpe_merge_loop(docs, text_col, int(steps))
+    return docs.sparkSession.createDataFrame(
+        merges, "step bigint, lhs string, rhs string, merged string, cnt bigint"
+    )
+
+
+def _bpe_merge_loop(
+    docs: DataFrame, text_col: str, steps: int, keep_word: bool = False
+):
+    """The shared K-round merge loop behind bpe_merge_steps and
+    bpe_encode_tokens: returns (merges, syms) where merges is the
+    [(step, lhs, rhs, merged, cnt)] winner list and syms is the final
+    vocab-bounded symbol relation — (c, syms), plus the word column `w`
+    when keep_word (the encoder needs it to join back to the corpus;
+    the induction query does not, so it stays off its checkpoints)."""
     wf = (
         docs.select(
             F.explode(ws_word_array(F.lower(F.col(text_col)))).alias("w")
@@ -587,8 +600,9 @@ def bpe_merge_steps(
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
+    cols = (["w"] if keep_word else []) + ["c"]
     syms = wf.select(
-        "c",
+        *cols,
         F.expr(
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
         ).alias("syms"),
@@ -632,32 +646,72 @@ def bpe_merge_steps(
                 ),
             ).otherwise(F.concat(acc, F.array(s))),
         )
-        syms = syms.select("c", folded.alias("syms")).localCheckpoint(
+        syms = syms.select(*cols, folded.alias("syms")).localCheckpoint(
             eager=True
         )
+    return merges, syms
 
-    return spark.createDataFrame(
-        merges, "step bigint, lhs string, rhs string, merged string, cnt bigint"
+
+def bpe_encode_tokens(
+    docs: DataFrame, text_col: str = "text", steps: int = DEFAULT_MERGE_STEPS
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens_bpe): tokenize every document with the
+    BPE merge table induced from the corpus itself — the APPLY side of
+    bpe_merge_steps, i.e. what a training pipeline runs to budget
+    sequence lengths before packing. n_tokens_bpe = total symbols after
+    the K learned merges are applied to each word (leftmost-greedy, the
+    induction fold's own semantics); n_words counts whitespace tokens.
+    Docs with no words score (0, 0).
+
+    Scale shape: the merge table is induced on the VOCAB-bounded symbol
+    relation (shared loop, Lloyd/PageRank precedent), so encoding never
+    re-derives per-document state — the final per-WORD token count is a
+    vocab-sized relation joined back to one corpus explode (AQE
+    broadcasts the vocab side) followed by one keyed groupBy(doc_id).
+    Every corpus word exists in the vocab by construction, so the join
+    is inner without loss; empty docs return through the left join back.
+    """
+    _, syms = _bpe_merge_loop(docs, text_col, int(steps), keep_word=True)
+    word_toks = syms.select(
+        "w", F.size("syms").cast("bigint").alias("nt")
+    )
+    dw = docs.select(
+        "doc_id",
+        F.explode(ws_word_array(F.lower(F.col(text_col)))).alias("w"),
+    )
+    per = (
+        dw.join(word_toks, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("nt").cast("bigint").alias("n_tokens_bpe"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_words"), F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce(F.col("n_tokens_bpe"), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens_bpe"),
     )
 
 
-def bpe_merge_oracle_sql(
-    source: str = "documents", steps: int = DEFAULT_MERGE_STEPS
-) -> str:
-    """DuckDB twin: the K rounds unrolled as CTE stages. The greedy
-    merge is implemented independently of the engine's fold — match
-    positions i (syms[i]=lhs AND syms[i+1]=rhs) group into islands of
-    consecutive positions (only possible when lhs = rhs), and greedy
-    non-overlapping selection keeps the alternating members
-    (i - island_start even); the word is then rebuilt by index."""
-    steps = int(steps)
+def _bpe_rounds_parts(source: str, steps: int) -> list:
+    """The K unrolled merge-round CTE stages shared by the merge-table twin
+    and the encode twin. The greedy merge is implemented independently of
+    the engine's fold — match positions i (syms[i]=lhs AND syms[i+1]=rhs)
+    group into islands of consecutive positions (only possible when
+    lhs = rhs), and greedy non-overlapping selection keeps the alternating
+    members (i - island_start even); the word is then rebuilt by index.
+    The word string `w` rides every stage so the encode twin can join the
+    final symbol relation back to the corpus."""
     parts = [
         f"""WITH wds AS (
   SELECT unnest({ws_word_array_sql("lower(text)")}) AS w FROM {source}
 ), wf AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wds GROUP BY w
 ), syms0 AS MATERIALIZED (
-  SELECT row_number() OVER (ORDER BY w) AS wid, c,
+  SELECT row_number() OVER (ORDER BY w) AS wid, w, c,
          list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms
   FROM wf
 )"""
@@ -683,7 +737,7 @@ def bpe_merge_oracle_sql(
     SELECT wid, i, MIN(i) OVER (PARTITION BY wid, isl) AS run_start FROM m{k}
   ) WHERE (i - run_start) % 2 = 0 GROUP BY wid
 ), syms{k} AS MATERIALIZED (
-  SELECT s.wid, s.c,
+  SELECT s.wid, s.w, s.c,
     CASE WHEN k.kp IS NULL THEN s.syms ELSE list_filter(
       list_transform(range(1, len(s.syms) + 1),
         i -> CASE WHEN list_contains(k.kp, i) THEN t.l || t.r
@@ -695,12 +749,48 @@ def bpe_merge_oracle_sql(
   CROSS JOIN top{k} t
 )"""
         )
+    return parts
+
+
+def bpe_merge_oracle_sql(
+    source: str = "documents", steps: int = DEFAULT_MERGE_STEPS
+) -> str:
+    """DuckDB twin of bpe_merge_steps: the K rounds unrolled as CTE stages
+    (_bpe_rounds_parts), winners unioned in step order."""
+    steps = int(steps)
+    parts = _bpe_rounds_parts(source, steps)
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS BIGINT) AS step, l AS lhs, r AS rhs,"
         f" l || r AS merged, cnt FROM top{k}"
         for k in range(1, steps + 1)
     )
     parts.append(f"\n{union}\nORDER BY step")
+    return "".join(parts)
+
+
+def bpe_encode_oracle_sql(
+    source: str = "documents", steps: int = DEFAULT_MERGE_STEPS
+) -> str:
+    """DuckDB twin of bpe_encode_tokens: the same unrolled rounds, then the
+    final symbol relation joined back to the corpus word stream."""
+    steps = int(steps)
+    parts = _bpe_rounds_parts(source, steps)
+    parts.append(
+        f""", wt AS (
+  SELECT w, CAST(len(syms) AS BIGINT) AS nt FROM syms{steps}
+), dw AS (
+  SELECT doc_id, unnest({ws_word_array_sql("lower(text)")}) AS w
+  FROM {source}
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(nt) AS BIGINT) AS n_tokens_bpe
+  FROM dw JOIN wt USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(p.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe
+FROM {source} d LEFT JOIN per p USING (doc_id)"""
+    )
     return "".join(parts)
 
 

@@ -231,3 +231,41 @@ def test_perplexity_buckets_tie_sharing(spark):
     )
     rows = perplexity_buckets(docs).collect()
     assert len({r.bucket for r in rows}) == 1 and rows[0].bucket == "head"
+
+
+def test_bpe_encode_tokens_hand_checked(spark):
+    from geocode_spark.textops.lm import bpe_encode_tokens
+
+    # "ab ab ab": step 1 merges (a,b) -> every word encodes to ONE symbol
+    rows = bpe_encode_tokens(_docs(spark, ["ab ab ab"]), steps=1).collect()
+    assert (rows[0].n_words, rows[0].n_tokens_bpe) == (3, 3)
+    # steps=0: no merges -> tokens == characters
+    rows = bpe_encode_tokens(_docs(spark, ["ab ab ab"]), steps=0).collect()
+    assert (rows[0].n_words, rows[0].n_tokens_bpe) == (3, 6)
+
+
+def test_bpe_encode_merges_compound(spark):
+    from geocode_spark.textops.lm import bpe_encode_tokens
+
+    # "abc abc": round 1 (a,b) [tie with (b,c) broken on pair asc],
+    # round 2 (ab,c) -> each word is one token
+    rows = bpe_encode_tokens(_docs(spark, ["abc abc"]), steps=2).collect()
+    assert (rows[0].n_words, rows[0].n_tokens_bpe) == (2, 2)
+
+
+def test_bpe_encode_empty_and_bounds(spark):
+    from geocode_spark.textops.lm import bpe_encode_tokens
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma alpha beta"), (1, ""), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bpe_encode_tokens(df, steps=4).collect()}
+    assert (rows[1].n_words, rows[1].n_tokens_bpe) == (0, 0)
+    assert (rows[2].n_words, rows[2].n_tokens_bpe) == (0, 0)
+    r = rows[0]
+    total_chars = len("alphabetagammaalphabeta")
+    # merges only ever shrink: n_words <= tokens < chars (4 rounds on a
+    # corpus with repeated words MUST apply at least one merge)
+    assert r.n_words == 5
+    assert r.n_words <= r.n_tokens_bpe < total_chars
