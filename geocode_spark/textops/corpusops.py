@@ -739,3 +739,67 @@ FROM scored
 ORDER BY score_micro DESC, doc_id
 LIMIT {int(k)}
 """
+
+
+# ----------------------------------------------------- train/val/test split
+# Deterministic held-out split: every pipeline needs one, and a rand()-based
+# split breaks the two-cluster-size invariant (partition-seeded randomness
+# changes with parallelism). Same md5-bucket discipline as
+# stratified_sample, with a SEED salt so the split is independent of the
+# sampler's buckets and re-drawable.
+SPLIT_PPK = (900, 50, 50)  # train / val / test per-mille
+SPLIT_NAMES = ("train", "val", "test")
+SPLIT_SEED = 1
+
+
+def corpus_split(
+    docs: DataFrame, ppk: tuple = SPLIT_PPK, seed: int = SPLIT_SEED
+) -> DataFrame:
+    """(doc_id, bucket, split): assign every document to train/val/test by
+    a seeded md5 bucket — pure zero-shuffle projection, reproducible
+    across runs, engines, and parallelism levels; same seed + same ppk =
+    byte-identical split on any cluster size. ppk must sum to 1000."""
+    assert sum(ppk) == 1000 and len(ppk) == len(SPLIT_NAMES)
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(f":split:{int(seed)}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    t_hi, v_hi = ppk[0], ppk[0] + ppk[1]
+    split = (
+        F.when(F.col("bucket") < t_hi, SPLIT_NAMES[0])
+        .when(F.col("bucket") < v_hi, SPLIT_NAMES[1])
+        .otherwise(SPLIT_NAMES[2])
+    )
+    return docs.select("doc_id", b.alias("bucket")).withColumn(
+        "split", split
+    )
+
+
+def corpus_split_oracle_sql(
+    source: str = "documents", ppk: tuple = SPLIT_PPK, seed: int = SPLIT_SEED
+) -> str:
+    """DuckDB twin of corpus_split — identical salt, hash, and bounds."""
+    b = (
+        f"(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split:{int(seed)}'),"
+        f" 1, 8))::BIGINT % 1000)"
+    )
+    t_hi, v_hi = ppk[0], ppk[0] + ppk[1]
+    return f"""
+SELECT doc_id, {b} AS bucket,
+       CASE WHEN {b} < {t_hi} THEN '{SPLIT_NAMES[0]}'
+            WHEN {b} < {v_hi} THEN '{SPLIT_NAMES[1]}'
+            ELSE '{SPLIT_NAMES[2]}' END AS split
+FROM {source}"""

@@ -170,6 +170,112 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def trigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_trigrams, nll_micro): NLL of each document under the
+    corpus's own add-one-smoothed TRIGRAM model — the order-3 member of
+    the CCNet-style n-gram family (bigram_lm_score is order 2; real CCNet
+    uses order 5 — the machinery here generalizes by the ctx parameter).
+    P(w3 | w1 w2) = (c3 + 1) / (c_ctx + V), V = distinct next-words.
+    Documents with fewer than 3 words score (0, 0).
+
+    Scale shape: identical to bigram_lm_score with the shared Arrow
+    kernel emitting (context key, next-word hash) lanes
+    (spans.word_context_keys, ctx=2): ONE keyed aggregation to the
+    |distinct trigrams|-bounded model (persisted + counted), derived
+    relations at model scale, and scoring either inside the kernel
+    against the collected log-prob pack (below the broadcast budget) or
+    via the exact keyed join + groupBy(doc_id) fallback. Same micro-nat
+    integer quantization before the per-doc sum; same honest 64-bit
+    context-hash collision note (keys only re-label counts)."""
+    from .spans import (
+        _collect_sorted_keys,
+        score_pairs_membership,
+        word_context_keys,
+    )
+
+    based = docs.select("doc_id", F.lower(F.col(text_col)).alias("txt"))
+    trips = word_context_keys(based, ctx=2)
+
+    c3 = persist_tracked(
+        trips.groupBy("k1", "k2").agg(
+            F.count("*").cast("bigint").alias("c3")
+        )
+    )
+    n_model = c3.count()  # metadata-scale action: |distinct trigrams|
+    cctx = c3.groupBy("k1").agg(F.sum("c3").cast("bigint").alias("c1"))
+    vocab = c3.agg(F.count_distinct("k2").cast("bigint").alias("v"))
+    lm = (
+        c3.join(_maybe_broadcast(cctx, n_model), "k1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "k1", "k2",
+            F.round(
+                F.log((F.col("c3") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+                * F.lit(LP_SCALE),
+                0,
+            ).cast("bigint").alias("lp_micro"),
+        )
+    )
+
+    if n_model <= _model_broadcast_rows():
+        pack = _collect_sorted_keys(lm, n_model, "lp_micro")
+        return score_pairs_membership(based, pack, ctx=2).select(
+            "doc_id",
+            F.col("n_pairs").alias("n_trigrams"),
+            (-F.col("val_sum")).cast("bigint").alias("nll_micro"),
+        )
+
+    scored = trips.join(lm, ["k1", "k2"], "left")
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_trigrams"),
+        (-F.coalesce(F.sum("lp_micro"), F.lit(0)))
+        .cast("bigint").alias("nll_micro"),
+    )
+    return based.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("bigint")
+        .alias("n_trigrams"),
+        F.coalesce(F.col("nll_micro"), F.lit(0)).cast("bigint")
+        .alias("nll_micro"),
+    )
+
+
+def trigram_lm_oracle_sql(source: str = "documents") -> str:
+    """DuckDB twin of trigram_lm_score: context keyed on the joined
+    2-word string (equality classes — the model is count-based, so the
+    engine's hash keying only re-labels), identical smoothing and
+    micro-nat quantization."""
+    return rf"""
+WITH words AS (
+  SELECT doc_id, {ws_word_array_sql("lower(text)")} AS ws
+  FROM {source}
+), trips AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1])) AS cx,
+         unnest(ws[3:len(ws)]) AS w3
+  FROM words WHERE len(ws) >= 3
+), c3 AS (
+  SELECT cx, w3, CAST(COUNT(*) AS BIGINT) AS c3 FROM trips GROUP BY cx, w3
+), cctx AS (
+  SELECT cx, CAST(SUM(c3) AS BIGINT) AS c1 FROM c3 GROUP BY cx
+), lm AS (
+  SELECT cx, w3,
+         CAST(round(ln((c3 + 1.0) /
+                       (c1 + (SELECT COUNT(DISTINCT w3) FROM c3)))
+                    * {LP_SCALE}, 0) AS BIGINT) AS lp_micro
+  FROM c3 JOIN cctx USING (cx)
+), per_doc AS (
+  SELECT t.doc_id, COUNT(*) AS cnt, SUM(lp_micro) AS s
+  FROM trips t JOIN lm USING (cx, w3)
+  GROUP BY t.doc_id
+)
+SELECT w.doc_id,
+       CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_trigrams,
+       CAST(COALESCE(-g.s, 0) AS BIGINT) AS nll_micro
+FROM words w LEFT JOIN per_doc g USING (doc_id)"""
+
+
 def perplexity_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_bigrams, avg_nll_micro, bucket): CCNet-style perplexity
     bucketing (Wenzek et al. 2020) — documents ranked by average bigram-LM

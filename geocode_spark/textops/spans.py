@@ -346,6 +346,80 @@ def _pair_lanes(data, a, e, wc):
     return h[flat].view(np.int64), h[flat + 1].view(np.int64), m
 
 
+def _context_lanes(data, a, e, wc, ctx: int):
+    """(k1_flat, k2_flat, m): per-position (context key, next-word hash)
+    lanes for an order-(ctx+1) n-gram model — k1 = lane-0 window
+    polynomial over the ctx preceding word hashes, k2 = the following
+    word's hash; m = max(wc - ctx, 0) positions per doc. ctx=1 is served
+    by _pair_lanes instead (raw word-hash keying, the bigram family's
+    established contract); this generalizes it upward. Collision odds
+    match the bigram family's honest note: 64-bit per lane, keys only
+    re-label counts."""
+    import numpy as np
+
+    m = np.maximum(wc - ctx, 0)
+    if int(m.sum()) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, m
+    h = _word_hashes(data, a, e)
+    kw = _window_lane(h, ctx, 0)  # context key for every flat start
+    flat = _flat_starts(wc, m)
+    return kw[flat].view(np.int64), h[flat + ctx].view(np.int64), m
+
+
+def word_context_keys(src: DataFrame, ctx: int, extra_cols=()) -> DataFrame:
+    """(doc_id, *extra_cols, k1, k2) — one row per (ctx-word context,
+    next word) position of the raw-text column ``txt`` (tokenized and
+    hashed in-kernel). Docs with < ctx+1 words emit nothing — consumers
+    left-join the doc relation back. The order-n generalization of
+    word_pair_keys for the n-gram LM family (textops.lm)."""
+    import pyarrow as pa
+
+    ctx = int(ctx)
+    extra = list(extra_cols)
+    n_pass = 1 + len(extra)
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    extra_types = ", ".join(
+        f"{c} {src.schema[c].dataType.simpleString()}" for c in extra
+    )
+    schema_str = f"doc_id {id_type}, " + (
+        f"{extra_types}, " if extra_types else ""
+    ) + "k1 bigint, k2 bigint"
+    src = src.select(
+        "doc_id", *extra, F.coalesce(F.col("txt"), F.lit("")).alias("txt")
+    )
+
+    def chunk_fn(chunk, out_schema):
+        import numpy as np
+
+        data, a, e, wc = _flat_words(chunk.column(n_pass))
+        k1f, k2f, m = _context_lanes(data, a, e, wc, ctx)
+        if int(m.sum()) == 0:
+            empty_idx = pa.array(np.zeros(0, np.int64))
+            return pa.RecordBatch.from_arrays(
+                [chunk.column(j).take(empty_idx) for j in range(n_pass)]
+                + [
+                    pa.array(np.zeros(0, np.int64), pa.int64()),
+                    pa.array(np.zeros(0, np.int64), pa.int64()),
+                ],
+                schema=out_schema,
+            )
+        idx = pa.array(np.repeat(np.arange(len(wc)), m))
+        return pa.RecordBatch.from_arrays(
+            [chunk.column(j).take(idx) for j in range(n_pass)]
+            + [pa.array(k1f, pa.int64()), pa.array(k2f, pa.int64())],
+            schema=out_schema,
+        )
+
+    return _map_chunks(
+        src,
+        schema_str,
+        list(range(n_pass)) + [("k1", pa.int64()), ("k2", pa.int64())],
+        (n_pass,),
+        chunk_fn,
+    )
+
+
 _KERNEL_CHUNK_BYTES = 32 * 1024 * 1024  # per-chunk text-byte budget
 
 
@@ -771,7 +845,7 @@ def _rewrite_membership(src: DataFrame, w: int, pack) -> DataFrame:
     )
 
 
-def score_pairs_membership(src: DataFrame, pack) -> DataFrame:
+def score_pairs_membership(src: DataFrame, pack, ctx: int = 1) -> DataFrame:
     """(doc_id, n_pairs, val_sum) for EVERY doc of (doc_id, txt): adjacent
     word pairs hashed in-kernel (same hash contract as word_pair_keys),
     each pair's int64 value looked up LANE-EXACTLY in the broadcast pack
@@ -782,9 +856,12 @@ def score_pairs_membership(src: DataFrame, pack) -> DataFrame:
     (textops.lm) when its |distinct bigrams|-bounded model fits the
     broadcast budget: the corpus-sized pair relation then never exists as
     rows at all — one kernel pass replaces explode + model join +
-    groupBy(doc_id)."""
+    groupBy(doc_id). ctx >= 2 scores order-(ctx+1) n-gram models via the
+    (context key, next word) lanes instead (word_context_keys' keying);
+    ctx=1 keeps the bigram family's raw word-hash pair keying."""
     import pyarrow as pa
 
+    ctx = int(ctx)
     spark = src.sparkSession
     bc = spark.sparkContext.broadcast(pack)
     id_type = src.schema["doc_id"].dataType.simpleString()
@@ -795,7 +872,10 @@ def score_pairs_membership(src: DataFrame, pack) -> DataFrame:
 
         keyset = bc.value
         data, a, e, wc = _flat_words(chunk.column(1))
-        k1f, k2f, m = _pair_lanes(data, a, e, wc)
+        if ctx == 1:
+            k1f, k2f, m = _pair_lanes(data, a, e, wc)
+        else:
+            k1f, k2f, m = _context_lanes(data, a, e, wc, ctx)
         if int(m.sum()) == 0:
             zero = pa.array(np.zeros(len(wc), np.int64), pa.int64())
             return pa.RecordBatch.from_arrays(

@@ -269,3 +269,29 @@ def test_bpe_encode_empty_and_bounds(spark):
     # corpus with repeated words MUST apply at least one merge)
     assert r.n_words == 5
     assert r.n_words <= r.n_tokens_bpe < total_chars
+
+
+def test_trigram_lm_exact_arithmetic(spark):
+    import math
+
+    from geocode_spark.textops.lm import LP_SCALE, trigram_lm_score
+
+    # "a b c a b c": trigrams (ab->c)x2, (bc->a), (ca->b); V = 3
+    rows = {r.doc_id: r for r in trigram_lm_score(
+        _docs(spark, ["a b c a b c", "a b"])).collect()}
+    lp_abc = round(math.log((2 + 1.0) / (2 + 3)) * LP_SCALE)
+    lp_other = round(math.log((1 + 1.0) / (1 + 3)) * LP_SCALE)
+    assert rows[0].n_trigrams == 4
+    assert rows[0].nll_micro == -(2 * lp_abc + 2 * lp_other)
+    # < 3 words -> (0, 0)
+    assert (rows[1].n_trigrams, rows[1].nll_micro) == (0, 0)
+
+
+def test_trigram_vs_bigram_orders_are_distinct(spark):
+    from geocode_spark.textops.lm import bigram_lm_score, trigram_lm_score
+
+    docs = _docs(spark, ["x y z w x y z", "p q r s"])
+    bi = {r.doc_id: r.n_bigrams for r in bigram_lm_score(docs).collect()}
+    tri = {r.doc_id: r.n_trigrams for r in trigram_lm_score(docs).collect()}
+    for d in (0, 1):
+        assert tri[d] == bi[d] - 1  # one fewer position per doc

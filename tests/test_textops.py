@@ -644,3 +644,34 @@ def test_pii_ipv4_ssn_shapes(spark):
             clean = expect
         assert (out.loc[i, "clean_md5"]
                 == hashlib.md5(clean.encode()).hexdigest()), t
+
+
+def test_corpus_split_deterministic_and_complete(spark):
+    import hashlib
+
+    from geocode_spark.textops.corpusops import (
+        SPLIT_NAMES,
+        SPLIT_PPK,
+        corpus_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(400)], "doc_id long, text string"
+    )
+    rows = corpus_split(df).collect()
+    assert len(rows) == 400  # every doc assigned exactly once
+    # python-recomputed bucket pins the hash formulation
+    for r in rows[:50]:
+        b = int(hashlib.md5(f"{r.doc_id}:split:1".encode())
+                .hexdigest()[:8], 16) % 1000
+        assert r.bucket == b
+        exp = (SPLIT_NAMES[0] if b < SPLIT_PPK[0]
+               else SPLIT_NAMES[1] if b < SPLIT_PPK[0] + SPLIT_PPK[1]
+               else SPLIT_NAMES[2])
+        assert r.split == exp
+    # seed changes the draw; same seed repeats it exactly
+    again = {r.doc_id: r.split for r in corpus_split(df).collect()}
+    other = {r.doc_id: r.split for r in corpus_split(df, seed=2).collect()}
+    first = {r.doc_id: r.split for r in rows}
+    assert first == again
+    assert first != other
