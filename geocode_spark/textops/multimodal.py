@@ -703,3 +703,239 @@ SELECT a.url AS url_a, b.url AS url_b,
 FROM sig a JOIN sig b ON a.url < b.url
 WHERE bit_count(xor(a.hash60, b.hash60)) <= {max_hamming}
 """
+
+
+# -------------------------------------------- audio sign-of-delta fingerprint
+# The audio analog of the image dHash: fingerprint bit j is the SIGN of the
+# energy delta between consecutive sample windows (1 iff e[j+1] > e[j]).
+# Sign-of-delta is invariant to any monotone per-window energy scaling
+# (gain changes, exact re-encodes), and a single corrupted sample perturbs
+# ONE window's energy, flipping at most the two adjacent bits — so
+# near-copies sit within Hamming 2 while unrelated 30-bit prints collide
+# there with prob ~1.4e-7 per pair. Same candidate-then-verify shape as
+# image_hash_pairs (pigeonhole chunk join), same synthetic-entropy gate
+# rationale: the fixture's 40-byte payloads yield 2 windows = 1 bit, so
+# the gate runs over an md5-chain corpus with injected byte-flip copies.
+AUDIO_FP_BITS = 30
+AUDIO_FP_CHUNKS = 3          # Hamming <= 2 complete: 2 flips miss >= 1 chunk
+AUDIO_FP_MAX_HAMMING = 2
+SYN_AUDIO_MOD = 8            # 1-in-8 urls carry a synthetic clip
+SYN_AUDIO_DUP_MOD = 4        # 1-in-4 of those gets a byte-flip near-copy
+SYN_AUDIO_WORDS = 32         # 32 md5 blocks = 512 bytes ~ 32 windows
+SYN_AUDIO_FLIP_HEX = 101     # payload byte 50 -> window 2 -> bits {1, 2}
+
+
+def _syn_audio_hex(url):
+    return F.concat(
+        *[F.md5(F.concat(url, F.lit(f"~{w}"))) for w in range(SYN_AUDIO_WORDS)]
+    )
+
+
+def synthetic_audio_corpus(pages: DataFrame) -> DataFrame:
+    """(url, html): high-entropy 512-byte md5-chain clips for 1-in-8 urls
+    (pure function of url — both engines derive them independently), plus
+    byte-flip near-copies (url suffix '#synadup') for 1-in-4 of those."""
+    sel = pages.filter(
+        F.conv(F.substring(F.md5("url"), 5, 2), 16, 10).cast("bigint")
+        % SYN_AUDIO_MOD == 0
+    ).select("url")
+    hx = _syn_audio_hex(F.col("url"))
+    base = sel.select("url", F.unhex(hx).alias("html"))
+    flipped = F.concat(
+        F.substring(hx, 1, SYN_AUDIO_FLIP_HEX - 1),
+        F.lit("ff"),
+        F.substring(hx, SYN_AUDIO_FLIP_HEX + 2, 10_000),
+    )
+    dup = sel.filter(
+        F.conv(F.substring(F.md5("url"), 7, 2), 16, 10).cast("bigint")
+        % SYN_AUDIO_DUP_MOD == 0
+    ).select(
+        F.concat(F.col("url"), F.lit("#synadup")).alias("url"),
+        F.unhex(flipped).alias("html"),
+    )
+    return base.unionByName(dup)
+
+
+def audio_fingerprint(
+    pages: DataFrame, window: int = AUDIO_WINDOW
+) -> DataFrame:
+    """(url, n_windows, fp): per clip, the packed sign-of-delta fingerprint
+    over the first AUDIO_FP_BITS window-energy deltas (energy = sum of
+    squared 8-bit samples per window — audio_features' sumsq lane). Rows
+    without a payload past the header are dropped, matching
+    audio_features. One Arrow-batched map stage, zero shuffle."""
+    import numpy as np
+
+    src = pages.select("url", "html")
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = [
+                bytes(p)
+                for p in pdf["html"]
+                if p is not None and len(p) > HEADER_BYTES
+            ]
+            urls = np.asarray(
+                [
+                    u
+                    for u, p in zip(pdf["url"], pdf["html"])
+                    if p is not None and len(p) > HEADER_BYTES
+                ],
+                dtype=object,
+            )
+            if not payloads:
+                continue
+            sam = [
+                np.frombuffer(p, dtype=np.uint8, offset=HEADER_BYTES)
+                for p in payloads
+            ]
+            lens = np.array([len(s) for s in sam], dtype=np.int64)
+            cat = np.concatenate(sam).astype(np.int64)
+            n_win = -(-lens // window)  # ceil
+            row_start = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=row_start[1:])
+            win_idx = np.concatenate([np.arange(k) for k in n_win])
+            starts = np.repeat(row_start, n_win) + win_idx * window
+            e = np.add.reduceat(cat * cat, starts)
+            # delta p -> (e[p+1] > e[p]) where p+1 stays in the same page;
+            # bit index = the left window's in-page index, capped at
+            # AUDIO_FP_BITS. Contributions sum exactly in float64
+            # (< 2^31 per page << 2^53).
+            has_next = win_idx < np.repeat(n_win - 1, n_win)
+            page_of = np.repeat(np.arange(len(lens)), n_win)
+            p = np.nonzero(has_next)[0]
+            j = win_idx[p]
+            keep = j < AUDIO_FP_BITS
+            p, j = p[keep], j[keep]
+            bits = (e[p + 1] > e[p]).astype(np.int64)
+            contrib = bits << j
+            fp = np.bincount(
+                page_of[p], weights=contrib, minlength=len(lens)
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "n_windows": pd.Series(n_win, dtype="int64"),
+                    "fp": pd.Series(fp, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(
+        kernel, schema="url string, n_windows bigint, fp bigint"
+    )
+
+
+def audio_fingerprint_pairs(
+    clips: DataFrame, max_hamming: int = AUDIO_FP_MAX_HAMMING
+) -> DataFrame:
+    """(url_a, url_b, hamming): clip pairs within Hamming max_hamming of
+    each other's fingerprints — image_hash_pairs' pigeonhole chunk join
+    over the 30-bit audio fingerprint (3 x 10-bit chunks: 2 bit flips
+    cannot touch all 3), exact bit_count(xor) verify. Never all-pairs."""
+    sig = persist_tracked(audio_fingerprint(clips).select("url", "fp"))
+    chunk_w = AUDIO_FP_BITS // AUDIO_FP_CHUNKS
+    chunks = sig.select(
+        "url", "fp",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_idx"),
+                    (
+                        F.shiftright("fp", c * chunk_w)
+                        .bitwiseAND(F.lit((1 << chunk_w) - 1))
+                    ).alias("chunk_val"),
+                )
+                for c in range(AUDIO_FP_CHUNKS)
+            ])
+        ).alias("ck"),
+    ).select("url", "fp", "ck.*")
+    a = chunks.select(F.col("url").alias("url_a"),
+                      F.col("fp").alias("f_a"),
+                      "chunk_idx", "chunk_val")
+    b = chunks.select(F.col("url").alias("url_b"),
+                      F.col("fp").alias("f_b"),
+                      "chunk_idx", "chunk_val")
+    cand = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b", "f_a", "f_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("f_a").bitwiseXOR(F.col("f_b"))).cast("bigint")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("url_a", "url_b", "hamming")
+    )
+
+
+def _syn_audio_corpus_sql(fix: str) -> str:
+    md5s = " || ".join(
+        f"md5(url || '~{w}')" for w in range(SYN_AUDIO_WORDS)
+    )
+    return f"""(
+  WITH sel AS (
+    SELECT url FROM read_parquet('{fix}/pages.parquet')
+    WHERE ('0x' || substr(md5(url), 5, 2))::BIGINT % {SYN_AUDIO_MOD} = 0
+  )
+  SELECT url, {md5s} AS hx FROM sel
+  UNION ALL
+  SELECT url || '#synadup' AS url,
+         substr(hx, 1, {SYN_AUDIO_FLIP_HEX - 1}) || 'ff'
+           || substr(hx, {SYN_AUDIO_FLIP_HEX + 2}) AS hx
+  FROM (SELECT url, {md5s} AS hx FROM sel)
+  WHERE ('0x' || substr(md5(url), 7, 2))::BIGINT % {SYN_AUDIO_DUP_MOD} = 0
+)"""
+
+
+def _audio_fp_sql(fix: str, window: int = AUDIO_WINDOW) -> str:
+    """(url, n_windows, fp) twin over the synthetic corpus: bytes decoded
+    from the LOWERCASE md5-chain hex by digit arithmetic (independent of
+    the kernel's frombuffer path), energies by GROUP BY window, sign
+    bits by LEAD over window order."""
+    byte = (
+        "(strpos('0123456789abcdef', substr(hx, 2*i+1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1)) - 1)"
+    )
+    return f"""(
+  WITH pos AS (
+    SELECT url, hx,
+           unnest(generate_series({HEADER_BYTES}, len(hx)//2 - 1)) AS i
+    FROM {_syn_audio_corpus_sql(fix)}
+  ), en AS (
+    SELECT url, CAST((i - {HEADER_BYTES}) // {window} AS BIGINT) AS widx,
+           SUM(CAST({byte} AS BIGINT) * CAST({byte} AS BIGINT)) AS e
+    FROM pos GROUP BY url, widx
+  ), de AS (
+    SELECT url, widx, e,
+           LEAD(e) OVER (PARTITION BY url ORDER BY widx) AS nxt
+    FROM en
+  )
+  SELECT url, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(COALESCE(SUM(CASE WHEN nxt IS NOT NULL AND nxt > e
+                                     AND widx < {AUDIO_FP_BITS}
+                           THEN (CAST(1 AS BIGINT) << widx)
+                           ELSE 0 END), 0) AS BIGINT) AS fp
+  FROM de GROUP BY url
+)"""
+
+
+def audio_fingerprint_oracle_sql(
+    fix: str, window: int = AUDIO_WINDOW
+) -> str:
+    return f"SELECT url, n_windows, fp FROM {_audio_fp_sql(fix, window)}"
+
+
+def audio_fingerprint_pairs_oracle_sql(
+    fix: str, max_hamming: int = AUDIO_FP_MAX_HAMMING
+) -> str:
+    """Brute-force all-pairs twin of the pigeonhole chunk join."""
+    return f"""
+WITH sig AS (
+  SELECT url, fp FROM {_audio_fp_sql(fix)}
+)
+SELECT a.url AS url_a, b.url AS url_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.url < b.url
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""

@@ -114,3 +114,80 @@ def test_synthetic_corpus_is_high_entropy_and_recovers_flips(spark, fixtures_dir
             .select("url").collect()}
     assert got == want
     corpus.unpersist()
+
+
+# ---------------------------------------------- audio sign-of-delta prints
+def _clips(spark, rows):
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def _pcm(header: int, samples: list) -> bytes:
+    return bytes([0] * header) + bytes(samples)
+
+
+def test_audio_fp_gain_invariance(spark):
+    from geocode_spark.textops.multimodal import (
+        HEADER_BYTES,
+        audio_fingerprint,
+    )
+
+    # 4 windows of 16 samples with strictly ordered energies; doubling
+    # every sample (<128, no clipping) scales each energy by exactly 4 —
+    # order preserved, fingerprint identical
+    base = [10] * 16 + [20] * 16 + [5] * 16 + [40] * 16
+    rows = audio_fingerprint(
+        _clips(
+            spark,
+            [
+                ("a", _pcm(HEADER_BYTES, base)),
+                ("b", _pcm(HEADER_BYTES, [2 * s for s in base])),
+            ],
+        )
+    ).collect()
+    fps = {r.url: (r.n_windows, r.fp) for r in rows}
+    assert fps["a"] == fps["b"]
+    # bits: e1>e0 (1), e2<e1 (0), e3>e2 (1) -> fp = 0b101 = 5
+    assert fps["a"] == (4, 5)
+
+
+def test_audio_fp_single_flip_within_hamming_2(spark):
+    from geocode_spark.textops.multimodal import (
+        HEADER_BYTES,
+        audio_fingerprint_pairs,
+    )
+
+    base = list(range(1, 97))  # 6 windows, monotone energies
+    corrupt = list(base)
+    corrupt[40] = 0  # one sample in window 2
+    rows = audio_fingerprint_pairs(
+        _clips(
+            spark,
+            [
+                ("orig", _pcm(HEADER_BYTES, base)),
+                ("corrupt", _pcm(HEADER_BYTES, corrupt)),
+            ],
+        )
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].hamming <= 2
+
+
+def test_audio_fp_short_payloads_dropped(spark):
+    from geocode_spark.textops.multimodal import (
+        HEADER_BYTES,
+        audio_fingerprint,
+    )
+
+    rows = audio_fingerprint(
+        _clips(
+            spark,
+            [
+                ("empty", b""),
+                ("header_only", bytes(HEADER_BYTES)),
+                ("one_window", _pcm(HEADER_BYTES, [7] * 4)),
+            ],
+        )
+    ).collect()
+    fps = {r.url: (r.n_windows, r.fp) for r in rows}
+    assert set(fps) == {"one_window"}
+    assert fps["one_window"] == (1, 0)  # no deltas -> fp 0
