@@ -526,3 +526,182 @@ SELECT CAST(ts_us - ts_us % {win_us} AS BIGINT) AS win_start_us,
 FROM {_events_src(source)}
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------------------ funnel analysis
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_stages(events: DataFrame,
+                  steps: tuple = FUNNEL_STEPS) -> DataFrame:
+    """(user_id, steps_completed, t1_us, t2_us, t3_us): per user, the
+    earliest-first greedy funnel chain through `steps` — t1 = the user's
+    first step-1 event; t_{k+1} = their first step-(k+1) event STRICTLY
+    after t_k. steps_completed counts how deep the chain got; timestamps
+    beyond it are NULL; every user in the table appears (0 rows of funnel
+    events => steps_completed 0).
+
+    Engine formulation: one keyed groupBy collecting the user's funnel
+    events as a sorted (ts_us, event_id, step_idx) struct array, then a
+    Catalyst fold advancing a (done, t1, t2, t3) accumulator — ascending
+    order makes "first qualifying event" exactly the sequential minimum,
+    so the DuckDB twin can implement the INDEPENDENT sequential-min
+    formulation (3 chained conditional aggregates) and the gate
+    cross-checks the fold against it. Per-user array size is the user's
+    funnel-event count — the sessionize_salted hot-user note applies
+    verbatim if one user ever dominates.
+    """
+    assert len(steps) == 3  # output schema is 3-step; generalize as needed
+    si = F.when(F.col("event_type") == steps[0], 0)
+    for k, s in enumerate(steps[1:], start=1):
+        si = si.when(F.col("event_type") == s, k)
+    e = (
+        _with_ts_us(events)
+        .filter(F.col("event_type").isin(list(steps)))
+        .select("user_id", "ts_us", "event_id", si.alias("si"))
+    )
+    arr = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts_us", "event_id", "si"))
+        ).alias("evs")
+    )
+    nil = F.lit(None).cast("bigint")
+    init = F.struct(
+        F.lit(0).alias("done"),
+        nil.alias("t1"), nil.alias("t2"), nil.alias("t3"),
+    )
+
+    def upd(acc, x):
+        last = (
+            F.when(acc["done"] == 1, acc["t1"])
+            .when(acc["done"] == 2, acc["t2"])
+            .otherwise(F.lit(-(1 << 62)).cast("bigint"))
+        )
+        adv = (x["si"] == acc["done"]) & (x["ts_us"] > last) & (
+            acc["done"] < 3
+        )
+        return F.when(
+            adv,
+            F.struct(
+                (acc["done"] + 1).alias("done"),
+                F.when(acc["done"] == 0, x["ts_us"]).otherwise(acc["t1"])
+                .alias("t1"),
+                F.when(acc["done"] == 1, x["ts_us"]).otherwise(acc["t2"])
+                .alias("t2"),
+                F.when(acc["done"] == 2, x["ts_us"]).otherwise(acc["t3"])
+                .alias("t3"),
+            ),
+        ).otherwise(acc)
+
+    folded = arr.select(
+        "user_id", F.aggregate("evs", init, upd).alias("st")
+    )
+    users = events.select("user_id").distinct()
+    return users.join(folded, "user_id", "left").select(
+        "user_id",
+        F.coalesce(F.col("st.done"), F.lit(0)).cast("bigint")
+        .alias("steps_completed"),
+        F.col("st.t1").alias("t1_us"),
+        F.col("st.t2").alias("t2_us"),
+        F.col("st.t3").alias("t3_us"),
+    )
+
+
+def funnel_stages_oracle_sql(source: str = "events",
+                             steps: tuple = FUNNEL_STEPS) -> str:
+    """DuckDB twin — the sequential-min formulation, independent of the
+    engine's fold."""
+    s1, s2, s3 = steps
+    return f"""
+WITH e AS (SELECT * FROM {_events_src(source)}),
+u AS (SELECT DISTINCT user_id FROM e),
+f1 AS (
+  SELECT user_id, min(ts_us) AS t1 FROM e
+  WHERE event_type = '{s1}' GROUP BY user_id
+),
+f2 AS (
+  SELECT e.user_id, min(e.ts_us) AS t2
+  FROM e JOIN f1 ON e.user_id = f1.user_id
+  WHERE e.event_type = '{s2}' AND e.ts_us > f1.t1
+  GROUP BY e.user_id
+),
+f3 AS (
+  SELECT e.user_id, min(e.ts_us) AS t3
+  FROM e JOIN f2 ON e.user_id = f2.user_id
+  WHERE e.event_type = '{s3}' AND e.ts_us > f2.t2
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN f3.t3 IS NOT NULL THEN 3
+                 WHEN f2.t2 IS NOT NULL THEN 2
+                 WHEN f1.t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS steps_completed,
+       f1.t1 AS t1_us, f2.t2 AS t2_us, f3.t3 AS t3_us
+FROM u
+LEFT JOIN f1 USING (user_id)
+LEFT JOIN f2 USING (user_id)
+LEFT JOIN f3 USING (user_id)"""
+
+
+# ----------------------------------------------------------------- SCD2 build
+def scd2_history(events: DataFrame,
+                 change_type: str = "signup") -> DataFrame:
+    """(user_id, value_cents, valid_from_us, valid_to_us, version,
+    is_current): the slowly-changing-dimension type-2 history built from a
+    change stream — one row per EFFECTIVE change (consecutive repeats of
+    the same value collapse into the earlier row), valid_to = the next
+    effective change's timestamp (NULL while current), version 1-based per
+    key. The warehouse-merge primitive for dimension tables.
+
+    Scale shape: ONE exchange — both window passes (the change-compression
+    lag and the validity lead/version) share the (user_id) partitioning
+    and (ts_us, event_id) ordering, so Catalyst reuses the sort; the
+    filter between them is pipelined. Value rides as exact integer cents
+    (_cents), the family's established float discipline."""
+    e = (
+        _with_ts_us(events)
+        .filter(F.col("event_type") == change_type)
+        .withColumn("value_cents", _cents(F.col("value")))
+        .select("user_id", "ts_us", "event_id", "value_cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("value_cents").over(w)
+    ch = e.withColumn("prev_v", prev).filter(
+        F.col("prev_v").isNull() | (F.col("value_cents") != F.col("prev_v"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ch.select(
+        "user_id",
+        "value_cents",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    ).withColumn(
+        "is_current",
+        F.when(F.col("valid_to_us").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+
+
+def scd2_history_oracle_sql(source: str = "events",
+                            change_type: str = "signup") -> str:
+    """DuckDB twin of scd2_history — same compression + validity windows."""
+    return f"""
+WITH e AS (
+  SELECT user_id, ts_us, event_id, value_cents
+  FROM {_events_src(source)} WHERE event_type = '{change_type}'
+),
+ch AS (
+  SELECT * FROM (
+    SELECT user_id, ts_us, event_id, value_cents,
+           lag(value_cents) OVER w AS prev_v
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+  ) WHERE prev_v IS NULL OR value_cents <> prev_v
+)
+SELECT user_id, value_cents,
+       ts_us AS valid_from_us,
+       lead(ts_us) OVER w AS valid_to_us,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       CAST(CASE WHEN lead(ts_us) OVER w IS NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS is_current
+FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"""

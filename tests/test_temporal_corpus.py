@@ -449,3 +449,82 @@ def test_sessionize_salted_bot_user_bounded_partitions(spark):
     bot_days = bot["ts"].dt.floor("24h").nunique()
     assert bot_days >= 60
     assert n_bot / bot_days <= 300  # per-bucket bound actually enforced
+
+
+# ------------------------------------------------------------------- funnel
+def _ev(spark, rows):
+    # (event_id, ts_us, user_id, event_type) with ts given in micros
+    import datetime as dt
+
+    data = [
+        (eid, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us), u, t,
+         1.0, "{}")
+        for eid, us, u, t in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_funnel_greedy_chain_and_depths(spark):
+    from geocode_spark.operators.temporal import funnel_stages
+
+    rows = [
+        # user 1 completes: view@10, click@20, purchase@30; an earlier
+        # purchase@5 and click@5 must NOT count (before the chain)
+        (1, 5, 1, "purchase"), (2, 5, 1, "click"), (3, 10, 1, "view"),
+        (4, 20, 1, "click"), (5, 30, 1, "purchase"),
+        # user 2 stalls at 2: purchase precedes its click
+        (6, 10, 2, "view"), (7, 30, 2, "click"), (8, 20, 2, "purchase"),
+        # user 3: only non-funnel events -> depth 0
+        (9, 10, 3, "error"),
+        # user 4: click before any view -> depth 1 after the view
+        (10, 5, 4, "click"), (11, 10, 4, "view"),
+    ]
+    got = {r.user_id: r for r in funnel_stages(_ev(spark, rows)).collect()}
+    assert got[1].steps_completed == 3
+    base = got[1].t1_us
+    assert (got[1].t2_us - base, got[1].t3_us - base) == (10, 20)
+    assert got[2].steps_completed == 2 and got[2].t3_us is None
+    assert got[3].steps_completed == 0 and got[3].t1_us is None
+    assert got[4].steps_completed == 1
+
+
+def test_funnel_strictly_after_ties_excluded(spark):
+    from geocode_spark.operators.temporal import funnel_stages
+
+    # click at the SAME microsecond as the view does not advance
+    rows = [(1, 10, 1, "view"), (2, 10, 1, "click"), (3, 20, 1, "click")]
+    got = funnel_stages(_ev(spark, rows)).collect()[0]
+    assert got.steps_completed == 2
+    assert got.t2_us - got.t1_us == 10  # the later click, not the tie
+
+
+# --------------------------------------------------------------------- SCD2
+def test_scd2_compression_and_validity(spark):
+    from geocode_spark.operators.temporal import scd2_history
+
+    rows = [
+        (1, 10, 1, "signup"),   # value 1.0
+        (2, 20, 1, "signup"),   # same value -> compressed away
+        (3, 30, 1, "signup"),   # changed below
+        (4, 40, 2, "signup"),
+    ]
+    df = _ev(spark, rows)
+    from pyspark.sql import functions as F
+    df = df.withColumn(
+        "value", F.when(F.col("event_id") == 3, 2.0).otherwise(1.0)
+    )
+    got = sorted(
+        scd2_history(df).collect(), key=lambda r: (r.user_id, r.version)
+    )
+    u1 = [r for r in got if r.user_id == 1]
+    assert len(u1) == 2  # the repeat at ts 20 collapsed
+    assert u1[0].value_cents == 100 and u1[1].value_cents == 200
+    assert u1[0].valid_to_us == u1[1].valid_from_us
+    assert (u1[0].is_current, u1[1].is_current) == (0, 1)
+    assert [r.version for r in u1] == [1, 2]
+    u2 = [r for r in got if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current == 1
