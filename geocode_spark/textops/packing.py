@@ -638,3 +638,58 @@ SELECT h.doc_id, h.host, hits.blocked_domain,
        CAST(CASE WHEN hits.blocked_domain IS NULL THEN 1 ELSE 0 END
             AS BIGINT) AS keep
 FROM hosts h LEFT JOIN hits USING (doc_id)"""
+
+
+# --------------------------------------------------------- per-domain capping
+DOMAIN_CAP_K = 3
+
+
+def domain_cap(frontier: DataFrame, k: int = DOMAIN_CAP_K) -> DataFrame:
+    """(doc_id, host, rank): keep at most k pages per host, chosen by a
+    DETERMINISTIC md5 rank (ties impossible: doc_id salts the key) — the
+    crawl-politeness / anti-boilerplate quota every curation pipeline
+    applies to hot domains (a handful of hosts otherwise dominate the
+    corpus). A seeded hash rank, not rand(): reproducible across runs,
+    engines, and parallelism levels.
+
+    Scale shape: one keyed window exchange on host. The skew caveat is
+    self-limiting: hot hosts are exactly the groups being capped, and the
+    window computes row_number only — no carried payload; if one host
+    ever dominated a partition, the two-phase salted pattern
+    (tile_rollup_salted) applies: per-salt top-k first, then top-k of the
+    k×salts survivors — same final relation."""
+    k = int(k)
+    host = F.lower(F.regexp_extract("url", HOST_FROM_URL_RE, 1))
+    ranked = frontier.select(
+        "doc_id",
+        host.alias("host"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cap")))
+        .alias("rk"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("rk", "doc_id")
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "host", "rank")
+    )
+
+
+def domain_cap_oracle_sql(
+    source: str = "documents", k: int = DOMAIN_CAP_K
+) -> str:
+    """DuckDB twin of domain_cap over the synthetic frontier."""
+    k = int(k)
+    return f"""
+WITH ranked AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '{HOST_FROM_URL_RE}', 1)) AS host,
+         md5(CAST(doc_id AS VARCHAR) || ':cap') AS rk
+  FROM ({synthetic_frontier_corpus_sql(source)})
+)
+SELECT doc_id, host,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY rk, doc_id)
+            AS BIGINT) AS rank
+FROM ranked
+QUALIFY rank <= {k}"""

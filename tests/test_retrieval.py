@@ -98,3 +98,40 @@ def test_blocklist_multi_hit_is_deterministic(spark):
     )
     row = blocklist_filter(frontier, bl).collect()[0]
     assert row.blocked_domain == "example7.com" and row.keep == 0
+
+
+def test_domain_cap_deterministic_quota(spark):
+    import hashlib
+
+    from geocode_spark.textops.packing import domain_cap
+
+    # 10 pages on one host, 2 on another
+    rows = [(i, "http://hot.example.com/p/%d" % i) for i in range(10)]
+    rows += [(100 + i, "http://cold.example.org/p/%d" % i) for i in range(2)]
+    frontier = spark.createDataFrame(rows, "doc_id long, url string")
+    got = domain_cap(frontier, k=3).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append(r)
+    assert len(by_host["hot.example.com"]) == 3  # capped
+    assert len(by_host["cold.example.org"]) == 2  # under quota, all kept
+    # the survivors are exactly the 3 lowest md5(':cap') ranks — pinned
+    # against an independent python recomputation
+    exp = sorted(
+        range(10), key=lambda d: hashlib.md5(f"{d}:cap".encode()).hexdigest()
+    )[:3]
+    assert sorted(r.doc_id for r in by_host["hot.example.com"]) == sorted(exp)
+    # ranks are 1..n within each host
+    assert sorted(r.rank for r in by_host["hot.example.com"]) == [1, 2, 3]
+
+
+def test_domain_cap_parallelism_invariant(spark):
+    from geocode_spark.textops.packing import domain_cap
+
+    rows = [(i, f"http://h{i % 5}.example.com/p/{i}") for i in range(200)]
+    frontier = spark.createDataFrame(rows, "doc_id long, url string")
+    a = {(r.doc_id, r.rank)
+         for r in domain_cap(frontier.repartition(1), k=4).collect()}
+    b = {(r.doc_id, r.rank)
+         for r in domain_cap(frontier.repartition(17), k=4).collect()}
+    assert a == b and len(a) == 20
