@@ -665,9 +665,19 @@ def scd2_history(events: DataFrame,
         .select("user_id", "ts_us", "event_id", "value_cents")
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    prev = F.lag("value_cents").over(w)
-    ch = e.withColumn("prev_v", prev).filter(
-        F.col("prev_v").isNull() | (F.col("value_cents") != F.col("prev_v"))
+    # null-safe change detection: value comparisons use IS DISTINCT FROM
+    # semantics so a change TO or FROM a NULL value is a real version,
+    # and "no previous row" is detected by a lag marker — lag(value)
+    # alone cannot distinguish a NULL first value from a missing row
+    prev_v = F.lag("value_cents").over(w)
+    has_prev = F.lag(F.lit(1)).over(w)
+    ch = (
+        e.withColumn("prev_v", prev_v)
+        .withColumn("has_prev", has_prev)
+        .filter(
+            F.col("has_prev").isNull()
+            | ~F.col("value_cents").eqNullSafe(F.col("prev_v"))
+        )
     )
     w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     return ch.select(
@@ -694,9 +704,10 @@ WITH e AS (
 ch AS (
   SELECT * FROM (
     SELECT user_id, ts_us, event_id, value_cents,
-           lag(value_cents) OVER w AS prev_v
+           lag(value_cents) OVER w AS prev_v,
+           lag(1) OVER w AS has_prev
     FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-  ) WHERE prev_v IS NULL OR value_cents <> prev_v
+  ) WHERE has_prev IS NULL OR value_cents IS DISTINCT FROM prev_v
 )
 SELECT user_id, value_cents,
        ts_us AS valid_from_us,

@@ -843,6 +843,11 @@ def _bpe_rounds_parts(source: str, steps: int) -> list:
     SELECT wid, i, MIN(i) OVER (PARTITION BY wid, isl) AS run_start FROM m{k}
   ) WHERE (i - run_start) % 2 = 0 GROUP BY wid
 ), syms{k} AS MATERIALIZED (
+  -- LEFT JOIN ... ON TRUE, not CROSS JOIN: when a round has no pairs
+  -- left, top{{k}} is EMPTY and a cross join would wipe the symbol
+  -- relation (the engine loop breaks and keeps it); the left join
+  -- preserves every word with t.l/t.r NULL, kept{{k}} is empty, and
+  -- the kp-IS-NULL branch passes symbols through unchanged
   SELECT s.wid, s.w, s.c,
     CASE WHEN k.kp IS NULL THEN s.syms ELSE list_filter(
       list_transform(range(1, len(s.syms) + 1),
@@ -852,7 +857,7 @@ def _bpe_rounds_parts(source: str, steps: int) -> list:
       x -> x IS NOT NULL) END AS syms
   FROM syms{p} s
   LEFT JOIN kept{k} k USING (wid)
-  CROSS JOIN top{k} t
+  LEFT JOIN top{k} t ON TRUE
 )"""
         )
     return parts

@@ -424,7 +424,9 @@ def synthetic_url_corpus(docs: DataFrame) -> DataFrame:
     variants (canonical form, shouting host + default port + fragment,
     tracking params, trailing slash); every 7th group gets a REAL query
     param that must survive canonicalization and keep it distinct."""
-    g = (F.col("doc_id") / F.lit(4)).cast("bigint")
+    # integer DIV for the same 2^53 exactness reason as
+    # synthetic_frontier_corpus
+    g = F.expr("doc_id DIV 4")
     v = F.pmod(F.col("doc_id"), F.lit(4))
     host = F.concat(F.lit("example"), (g % 97).cast("string"), F.lit(".com"))
     path = F.concat(F.lit("/p/"), g.cast("string"))
@@ -539,7 +541,9 @@ def synthetic_frontier_corpus(docs: DataFrame) -> DataFrame:
     of 4 doc_ids share a site number N = (doc_id//4) % 50; the 4 variants
     are the bare host, a www subdomain, a 2-deep cdn.media subdomain, and
     a sibling .org host."""
-    n = ((F.col("doc_id") / F.lit(4)).cast("bigint") % 50).cast("string")
+    # integer DIV, not double `/`: the double round-trip loses integer
+    # precision past 2^53 and would diverge from the twin's exact `//`
+    n = (F.expr("doc_id DIV 4") % 50).cast("string")
     v = F.pmod(F.col("doc_id"), F.lit(4))
     site = F.concat(F.lit("example"), n)
     host = (

@@ -18,8 +18,9 @@ to learn about a handful of terms. The sketch route never does:
   phase 2 (exact): the union of per-partition survivors (<= k x
   n_partitions rows — metadata scale) is distinct-ed, broadcast back,
   and ONLY those candidate terms are exactly counted (one keyed groupBy
-  bounded by the candidate set); total token count comes from a
-  zero-shuffle size() projection. Output = candidates whose EXACT count
+  bounded by the candidate set); the total token count rides the SAME
+  phase-1 pass as per-partition sentinel rows (a separate total would
+  be a whole extra corpus scan). Output = candidates whose EXACT count
   clears the threshold, so the sketch never decides the answer — only
   what gets recounted.
 
@@ -46,8 +47,12 @@ from .corpusops import TOKEN_RE
 DEFAULT_HH_K = 50
 
 
-def _mg_candidates(toks: DataFrame, k: int) -> DataFrame:
-    """(term): the per-partition Misra-Gries survivors, map-only."""
+def _mg_summaries(toks: DataFrame, k: int) -> DataFrame:
+    """(term, n): the per-partition Misra-Gries survivors (n = residual
+    weight, unused downstream) PLUS one sentinel row per partition with
+    term = NULL carrying the partition's total token count — so the
+    single map-only pass yields both the candidate set and the global
+    n_tokens (a separate total would cost a third full corpus scan)."""
     import pandas as pd
     import pyarrow as pa
 
@@ -55,7 +60,9 @@ def _mg_candidates(toks: DataFrame, k: int) -> DataFrame:
         import numpy as np
 
         summary = pd.Series(dtype="int64")
+        total = 0
         for batch in batches:
+            total += batch.num_rows
             vc = pd.Series(batch.column(0).to_pandas()).value_counts()
             summary = summary.add(vc.astype("int64"), fill_value=0).astype(
                 "int64"
@@ -68,12 +75,16 @@ def _mg_candidates(toks: DataFrame, k: int) -> DataFrame:
                 cstar = np.partition(w, len(w) - (k + 1))[len(w) - (k + 1)]
                 summary = summary - int(cstar)
                 summary = summary[summary > 0]
+        terms = list(summary.index.astype(str)) + [None]
+        ns = list(summary.to_numpy(np.int64)) + [total]
         yield pa.RecordBatch.from_arrays(
-            [pa.array(summary.index.astype(str), pa.utf8())],
-            schema=pa.schema([pa.field("term", pa.utf8())]),
+            [pa.array(terms, pa.utf8()), pa.array(ns, pa.int64())],
+            schema=pa.schema(
+                [pa.field("term", pa.utf8()), pa.field("n", pa.int64())]
+            ),
         )
 
-    return toks.mapInArrow(kernel, "term string")
+    return toks.mapInArrow(kernel, "term string, n bigint")
 
 
 def frequent_terms(
@@ -90,10 +101,18 @@ def frequent_terms(
         F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(TOKEN_RE)
     )
     toks = docs.select(F.explode(toks_arr).alias("term"))
-    total = docs.agg(
-        F.sum(F.size(toks_arr)).cast("bigint").alias("n_tokens")
+    from ..caching import persist_tracked
+
+    # one map-only pass yields candidates AND the total (sentinel rows);
+    # persisted because both derivations consume it
+    summaries = persist_tracked(_mg_summaries(toks, k))
+    total = (
+        summaries.filter(F.col("term").isNull())
+        .agg(F.sum("n").cast("bigint").alias("n_tokens"))
     )
-    cands = _mg_candidates(toks, k).distinct()
+    cands = (
+        summaries.filter(F.col("term").isNotNull()).select("term").distinct()
+    )
     return (
         toks.join(F.broadcast(cands), "term")
         .groupBy("term")

@@ -126,9 +126,16 @@ def winnow_candidate_pairs(
     hash buckets with >= 2 docs; a bucket-size guard upstream is the
     same skew discipline as the LSH band joins (textops.dedup) — at the
     gate scale the fixture's buckets are tiny."""
-    fps = winnow_fingerprints(docs, text_col, k, t).select(
-        "doc_id", "gram_hash"
-    ).distinct()
+    from ..caching import persist_tracked
+
+    # persist: the relation feeds BOTH self-join sides — without it a
+    # replan (AQE) can run the corpus-wide fingerprint selection twice
+    # (the image_hash_pairs discipline)
+    fps = persist_tracked(
+        winnow_fingerprints(docs, text_col, k, t)
+        .select("doc_id", "gram_hash")
+        .distinct()
+    )
     a = fps.alias("a")
     b = fps.alias("b")
     return (

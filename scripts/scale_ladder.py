@@ -61,6 +61,16 @@ HEAVY = [
     # loop, graded contamination rides the shared shingle relation
     "dedup_keep_best",
     "contamination_score",
+    # round-5 additions: winnow selection + pairs are gram-stream-sized,
+    # the trigram model rides a corpus-token kernel pass, BPE encode joins
+    # a vocab relation back to one corpus explode, frequent_terms' MG pass
+    # streams every token, bm25 is a full scan + 1-row agg
+    "winnow_fingerprints",
+    "winnow_candidate_pairs",
+    "trigram_lm_score",
+    "bpe_encode_tokens",
+    "frequent_terms",
+    "bm25_topk",
 ]
 
 

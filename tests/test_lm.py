@@ -295,3 +295,27 @@ def test_trigram_vs_bigram_orders_are_distinct(spark):
     tri = {r.doc_id: r.n_trigrams for r in trigram_lm_score(docs).collect()}
     for d in (0, 1):
         assert tri[d] == bi[d] - 1  # one fewer position per doc
+
+
+def test_bpe_encode_oracle_survives_merge_exhaustion(spark):
+    """A corpus whose pairs run out before `steps` rounds: the engine
+    breaks out of the loop and keeps the symbol relation; the unrolled
+    twin must pass symbols through empty rounds rather than wiping them
+    (the CROSS-JOIN-against-empty-top regression)."""
+    import duckdb
+
+    from geocode_spark.textops.lm import (
+        bpe_encode_oracle_sql,
+        bpe_encode_tokens,
+    )
+
+    df = _docs(spark, ["ab ab"])  # fully merged after ONE round
+    got = bpe_encode_tokens(df, steps=10).collect()
+    assert (got[0].n_words, got[0].n_tokens_bpe) == (2, 2)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES (0, 'ab ab'))"
+        " t(doc_id, text)"
+    )
+    want = con.sql(bpe_encode_oracle_sql("documents", steps=10)).fetchall()
+    assert want == [(0, 2, 2)]

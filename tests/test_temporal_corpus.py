@@ -528,3 +528,32 @@ def test_scd2_compression_and_validity(spark):
     assert [r.version for r in u1] == [1, 2]
     u2 = [r for r in got if r.user_id == 2]
     assert len(u2) == 1 and u2[0].is_current == 1
+
+
+def test_scd2_null_values_are_real_versions(spark):
+    from pyspark.sql import functions as F
+
+    from geocode_spark.operators.temporal import scd2_history
+
+    rows = [(1, 10, 1, "signup"), (2, 20, 1, "signup"),
+            (3, 30, 1, "signup")]
+    df = _ev(spark, rows).withColumn(
+        "value", F.when(F.col("event_id") == 2, None).otherwise(1.0)
+    )
+    got = sorted(scd2_history(df).collect(), key=lambda r: r.version)
+    # 1.0 -> NULL -> 1.0 is THREE versions: the NULL period is real
+    assert [r.value_cents for r in got] == [100, None, 100]
+    assert [r.version for r in got] == [1, 2, 3]
+    assert got[0].valid_to_us == got[1].valid_from_us
+    assert got[1].valid_to_us == got[2].valid_from_us
+    # a NULL FIRST value is a legitimate initial version, not dropped
+    df2 = _ev(spark, [(1, 10, 1, "signup")]).withColumn(
+        "value", F.lit(None).cast("double")
+    )
+    got2 = scd2_history(df2).collect()
+    assert len(got2) == 1 and got2[0].value_cents is None
+    # repeated NULLs still compress
+    df3 = _ev(spark, [(1, 10, 1, "signup"), (2, 20, 1, "signup")]).withColumn(
+        "value", F.lit(None).cast("double")
+    )
+    assert len(scd2_history(df3).collect()) == 1
