@@ -803,3 +803,252 @@ SELECT doc_id, {b} AS bucket,
             WHEN {b} < {v_hi} THEN '{SPLIT_NAMES[1]}'
             ELSE '{SPLIT_NAMES[2]}' END AS split
 FROM {source}"""
+
+
+# -------------------------------------------------------- PMI collocations
+# word2phrase-class phrase mining (Mikolov et al. 2013): score every
+# adjacent word pair by pointwise mutual information and keep the pairs
+# that co-occur far more than chance — the step that turns "new york" into
+# a single token before tokenizer/embedding training.
+#
+# Scale shape: two corpus-sized keyed groupBys (the unigram and bigram
+# count relations — the same accepted shape as tfidf_top_terms), then
+# everything downstream is MODEL-scale: the bigram-count relation joins
+# two vocab-sized unigram relations (AQE broadcasts them when they fit)
+# and two scalar totals. Output is bounded by |distinct bigrams above
+# min_count with positive PMI| — vocabulary-scale, never corpus-scale.
+#
+# Float discipline (same contract as lm.py): the PMI is quantized to
+# integer micro-nats AFTER one ln() over a quotient whose double
+# arithmetic is parenthesized IDENTICALLY in both dialects (IEEE multiply
+# and divide are deterministic; only ln() carries the documented ≤1-ulp
+# engine-divergence risk, absorbed by the half-micro-nat rounding slack).
+PMI_MIN_COUNT = 5
+
+
+def pmi_collocations(docs: DataFrame, min_count: int = PMI_MIN_COUNT) -> DataFrame:
+    """(w1, w2, pair_cnt, pmi_micro): positive-PMI adjacent word pairs.
+
+    pmi = ln( (c_ab / N_bi) / ((c_a / N_uni) * (c_b / N_uni)) ), i.e.
+    observed bigram probability over the independence expectation, with
+    unigram counts taken over the FULL token stream (docs with one word
+    still contribute unigrams) and bigram counts over docs with >= 2
+    words. Keeps pairs with pair_cnt >= min_count and pmi_micro > 0.
+    """
+    from .textstats import ws_word_array
+
+    words = docs.select(
+        ws_word_array(F.lower(F.col("text"))).alias("ws")
+    )
+    # persist the two MODEL-scale count relations (vocab- and
+    # distinct-bigram-sized, the lm.py precedent): each is referenced
+    # twice+ below and Catalyst does not share common subtrees — without
+    # the persist every reference re-runs the corpus-sized explode
+    uni = persist_tracked(
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c1"))
+    )
+    n_uni = uni.agg(F.sum("c1").cast("bigint").alias("n1"))
+    pairs = (
+        words.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(ws, 1, size(ws) - 1)"),
+                    F.expr("slice(ws, 2, size(ws) - 1)"),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bi = persist_tracked(
+        pairs.groupBy("w1", "w2").agg(
+            F.count("*").cast("bigint").alias("c2")
+        )
+    )
+    n_bi = bi.agg(F.sum("c2").cast("bigint").alias("nb"))
+    scored = (
+        bi.filter(F.col("c2") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("ca")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("cb")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        # the arithmetic is one F.expr so the double-op association is
+        # textually identical to the oracle's
+        .withColumn(
+            "pmi_micro",
+            F.expr(
+                "CAST(round(ln(((CAST(c2 AS DOUBLE) * CAST(n1 AS DOUBLE))"
+                " * CAST(n1 AS DOUBLE))"
+                " / ((CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))"
+                " * CAST(nb AS DOUBLE))) * 1000000, 0) AS BIGINT)"
+            ),
+        )
+    )
+    return scored.filter(F.col("pmi_micro") > 0).select(
+        "w1", "w2", F.col("c2").alias("pair_cnt"), "pmi_micro"
+    )
+
+
+def pmi_collocations_oracle_sql(
+    source: str = "documents", min_count: int = PMI_MIN_COUNT
+) -> str:
+    """DuckDB twin of pmi_collocations — identical tokenization, counts,
+    double-op association, and micro-nat quantization."""
+    from .textstats import ws_word_array_sql
+
+    return f"""
+WITH words AS (
+  SELECT {ws_word_array_sql("lower(text)")} AS ws FROM {source}
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(ws) AS w FROM words) GROUP BY w
+), n_uni AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1 FROM uni),
+pairs AS (
+  SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM words WHERE len(ws) >= 2
+), bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM pairs GROUP BY w1, w2
+), n_bi AS (SELECT CAST(SUM(c2) AS BIGINT) AS nb FROM bi),
+scored AS (
+  SELECT bi.w1, bi.w2, bi.c2,
+         CAST(round(ln(((CAST(bi.c2 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                        * CAST(n1 AS DOUBLE))
+                       / ((CAST(ua.c1 AS DOUBLE) * CAST(ub.c1 AS DOUBLE))
+                          * CAST(nb AS DOUBLE))) * 1000000, 0)
+              AS BIGINT) AS pmi_micro
+  FROM bi
+  JOIN uni ua ON bi.w1 = ua.w
+  JOIN uni ub ON bi.w2 = ub.w
+  CROSS JOIN n_uni CROSS JOIN n_bi
+  WHERE bi.c2 >= {int(min_count)}
+)
+SELECT w1, w2, c2 AS pair_cnt, pmi_micro FROM scored WHERE pmi_micro > 0"""
+
+
+# ------------------------------------------------- domain distribution drift
+# Per-domain Jensen-Shannon divergence against the whole-corpus unigram
+# distribution — the "which sources look nothing like the rest of my mix"
+# diagnostic a curation run consults before setting mixture weights, and
+# the drift monitor a refreshed crawl is compared with.
+#
+# Scale shape: one corpus-sized explode -> ONE keyed groupBy(source, term)
+# restricted by a broadcast top-V vocabulary (the stream is filtered
+# map-side before the shuffle, so the exchange carries at most
+# |sources| x V rows); the vocabulary itself is one vocab-sized groupBy +
+# top-V window. Everything after is metadata-scale: the (sources x V)
+# grid is built by a bounded cross join.
+#
+# Float discipline: each term's JS contribution is quantized to integer
+# NANO-nats (1e9 — JS contributions are ~1e-4..1e-2, micro would lose
+# signal) and the per-source aggregate is exact integer addition, so the
+# result is independent of summation order across engines and
+# parallelism levels. Divisions/multiplies are IEEE-deterministic and
+# parenthesized identically in both dialects; only ln() carries the
+# documented ≤1-ulp risk, absorbed by the half-nano rounding slack.
+DIVERGENCE_TOP_V = 200
+
+_JS_CONTRIB_SQL = (
+    "CAST(round(((CASE WHEN cs > 0 THEN"
+    " (0.5 * (CAST(cs AS DOUBLE) / CAST(dt AS DOUBLE)))"
+    " * ln((CAST(cs AS DOUBLE) / CAST(dt AS DOUBLE))"
+    "      / (((CAST(cs AS DOUBLE) / CAST(dt AS DOUBLE))"
+    "          + (CAST(cg AS DOUBLE) / CAST(gt AS DOUBLE))) / 2.0))"
+    " ELSE 0.0 END)"
+    " + ((0.5 * (CAST(cg AS DOUBLE) / CAST(gt AS DOUBLE)))"
+    " * ln((CAST(cg AS DOUBLE) / CAST(gt AS DOUBLE))"
+    "      / (((CAST(cs AS DOUBLE) / CAST(dt AS DOUBLE))"
+    "          + (CAST(cg AS DOUBLE) / CAST(gt AS DOUBLE))) / 2.0))))"
+    " * 1000000000, 0) AS BIGINT)"
+)
+
+
+def domain_divergence(docs: DataFrame, top_v: int = DIVERGENCE_TOP_V) -> DataFrame:
+    """(source, n_terms, js_nano): Jensen-Shannon divergence of each
+    source's unigram distribution vs the corpus's, over the corpus's
+    top-`top_v` terms (by global count, ties broken by term ascending).
+
+    Both distributions are renormalized over the top-V support, so the
+    divergence compares shape on the shared head rather than penalizing
+    tail-vocabulary mismatch. q(term) > 0 always holds on that support;
+    p(term) = 0 contributes only the q-side KL half. js_nano is the
+    exact integer sum of per-term nano-nat contributions.
+    """
+    from .textstats import ws_word_array
+
+    terms = docs.select(
+        "source",
+        F.explode(ws_word_array(F.lower(F.col("text")))).alias("term"),
+    )
+    glob = terms.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("cg")
+    )
+    # orderBy().limit() lowers to TakeOrderedAndProject — a distributed
+    # partial top-k with map-side pruning, NOT the single-partition global
+    # sort a row_number() window over the whole vocab would force.
+    # topv (V rows) and per_src (<= |sources| x V rows) are each referenced
+    # 2-3 times below; persisting these bounded relations keeps the
+    # corpus-sized explode at exactly TWO runs (topv, per_src) instead of
+    # one per downstream reference (Catalyst shares no common subtrees)
+    topv = persist_tracked(
+        glob.orderBy(F.col("cg").desc(), F.col("term").asc()).limit(top_v)
+    )
+    per_src = persist_tracked(
+        terms.join(F.broadcast(topv.select("term")), "term")
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("cs"))
+    )
+    dom_tot = per_src.groupBy("source").agg(
+        F.sum("cs").cast("bigint").alias("dt")
+    )
+    glob_tot = topv.agg(F.sum("cg").cast("bigint").alias("gt"))
+    grid = (
+        dom_tot.crossJoin(F.broadcast(topv))
+        .join(per_src, ["source", "term"], "left")
+        .withColumn("cs", F.coalesce(F.col("cs"), F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(glob_tot))
+    )
+    contrib = grid.withColumn("ct_nano", F.expr(_JS_CONTRIB_SQL))
+    return contrib.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("ct_nano").cast("bigint").alias("js_nano"),
+    )
+
+
+def domain_divergence_oracle_sql(
+    source: str = "documents", top_v: int = DIVERGENCE_TOP_V
+) -> str:
+    """DuckDB twin of domain_divergence — identical tokenization, top-V
+    selection, double-op association, and nano-nat quantization."""
+    from .textstats import ws_word_array_sql
+
+    return f"""
+WITH terms AS (
+  SELECT source,
+         unnest({ws_word_array_sql("lower(text)")}) AS term
+  FROM {source}
+), gcounts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cg FROM terms GROUP BY term
+), topv AS (
+  SELECT term, cg FROM gcounts
+  ORDER BY cg DESC, term ASC LIMIT {int(top_v)}
+), per_src AS (
+  SELECT t.source, t.term, CAST(COUNT(*) AS BIGINT) AS cs
+  FROM terms t JOIN topv USING (term)
+  GROUP BY t.source, t.term
+), dom_tot AS (
+  SELECT source, CAST(SUM(cs) AS BIGINT) AS dt FROM per_src GROUP BY source
+), glob_tot AS (SELECT CAST(SUM(cg) AS BIGINT) AS gt FROM topv),
+grid AS (
+  SELECT d.source, v.term, v.cg, d.dt,
+         CAST(COALESCE(p.cs, 0) AS BIGINT) AS cs
+  FROM dom_tot d CROSS JOIN topv v
+  LEFT JOIN per_src p ON p.source = d.source AND p.term = v.term
+)
+SELECT g.source,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM({_JS_CONTRIB_SQL}) AS BIGINT) AS js_nano
+FROM grid g CROSS JOIN glob_tot
+GROUP BY g.source"""
