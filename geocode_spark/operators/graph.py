@@ -383,3 +383,138 @@ r(doc_id, cur) AS (
 SELECT doc_id, CAST(min(cur) AS BIGINT) AS component_id
 FROM r GROUP BY doc_id
 """
+
+
+# ------------------------------------------------------- HITS (Kleinberg 1999)
+# Hubs & authorities over the same deterministic link graph as pagerank —
+# the second classic link-analysis ranking a web-corpus pipeline runs
+# (authority ~ "worth keeping/boosting", hub ~ "good link source" in crawl
+# frontier scheduling). Same iterative discipline as pagerank: every
+# quantity is int64 fixed-point so the per-node sums are exact integer
+# addition (shuffle-order- and engine-independent), and the per-round
+# L1 normalization is integer multiply-then-div — IDENTICAL in both
+# dialects. Overflow bound: raw sums are <= N * HITS_SCALE, and the
+# normalization multiplies by HITS_SCALE before dividing, so N must stay
+# below 2^63 / HITS_SCALE^2 ≈ 9.2e6 nodes at the default scale; a larger
+# graph lowers HITS_SCALE (or divides first) — the bound is asserted.
+#
+# Scale shape per round: two (edge ⋈ score) joins + two keyed groupBys +
+# two metadata-scale scalar totals cross-joined broadcast — the transpose
+# power iteration. Lineage truncated every CHECKPOINT_EVERY rounds (the
+# pagerank precedent, measured there).
+HITS_ITERS = 8
+HITS_SCALE = 1_000_000  # micro-units
+
+_HITS_MAX_NODES = (1 << 63) // (HITS_SCALE * HITS_SCALE)
+
+
+def hits_scores(docs: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """(doc_id, hub_micro, auth_micro): fixed-iteration integer HITS with
+    per-round L1 normalization to HITS_SCALE total mass. Nodes without
+    in-links (out-links) get authority (hub) 0; truncation makes each
+    score vector sum to (HITS_SCALE - n_trunc] exactly once normalized."""
+    n_docs = docs.count()  # control-flow scalar, not data movement
+    assert n_docs < _HITS_MAX_NODES, "lower HITS_SCALE for this graph size"
+    nodes = docs.select("doc_id")
+    edges = link_graph(docs, n_docs)
+
+    # in-loop relations carry ONLY nodes with a nonzero raw score: a
+    # zero-score node contributes nothing to the next propagation and
+    # integer-divides to 0 anyway, so dropping it is value-identical to
+    # the oracle's dense formulation — the full node frame is reattached
+    # once at the end (coalesce 0), saving two node-frame joins per round
+    hub = nodes.withColumn("hub", F.lit(HITS_SCALE).cast("bigint"))
+    auth = None
+    for i in range(iters):
+        if i and i % CHECKPOINT_EVERY == 0:
+            hub = truncate_lineage(hub)
+        araw = (
+            edges.join(hub, edges.src == hub.doc_id)
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("ar"))
+        )
+        atot = araw.agg(F.sum("ar").alias("atot"))
+        auth = araw.crossJoin(F.broadcast(atot)).select(
+            F.col("dst").alias("doc_id"),
+            F.expr(
+                f"CAST((ar * {HITS_SCALE})"
+                " div greatest(atot, 1) AS BIGINT)"
+            ).alias("auth"),
+        )
+        hraw = (
+            edges.join(auth, edges.dst == auth.doc_id)
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hr"))
+        )
+        htot = hraw.agg(F.sum("hr").alias("htot"))
+        hub = hraw.crossJoin(F.broadcast(htot)).select(
+            F.col("src").alias("doc_id"),
+            F.expr(
+                f"CAST((hr * {HITS_SCALE})"
+                " div greatest(htot, 1) AS BIGINT)"
+            ).alias("hub"),
+        )
+    return (
+        nodes.join(hub, "doc_id", "left")
+        .join(auth, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("hub", F.lit(0)).cast("bigint").alias("hub_micro"),
+            F.coalesce("auth", F.lit(0)).cast("bigint").alias("auth_micro"),
+        )
+    )
+
+
+def hits_oracle_sql(source: str = "documents",
+                    iters: int = HITS_ITERS) -> str:
+    """Unrolled per-iteration CTEs — identical integer arithmetic (the
+    pagerank_oracle_sql pattern)."""
+    links = " UNION ALL ".join(
+        f"SELECT doc_id AS src,"
+        f" (doc_id * doc_id * {a2} + doc_id * {a1} + {a0})"
+        f" % (SELECT c FROM n) AS dst FROM {source}"
+        for a2, a1, a0 in LINK_COEFFS
+    )
+    # MATERIALIZED is required, not a hint: the unrolled body references
+    # edges 2x and nodes 2x PER ITERATION (plus a scalar n subquery per
+    # link branch) — inlined, DuckDB would re-open the parquet ~50-150
+    # times concurrently and exhaust the process fd limit
+    ctes = [
+        f"n AS MATERIALIZED (SELECT count(*) AS c FROM {source})",
+        f"nodes AS MATERIALIZED (SELECT doc_id FROM {source})",
+        f"edges AS MATERIALIZED ({links})",
+        f"hub0 AS (SELECT doc_id, CAST({HITS_SCALE} AS BIGINT) AS hub"
+        f" FROM nodes)",
+    ]
+    # every per-iteration CTE is MATERIALIZED: araw{k}/hraw{k} are each
+    # referenced TWICE (score join + total), so inlining would duplicate
+    # the whole prior subtree 4x per iteration — 4^iters plan copies
+    for k in range(iters):
+        ctes.append(f"""araw{k} AS MATERIALIZED (
+  SELECT e.dst, SUM(h.hub) AS ar
+  FROM hub{k} h JOIN edges e ON e.src = h.doc_id GROUP BY e.dst
+), atot{k} AS MATERIALIZED (SELECT SUM(ar) AS atot FROM araw{k}),
+auth{k} AS MATERIALIZED (
+  SELECT nd.doc_id,
+         CAST((COALESCE(s.ar, 0) * {HITS_SCALE})
+              // greatest(t.atot, 1) AS BIGINT) AS auth
+  FROM nodes nd LEFT JOIN araw{k} s ON s.dst = nd.doc_id
+  CROSS JOIN atot{k} t
+), hraw{k} AS MATERIALIZED (
+  SELECT e.src, SUM(a.auth) AS hr
+  FROM auth{k} a JOIN edges e ON e.dst = a.doc_id GROUP BY e.src
+), htot{k} AS MATERIALIZED (SELECT SUM(hr) AS htot FROM hraw{k}),
+hub{k + 1} AS MATERIALIZED (
+  SELECT nd.doc_id,
+         CAST((COALESCE(s.hr, 0) * {HITS_SCALE})
+              // greatest(t.htot, 1) AS BIGINT) AS hub
+  FROM nodes nd LEFT JOIN hraw{k} s ON s.src = nd.doc_id
+  CROSS JOIN htot{k} t
+)""")
+    last = iters - 1
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT h.doc_id, h.hub AS hub_micro, a.auth AS auth_micro
+FROM hub{iters} h JOIN auth{last} a USING (doc_id)"""
+    )
