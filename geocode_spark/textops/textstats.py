@@ -390,3 +390,102 @@ SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
 FROM {pages_source}
 GROUP BY 1
 """
+
+
+# ------------------------------------------------------ encoding damage scan
+# Mojibake / encoding-damage detection — the curation gate that catches
+# double-decoded UTF-8 ("caf\u00c3\u00a9", "\u00e2\u20ac\u2122"), U+FFFD replacement
+# characters (a lossy transcode already happened), and raw control bytes
+# (binary spill into a text field). Pure Catalyst regex projection: zero
+# shuffle, zero Python — the same plan class as pii_redact.
+#
+# Regex dialect: \\x{....} escapes only (valid in BOTH Java regex and
+# RE2 — \\uFFFF is Java-only); each pattern carries one outer capture
+# group because Spark's regexp_extract_all defaults to group 1 while
+# DuckDB's counts full matches.
+REPLACEMENT_RE = "(\\x{FFFD})"
+# C0 controls except tab/newline/VT/FF/CR (legitimate whitespace), + DEL
+CONTROL_RE = "([\\x{0001}-\\x{0008}\\x{000E}-\\x{001F}\\x{007F}])"
+# UTF-8 bytes re-decoded as Latin-1/cp1252: a 2-byte sequence becomes
+# \u00c3/\u00c2 + one high-Latin-1 char; a 3-byte punctuation sequence becomes
+# \u00e2\u20ac + anything (cp1252 maps 0x80-0x9F outside U+0080-U+00FF, hence ".")
+MOJIBAKE_RE = (
+    "([\\x{00C2}\\x{00C3}][\\x{0080}-\\x{00FF}]|\\x{00E2}\\x{20AC}.)"
+)
+ENC_INJECT_MOD = 4
+
+
+def encoding_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic damage injection, one variant per signal family:
+    mod 0 -> two U+FFFD replacement chars; mod 1 -> three mojibake
+    sequences (2-byte \u00c3\u00a9/\u00c3\u00af and 3-byte \u00e2\u20ac\u2122 forms); mod 2 -> three
+    raw control bytes; mod 3 -> clean. Twin: encoding_corpus_sql."""
+    did = F.col("doc_id")
+    repl = F.concat(
+        F.col("text"),
+        F.lit(" caf\ufffd data \ufffd end"),
+    )
+    moji = F.concat(
+        F.col("text"),
+        F.lit(" caf\u00c3\u00a9 na\u00c3\u00afve \u00e2\u20ac\u2122quote"),
+    )
+    ctrl = F.concat(
+        F.col("text"),
+        F.lit(" bin\x01mid\x02tail\x1f"),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(did % ENC_INJECT_MOD == 0, repl)
+        .when(did % ENC_INJECT_MOD == 1, moji)
+        .when(did % ENC_INJECT_MOD == 2, ctrl)
+        .otherwise(F.col("text")).alias("text"),
+    )
+
+
+def encoding_quality(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_replacement, n_control, n_mojibake, damaged): per-doc
+    encoding-damage counts; damaged = 1 iff any signal fired."""
+    t = F.col("text")
+    n_rep = _n_matches(t, REPLACEMENT_RE)
+    n_ctl = _n_matches(t, CONTROL_RE)
+    n_moj = _n_matches(t, MOJIBAKE_RE)
+    return docs.select(
+        "doc_id",
+        n_rep.alias("n_replacement"),
+        n_ctl.alias("n_control"),
+        n_moj.alias("n_mojibake"),
+        ((n_rep > 0) | (n_ctl > 0) | (n_moj > 0))
+        .cast("bigint").alias("damaged"),
+    )
+
+
+def encoding_corpus_sql(source: str = "documents") -> str:
+    return f"""(
+  SELECT doc_id,
+         CASE WHEN doc_id % {ENC_INJECT_MOD} = 0
+              THEN text || ' caf' || chr(65533) || ' data '
+                   || chr(65533) || ' end'
+              WHEN doc_id % {ENC_INJECT_MOD} = 1
+              THEN text || ' caf' || chr(195) || chr(169) || ' na'
+                   || chr(195) || chr(175) || 've ' || chr(226)
+                   || chr(8364) || chr(8482) || 'quote'
+              WHEN doc_id % {ENC_INJECT_MOD} = 2
+              THEN text || ' bin' || chr(1) || 'mid' || chr(2)
+                   || 'tail' || chr(31)
+              ELSE text END AS text
+  FROM {source}
+)"""
+
+
+def encoding_quality_oracle_sql(source: str = "documents") -> str:
+    rep, ctl, moj = REPLACEMENT_RE, CONTROL_RE, MOJIBAKE_RE
+    return f"""
+SELECT doc_id,
+       {_n_matches_sql("text", rep)} AS n_replacement,
+       {_n_matches_sql("text", ctl)} AS n_control,
+       {_n_matches_sql("text", moj)} AS n_mojibake,
+       CAST(({_n_matches_sql("text", rep)} > 0
+             OR {_n_matches_sql("text", ctl)} > 0
+             OR {_n_matches_sql("text", moj)} > 0) AS BIGINT) AS damaged
+FROM {encoding_corpus_sql(source)}
+"""

@@ -675,3 +675,49 @@ def test_corpus_split_deterministic_and_complete(spark):
     first = {r.doc_id: r.split for r in rows}
     assert first == again
     assert first != other
+
+
+def test_encoding_quality_variants(spark):
+    """Each injected damage family is counted exactly, independently."""
+    from geocode_spark.textops.textstats import (
+        encoding_corpus, encoding_quality,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "clean words only") for i in range(8)], "doc_id long, text string"
+    )
+    out = (
+        encoding_quality(encoding_corpus(docs))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    for i in range(8):
+        v = i % 4
+        row = out.loc[i]
+        assert row.n_replacement == (2 if v == 0 else 0)
+        assert row.n_mojibake == (3 if v == 1 else 0)
+        assert row.n_control == (3 if v == 2 else 0)
+        assert row.damaged == (0 if v == 3 else 1)
+
+
+def test_encoding_quality_oracle(spark):
+    from compare_util import assert_frames_match, duck_to_pdf
+    from geocode_spark.textops.textstats import (
+        encoding_corpus, encoding_quality, encoding_quality_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = encoding_quality(encoding_corpus(docs)).toPandas()
+    want = duck_to_pdf(encoding_quality_oracle_sql(), SF_DIR)
+    assert (got.damaged > 0).any() and (got.damaged == 0).any()
+    assert_frames_match(got, want, label="encoding_quality")
+
+
+def test_encoding_quality_legit_whitespace_not_flagged(spark):
+    """Tab/newline/CR are NOT control damage; VT/FF exempt too."""
+    from geocode_spark.textops.textstats import encoding_quality
+
+    docs = spark.createDataFrame(
+        [(3, "line one\n\tcol\rtwo\x0b\x0c end")], "doc_id long, text string"
+    )
+    row = encoding_quality(docs).toPandas().iloc[0]
+    assert row.n_control == 0 and row.damaged == 0
