@@ -688,3 +688,78 @@ SELECT n.doc_id,
        m.match_id
 FROM newdocs n LEFT JOIN matches m ON m.new_id = n.doc_id
 """
+
+
+# ------------------------------------------------------------ n-gram novelty
+# First-introducer novelty: what fraction of a document's distinct word
+# 3-grams appear in NO lower-id document — the freshness/diversity signal
+# a curation run uses to downweight recombinations of already-seen text
+# (exact duplicates score 0 by construction; genuinely new material
+# scores near 1000 permille). Ordering is by doc_id — in a dated corpus
+# the id would be the crawl timestamp rank.
+#
+# Scale shape: the accepted dedup-family shape — one corpus-sized shingle
+# explode, ONE keyed groupBy(shingle) for the first-introducer relation,
+# one keyed join back, one groupBy(doc_id). Nothing is all-pairs; the
+# first-introducer relation is |distinct shingles|, the same size class
+# as the dedup candidates' shingle relation. The permille is exact
+# integer arithmetic (n_novel * 1000 div n_shingles) — no floats.
+def ngram_novelty(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novelty_permille) for every corpus
+    doc; docs with < 3 tokens score (0, 0, 0)."""
+    shx = with_shingles(corpus).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    first = shx.groupBy("shingle").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    per_doc = (
+        shx.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+    )
+    return (
+        corpus.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint")
+            .alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.expr(
+                "CAST((coalesce(n_novel, 0) * 1000)"
+                " div greatest(coalesce(n_shingles, 0), 1) AS BIGINT)"
+            ).alias("novelty_permille"),
+        )
+    )
+
+
+def ngram_novelty_oracle_sql(source: str) -> str:
+    """DuckDB twin over the same injected dup corpus."""
+    return f"""
+WITH {_shingle_rows_cte(corpus_sql(source))},
+first_doc AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM shx GROUP BY shingle
+),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM shx s JOIN first_doc f USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST((COALESCE(p.n_novel, 0) * 1000)
+            // greatest(COALESCE(p.n_shingles, 0), 1) AS BIGINT)
+         AS novelty_permille
+FROM (SELECT doc_id FROM {corpus_sql(source)}) d
+LEFT JOIN per_doc p USING (doc_id)
+"""

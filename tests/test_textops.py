@@ -721,3 +721,47 @@ def test_encoding_quality_legit_whitespace_not_flagged(spark):
     )
     row = encoding_quality(docs).toPandas().iloc[0]
     assert row.n_control == 0 and row.damaged == 0
+
+
+def test_ngram_novelty_semantics(spark):
+    """Exact copy of an earlier doc scores 0; all-new text scores 1000;
+    a half-overlap doc lands strictly between; short docs score (0,0,0)."""
+    from geocode_spark.textops.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta epsilon"),     # exact copy
+            (2, "zeta eta theta iota kappa"),          # all new
+            (3, "gamma delta epsilon zeta eta theta"), # straddles 0 and 2
+            (4, "tiny doc"),                           # < 3 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_novelty(docs).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "novelty_permille"] == 1000
+    assert out.loc[1, "novelty_permille"] == 0
+    assert out.loc[2, "novelty_permille"] == 1000
+    # doc 3 shingles: "gamma delta epsilon" seen (doc 0); "zeta eta theta"
+    # seen (doc 2); the two straddling shingles are new -> 2/4 = 500
+    assert out.loc[3, "n_shingles"] == 4
+    assert out.loc[3, "n_novel"] == 2
+    assert out.loc[3, "novelty_permille"] == 500
+    assert tuple(out.loc[4, ["n_shingles", "n_novel", "novelty_permille"]]) \
+        == (0, 0, 0)
+
+
+def test_ngram_novelty_oracle(spark):
+    from compare_util import assert_frames_match, duck_to_pdf
+    from geocode_spark.textops.dedup import (
+        near_dup_corpus, ngram_novelty, ngram_novelty_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = ngram_novelty(near_dup_corpus(docs)).toPandas()
+    want = duck_to_pdf(ngram_novelty_oracle_sql("documents"), SF_DIR)
+    # effect size: the injected exact copies must all score 0
+    copies = got[(got.doc_id >= 1000000) & (got.doc_id < 2000000)]
+    assert len(copies) > 0 and (copies.novelty_permille == 0).all()
+    assert (got.novelty_permille > 0).any()
+    assert_frames_match(got, want, label="ngram_novelty")
