@@ -1052,3 +1052,91 @@ SELECT g.source,
        CAST(SUM({_JS_CONTRIB_SQL}) AS BIGINT) AS js_nano
 FROM grid g CROSS JOIN glob_tot
 GROUP BY g.source"""
+
+
+# ------------------------------------------------- token-budget apportionment
+# Largest-remainder (Hamilton) apportionment of a fixed token budget
+# across sources, proportional to each source's whitespace-token mass —
+# the mixture-planning step that turns "2T-token run, weights by corpus
+# share" into per-source integer quotas that sum to the budget EXACTLY
+# (naive rounding over- or under-shoots by up to |sources| tokens).
+#
+# Scale shape: ONE corpus-sized keyed groupBy(source); everything after
+# runs on the |sources|-row relation — metadata scale, where the ranking
+# window's single partition is the correct plan, not a hazard. All
+# arithmetic is exact int64 (floor = n*B div T, remainder = n*B mod T;
+# overflow bound: n_tokens * BUDGET < 2^63 holds to ~9e13 tokens at the
+# default budget). Ties in the remainder rank break by source ascending —
+# totally ordered, parallelism- and engine-independent.
+APPORTION_BUDGET = 100_000
+
+
+def token_apportionment(docs: DataFrame,
+                        budget: int = APPORTION_BUDGET) -> DataFrame:
+    """(source, n_tokens, alloc): Hamilton-apportioned share of `budget`
+    per source; sum(alloc) == budget exactly (when any tokens exist)."""
+    from .textstats import ws_word_array
+
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(ws_word_array(F.lower(F.col("text")))))
+        .cast("bigint").alias("n_tokens")
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+    based = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"(n_tokens * {int(budget)}) div greatest(t, 1)")
+        .cast("bigint").alias("floor_alloc"),
+        F.expr(f"(n_tokens * {int(budget)}) % greatest(t, 1)")
+        .cast("bigint").alias("rem"),
+    )
+    floors = based.agg(F.sum("floor_alloc").cast("bigint").alias("f"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    return (
+        based.crossJoin(F.broadcast(floors))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.col("floor_alloc")
+                + F.when(
+                    F.col("rk") <= F.lit(int(budget)) - F.col("f"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("alloc"),
+        )
+    )
+
+
+def token_apportionment_oracle_sql(source: str = "documents",
+                                   budget: int = APPORTION_BUDGET) -> str:
+    """DuckDB twin — identical integer floor/remainder arithmetic and
+    remainder-rank tiebreak."""
+    from .textstats import ws_word_array_sql
+
+    b = int(budget)
+    return f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(len({ws_word_array_sql("lower(text)")})) AS BIGINT)
+           AS n_tokens
+  FROM {source} GROUP BY source
+), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per_src),
+based AS (
+  SELECT source, n_tokens,
+         CAST((n_tokens * {b}) // greatest(t, 1) AS BIGINT) AS floor_alloc,
+         CAST((n_tokens * {b}) % greatest(t, 1) AS BIGINT) AS rem
+  FROM per_src CROSS JOIN tot
+), floors AS (SELECT CAST(SUM(floor_alloc) AS BIGINT) AS f FROM based),
+ranked AS (
+  SELECT source, n_tokens, floor_alloc,
+         CAST(row_number() OVER (ORDER BY rem DESC, source ASC) AS BIGINT)
+           AS rk
+  FROM based
+)
+SELECT r.source, r.n_tokens,
+       CAST(r.floor_alloc
+            + CASE WHEN r.rk <= {b} - fl.f THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM ranked r CROSS JOIN floors fl
+"""

@@ -111,3 +111,48 @@ def test_jsd_oracle_parity_sf(spark):
     assert len(got) > 0
     assert (got.js_nano > 0).any()  # effect size: sources differ
     assert_frames_match(got, want, label="domain_divergence")
+
+
+# --------------------------------------------------- token apportionment
+
+def test_apportionment_exact_sum_and_largest_remainder(spark):
+    from geocode_spark.textops.corpusops import token_apportionment
+
+    # token masses 5/3/2 over budget 10 -> quotas 5/3/2 exactly (no
+    # remainder); masses 1/1/1 over budget 10 -> floors 3/3/3, leftover 1
+    # goes to the LOWEST source name (all remainders tie)
+    docs = spark.createDataFrame(
+        [(0, "s1", "a a a a a"), (1, "s2", "b b b"), (2, "s3", "c c")],
+        "doc_id long, source string, text string",
+    )
+    out = (
+        token_apportionment(docs, budget=10)
+        .toPandas().set_index("source").sort_index()
+    )
+    assert list(out.alloc) == [5, 3, 2]
+
+    docs2 = spark.createDataFrame(
+        [(0, "s1", "a"), (1, "s2", "b"), (2, "s3", "c")],
+        "doc_id long, source string, text string",
+    )
+    out2 = (
+        token_apportionment(docs2, budget=10)
+        .toPandas().set_index("source").sort_index()
+    )
+    assert list(out2.alloc) == [4, 3, 3]
+    assert out2.alloc.sum() == 10
+
+
+def test_apportionment_oracle_parity_sf(spark):
+    from compare_util import assert_frames_match, duck_to_pdf
+    from geocode_spark.textops.corpusops import (
+        APPORTION_BUDGET, token_apportionment,
+        token_apportionment_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = token_apportionment(docs).toPandas()
+    want = duck_to_pdf(token_apportionment_oracle_sql(), SF_DIR)
+    assert got.alloc.sum() == APPORTION_BUDGET
+    assert got.alloc.nunique() > 1  # effect size: masses differ
+    assert_frames_match(got, want, label="token_apportionment")
