@@ -1140,3 +1140,194 @@ SELECT r.source, r.n_tokens,
          AS alloc
 FROM ranked r CROSS JOIN floors fl
 """
+
+
+# ---------------------------------------------------------- soft dedup weights
+# Inverse-cluster-size training weights ("soft dedup"): instead of DROPPING
+# near-duplicates, downweight every member of a duplicate cluster so the
+# cluster contributes ONE document's worth of gradient mass in aggregate
+# (weight = 1/cluster_size; the sampling-probability formulation used when
+# hard removal is too lossy — e.g. near-dups that differ in the tail).
+# Exact integer parts-per-million; the per-member remainder of the integer
+# division is deliberately NOT redistributed (every member of a cluster
+# must carry the SAME weight — that is the semantics).
+def dedup_weights(corpus: DataFrame, threshold: float = 0.8,
+                  edges: DataFrame | None = None) -> DataFrame:
+    """(doc_id, cluster_id, n_members, weight_ppm): every corpus doc with
+    its near-dup cluster, the cluster's member count, and the soft-dedup
+    weight 1_000_000 div n_members.
+
+    Scale shape: dedup_clusters' edge-only label propagation plus ONE
+    groupBy(cluster_id) count on the cluster map and ONE keyed join back —
+    both on the doc_id-keyed map relation, no corpus text ever shuffles.
+    """
+    clusters = dedup_clusters(corpus, threshold=threshold, edges=edges)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return clusters.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_members",
+        F.expr("1000000 div n_members").cast("bigint").alias("weight_ppm"),
+    )
+
+
+def dedup_weights_oracle_sql(source: str = "documents",
+                             threshold: float = 0.8) -> str:
+    """DuckDB twin: same clusters, COUNT window for the size."""
+    return f"""
+WITH clusters AS ({dedup_clusters_oracle_sql(source, threshold)})
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+       CAST(1000000 // COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS weight_ppm
+FROM clusters
+"""
+
+
+# ------------------------------------------------- reciprocal-rank fusion
+# RRF (Cormack et al. 2009): fuse several per-document quality signals into
+# one keep/sample score WITHOUT calibrating their scales — each signal
+# contributes 1/(k + rank) where rank is the doc's min-rank under that
+# signal's better-is-first order. The standard ensemble move when a
+# curation pipeline has heterogeneous signals (an LM score in micro-nats,
+# a novelty permille, a repetition permille) whose magnitudes are not
+# comparable. k = 60 per the paper.
+#
+# Integer discipline: the contribution is quantized as 10^9 div (k + rank)
+# BEFORE the cross-signal sum — integer division of integer rank, so the
+# fused score is exact int64 nano-units, order-independent across engines
+# and parallelism. min-rank (SQL RANK()) not row_number: ties must share a
+# rank or the result depends on execution order.
+#
+# Scale shape per signal: rank is NOT a corpus-wide window. It is derived
+# from the per-VALUE distribution relation (groupBy(value).count — bounded
+# by the signal's integer value domain, the perplexity_buckets /
+# length_quantiles argument): a cumulative window over that model-scale
+# relation yields rank(value) = 1 + #docs strictly better, joined back
+# (AQE broadcast when small, keyed join when not). Docs a signal cannot
+# score (no bigrams / no shingles) contribute 0 for that signal and are
+# counted out of n_signals.
+RRF_K = 60
+_RRF_NANO = 1_000_000_000
+
+
+def _rrf_contrib(scored: DataFrame, val: str, ascending: bool,
+                 k: int) -> DataFrame:
+    """(doc_id, contrib): 10^9 div (k + min-rank of `val`) with the
+    better-first direction given by `ascending`."""
+    dist = scored.groupBy(val).agg(F.count("*").cast("bigint").alias("c"))
+    order = F.col(val).asc() if ascending else F.col(val).desc()
+    w = Window.orderBy(order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = dist.select(
+        val,
+        (F.coalesce(F.sum("c").over(w), F.lit(0)) + 1)
+        .cast("bigint").alias("rk"),
+    )
+    return scored.join(ranked, val).select(
+        "doc_id",
+        F.expr(f"{_RRF_NANO} div ({int(k)} + rk)")
+        .cast("bigint").alias("contrib"),
+    )
+
+
+def rrf_fusion(docs: DataFrame, k: int = RRF_K) -> DataFrame:
+    """(doc_id, n_signals, rrf_nano): reciprocal-rank fusion of three
+    existing quality signals over the raw document table —
+
+      s1 bigram-LM average NLL (micro-nats, LOWER better; docs with no
+         bigrams unscored),
+      s2 3-gram novelty permille (HIGHER better; docs with no shingles
+         unscored),
+      s3 3-gram repetition permille (LOWER better; same unscored rule).
+
+    rrf_nano = sum over scored signals of 10^9 div (k + min_rank);
+    n_signals counts the signals that scored the doc.
+    """
+    from .dedup import ngram_novelty
+    from .lm import bigram_lm_score
+
+    nll = bigram_lm_score(docs).filter(F.col("n_bigrams") > 0).select(
+        "doc_id", F.expr("nll_micro div n_bigrams").alias("v")
+    )
+    nov = ngram_novelty(docs).filter(F.col("n_shingles") > 0).select(
+        "doc_id", F.col("novelty_permille").alias("v")
+    )
+    rep = doc_repetition(docs).filter(F.col("n_grams_total") >= 1).select(
+        "doc_id",
+        (F.lit(1000) - F.expr("n_grams_distinct * 1000 div n_grams_total"))
+        .cast("bigint").alias("v"),
+    )
+    parts = [
+        _rrf_contrib(nll, "v", ascending=True, k=k),
+        _rrf_contrib(nov, "v", ascending=False, k=k),
+        _rrf_contrib(rep, "v", ascending=True, k=k),
+    ]
+    out = docs.select("doc_id")
+    for i, p in enumerate(parts):
+        out = out.join(
+            p.withColumnRenamed("contrib", f"c{i}"), "doc_id", "left"
+        )
+    cs = [F.col(f"c{i}") for i in range(len(parts))]
+    return out.select(
+        "doc_id",
+        sum(c.isNotNull().cast("bigint") for c in cs)
+        .cast("bigint").alias("n_signals"),
+        sum(F.coalesce(c, F.lit(0)) for c in cs)
+        .cast("bigint").alias("rrf_nano"),
+    )
+
+
+def rrf_fusion_oracle_sql(source: str = "documents",
+                          k: int = RRF_K) -> str:
+    """DuckDB twin. Small-scale, so ranks use RANK() directly (ties-min,
+    value-identical to the engine's distribution-relation formulation);
+    the signal derivations compose the signals' own twins."""
+    from .dedup import WS, _shingle_rows_cte
+    from .lm import bigram_lm_oracle_sql
+
+    kk = int(k)
+    return f"""
+WITH nll_base AS ({bigram_lm_oracle_sql(source)}),
+s1 AS (
+  SELECT doc_id, CAST({_RRF_NANO} // ({kk} + RANK() OVER (
+           ORDER BY nll_micro // n_bigrams ASC)) AS BIGINT) AS contrib
+  FROM nll_base WHERE n_bigrams > 0
+),
+{_shingle_rows_cte(source)},
+first_doc AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM shx GROUP BY shingle
+),
+nov_base AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END) * 1000
+              // count(*) AS BIGINT) AS novelty_permille
+  FROM shx s JOIN first_doc f USING (shingle)
+  GROUP BY s.doc_id
+),
+s2 AS (
+  SELECT doc_id, CAST({_RRF_NANO} // ({kk} + RANK() OVER (
+           ORDER BY novelty_permille DESC)) AS BIGINT) AS contrib
+  FROM nov_base WHERE n_shingles > 0
+),
+rep_base AS ({doc_repetition_oracle_sql(source)}),
+s3 AS (
+  SELECT doc_id, CAST({_RRF_NANO} // ({kk} + RANK() OVER (
+           ORDER BY 1000 - n_grams_distinct * 1000 // n_grams_total ASC))
+         AS BIGINT) AS contrib
+  FROM rep_base WHERE n_grams_total >= 1
+)
+SELECT d.doc_id,
+       CAST((s1.contrib IS NOT NULL)::INT + (s2.contrib IS NOT NULL)::INT
+            + (s3.contrib IS NOT NULL)::INT AS BIGINT) AS n_signals,
+       CAST(COALESCE(s1.contrib, 0) + COALESCE(s2.contrib, 0)
+            + COALESCE(s3.contrib, 0) AS BIGINT) AS rrf_nano
+FROM (SELECT doc_id FROM {source}) d
+LEFT JOIN s1 USING (doc_id)
+LEFT JOIN s2 USING (doc_id)
+LEFT JOIN s3 USING (doc_id)
+"""

@@ -697,3 +697,91 @@ SELECT doc_id, host,
             AS BIGINT) AS rank
 FROM ranked
 QUALIFY rank <= {k}"""
+
+
+# ----------------------------------------------------- overlapping chunking
+# Sliding-window token chunking: split each document into stride-aligned
+# chunks of at most `size` tokens with `size - stride` tokens of overlap —
+# the context-window prep step for embedding / retrieval indexing (and the
+# long-doc variant of sequence packing when documents must stay intact
+# inside a chunk). Chunk starts are 1, 1+stride, ..., 1+K*stride with
+# K = ceil(max(n - size, 0) / stride): the minimal stride-aligned set that
+# covers every token (no fully-contained trailing chunk is ever emitted —
+# K is 0 when one chunk suffices). Pure zero-shuffle projection + bounded
+# explode (~n/stride rows per doc); all arithmetic int64.
+# defaults sized so the synthetic gate corpus (<= 99-token docs)
+# genuinely multi-chunks — a vacuous gate would pass with any start rule
+CHUNK_SIZE = 48
+CHUNK_STRIDE = 32
+
+
+def chunk_overlap(docs: DataFrame, size: int = CHUNK_SIZE,
+                  stride: int = CHUNK_STRIDE) -> DataFrame:
+    """(doc_id, chunk_id, start_tok, n_tokens, chunk_text): stride-aligned
+    overlapping token windows per document; chunk_id is 0-based, start_tok
+    1-based. Docs with zero whitespace tokens emit no rows."""
+    from .textstats import ws_word_array
+
+    if not (0 < stride <= size):
+        raise ValueError("require 0 < stride <= size")
+    s, t = int(size), int(stride)
+    ws = ws_word_array(F.col("text"))
+    based = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.size(ws).cast("bigint").alias("n"),
+    ).filter(F.col("n") >= 1)
+    based = based.withColumn(
+        "k", F.expr(f"(greatest(n - {s}, 0) + {t} - 1) div {t}")
+    )
+    return (
+        based.select(
+            "doc_id", "ws", "n",
+            F.explode(F.expr("sequence(0, k)")).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            (F.col("chunk_id") * t + 1).cast("bigint").alias("start_tok"),
+            F.least(
+                F.lit(s).cast("bigint"),
+                F.col("n") - F.col("chunk_id") * t,
+            ).cast("bigint").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.expr(f"slice(ws, chunk_id * {t} + 1, {s})"),
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def chunk_overlap_oracle_sql(source: str = "documents",
+                             size: int = CHUNK_SIZE,
+                             stride: int = CHUNK_STRIDE) -> str:
+    """DuckDB twin: identical tokenizer, start set, and slicing."""
+    from .textstats import ws_word_array_sql
+
+    s, t = int(size), int(stride)
+    return f"""
+WITH based AS (
+  SELECT doc_id, {ws_word_array_sql("text")} AS ws,
+         CAST(len({ws_word_array_sql("text")}) AS BIGINT) AS n
+  FROM {source}
+), keyed AS (
+  SELECT doc_id, ws, n,
+         CAST((greatest(n - {s}, 0) + {t} - 1) // {t} AS BIGINT) AS k
+  FROM based WHERE n >= 1
+), exploded AS (
+  SELECT doc_id, ws, n,
+         CAST(unnest(generate_series(0, k)) AS BIGINT) AS chunk_id
+  FROM keyed
+)
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * {t} + 1 AS BIGINT) AS start_tok,
+       CAST(least({s}, n - chunk_id * {t}) AS BIGINT) AS n_tokens,
+       array_to_string(
+         ws[CAST(chunk_id * {t} + 1 AS BIGINT)
+            :CAST(least(chunk_id * {t} + {s}, n) AS BIGINT)],
+         ' ') AS chunk_text
+FROM exploded
+"""
