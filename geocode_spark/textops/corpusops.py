@@ -1331,3 +1331,79 @@ LEFT JOIN s1 USING (doc_id)
 LEFT JOIN s2 USING (doc_id)
 LEFT JOIN s3 USING (doc_id)
 """
+
+
+# ------------------------------------------------------------ inverted index
+# Positional-free inverted index build: term -> document-frequency,
+# collection-frequency, and the doc_id-ordered posting list — what a
+# retrieval layer (the BM25 consumer above) actually ships. Postings are
+# emitted as a canonical "doc:tf" CSV string: deterministic, dialect-free,
+# and hashable (array-of-struct cells are hostile to cross-engine value
+# comparison).
+#
+# Scale shape: one corpus explode -> one keyed groupBy(term, doc) ->
+# one keyed groupBy(term). The posting aggregation's per-group state is
+# df-bounded — the one genuinely unbounded group is a stopword-scale term,
+# which is why `max_df` exists (prune terms above it, the stop-list move);
+# a production index shards those into posting BLOCKS instead (same plan
+# with a (term, doc_id div B) pre-group), documented here as the 100 TB
+# variant rather than implemented, since the artifact contract (one row
+# per term) is what downstream consumes.
+INDEX_MIN_DF = 2
+
+
+def inverted_index(docs: DataFrame, min_df: int = INDEX_MIN_DF,
+                   max_df: int | None = None) -> DataFrame:
+    """(term, df, cf, postings): whitespace-token inverted index over
+    lowercased text; postings = "doc_id:tf" joined by "," in doc_id
+    order. Terms with df < min_df (or > max_df when given) are pruned."""
+    from .textstats import ws_word_array
+
+    dw = docs.select(
+        "doc_id",
+        F.explode(ws_word_array(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = dw.groupBy("term", "doc_id").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    idx = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                lambda x: F.concat_ws(
+                    ":", x["doc_id"].cast("string"), x["tf"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    out = idx.filter(F.col("df") >= int(min_df))
+    if max_df is not None:
+        out = out.filter(F.col("df") <= int(max_df))
+    return out
+
+
+def inverted_index_oracle_sql(source: str = "documents",
+                              min_df: int = INDEX_MIN_DF,
+                              max_df: int | None = None) -> str:
+    """DuckDB twin: identical tokenizer, same doc_id-ordered CSV."""
+    from .textstats import ws_word_array_sql
+
+    cap = f" AND count(*) <= {int(max_df)}" if max_df is not None else ""
+    return f"""
+WITH dw AS (
+  SELECT doc_id, unnest({ws_word_array_sql("lower(text)")}) AS term
+  FROM {source}
+), tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM dw GROUP BY term, doc_id
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                  ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term
+HAVING count(*) >= {int(min_df)}{cap}
+"""

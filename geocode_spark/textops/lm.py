@@ -936,3 +936,58 @@ SELECT w.doc_id,
        CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_bigrams,
        CAST(COALESCE(-g.s, 0) AS BIGINT) AS nll_micro
 FROM words w LEFT JOIN per_doc g USING (doc_id)"""
+
+
+# ------------------------------------------------------- tokenizer fertility
+# Per-source tokenizer diagnostics over the corpus-induced BPE table: how
+# many BPE tokens a source's text costs per word (fertility) and how many
+# raw bytes ride per token (compression) — the numbers a tokenizer bakeoff
+# or a mixture-budget plan reads before committing a vocab. Composes
+# bpe_encode_tokens (T61); everything after its per-doc relation is ONE
+# keyed join on doc_id plus ONE groupBy(source) — metadata-scale output.
+# Ratios are exact integer milli-units (cross-multiplied, /0-guarded).
+def tokenizer_fertility(docs: DataFrame,
+                        steps: int = DEFAULT_MERGE_STEPS) -> DataFrame:
+    """(source, n_docs, n_words, n_tokens_bpe, n_bytes,
+    tokens_per_kword, bytes_per_ktoken): per-source BPE token cost."""
+    enc = bpe_encode_tokens(docs, steps=steps)
+    per = docs.select(
+        "doc_id", "source",
+        F.octet_length("text").cast("bigint").alias("nb"),
+    ).join(enc, "doc_id")
+    return per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_tokens_bpe").cast("bigint").alias("n_tokens_bpe"),
+        F.sum("nb").cast("bigint").alias("n_bytes"),
+        F.expr(
+            "sum(n_tokens_bpe) * 1000 div greatest(sum(n_words), 1)"
+        ).cast("bigint").alias("tokens_per_kword"),
+        F.expr(
+            "sum(nb) * 1000 div greatest(sum(n_tokens_bpe), 1)"
+        ).cast("bigint").alias("bytes_per_ktoken"),
+    )
+
+
+def tokenizer_fertility_oracle_sql(source: str = "documents",
+                                   steps: int = DEFAULT_MERGE_STEPS) -> str:
+    """DuckDB twin: the encode twin joined back to the source table,
+    same integer milli ratios (strlen = byte length, as octet_length)."""
+    return f"""
+WITH enc AS ({bpe_encode_oracle_sql(source, steps)}),
+per AS (
+  SELECT d.source, CAST(strlen(d.text) AS BIGINT) AS nb,
+         e.n_words, e.n_tokens_bpe
+  FROM {source} d JOIN enc e USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
+       CAST(sum(nb) AS BIGINT) AS n_bytes,
+       CAST(sum(n_tokens_bpe) * 1000 // greatest(sum(n_words), 1)
+            AS BIGINT) AS tokens_per_kword,
+       CAST(sum(nb) * 1000 // greatest(sum(n_tokens_bpe), 1)
+            AS BIGINT) AS bytes_per_ktoken
+FROM per GROUP BY source
+"""

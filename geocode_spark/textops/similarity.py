@@ -1054,3 +1054,64 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE {cos} >= {threshold!r}
 """
+
+
+# ------------------------------------------------------- int8 quantization
+# Per-vector symmetric int8 quantization of the embedding column — the
+# storage/transfer transform an ANN index build applies before writing
+# vectors (4x smaller, SIMD-friendly distance kernels). q_i =
+# halfup(v_i / max|v| * 127), scale stored in exact integer micro-units.
+# Zero-shuffle projection; the quantized lane is emitted as a canonical
+# CSV string (array cells are hostile to cross-engine value hashing —
+# the downstream consumer is a parquet writer that would keep the array).
+#
+# Float discipline: max|v| is comparison-only over the raw float32 lanes
+# (exact, no arithmetic); the quantization ((x / s) * 127.0) + 0.5 runs in
+# double with identical parenthesization in both dialects, and halfup is
+# spelled floor(x + 0.5) in BOTH (neither engine's round() is trusted
+# across dialects). All-zero vectors quantize to zeros with scale 0.
+def embedding_quantize(emb: DataFrame) -> DataFrame:
+    """(vec_id, dim, scale_micro, q_csv): symmetric per-vector int8
+    quantization; q_csv = comma-joined int lanes, scale_micro =
+    halfup(max|v| * 1e6)."""
+    based = emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.col("embedding").alias("e"),
+        F.expr(
+            "cast(array_max(transform(embedding, x -> abs(x))) as double)"
+        ).alias("s"),
+    )
+    return based.select(
+        "vec_id",
+        "dim",
+        F.expr("cast(floor((s * 1000000.0) + 0.5) as bigint)")
+        .alias("scale_micro"),
+        F.expr(
+            "array_join(transform(e, x -> cast(cast("
+            "floor(((cast(x as double) / (case when s = 0.0d then 1.0d"
+            " else s end)) * 127.0) + 0.5) as bigint) as string)), ',')"
+        ).alias("q_csv"),
+    )
+
+
+def embedding_quantize_oracle_sql(source: str = "embeddings") -> str:
+    """DuckDB twin: identical max-abs scale, double arithmetic, and
+    halfup spelling."""
+    return f"""
+WITH based AS (
+  SELECT vec_id,
+         CAST(len(embedding) AS BIGINT) AS dim,
+         embedding AS e,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+           AS s
+  FROM {source}
+)
+SELECT vec_id, dim,
+       CAST(floor((s * 1000000.0) + 0.5) AS BIGINT) AS scale_micro,
+       array_to_string(list_transform(e, x -> CAST(CAST(
+         floor(((CAST(x AS DOUBLE) / (CASE WHEN s = 0.0 THEN 1.0
+                ELSE s END)) * 127.0) + 0.5) AS BIGINT) AS VARCHAR)), ',')
+         AS q_csv
+FROM based
+"""
