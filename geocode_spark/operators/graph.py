@@ -518,3 +518,51 @@ hub{k + 1} AS MATERIALIZED (
 SELECT h.doc_id, h.hub AS hub_micro, a.auth AS auth_micro
 FROM hub{iters} h JOIN auth{last} a USING (doc_id)"""
     )
+
+
+# ----------------------------------------------------- degree distribution
+def degree_histogram(docs: DataFrame) -> DataFrame:
+    """(in_degree, n_nodes): the link graph's in-degree distribution — the
+    first diagnostic a crawl-graph job reads (hub heaviness decides the
+    skew strategy for every downstream graph op). Nodes no quadratic map
+    hits count at in-degree 0.
+
+    Scale shape: TWO keyed groupBys (dst, then in_degree) plus one keyed
+    left join to reattach zero-in-degree nodes — never a corpus-wide
+    window. The one driver action is the same metadata-scale count the
+    rank loops use (the graph synthesis needs N for the mod)."""
+    n_docs = docs.count()
+    g = link_graph(docs.select("doc_id"), n_docs)
+    indeg = g.groupBy(F.col("dst").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    per_node = (
+        docs.select("doc_id")
+        .join(indeg, "doc_id", "left")
+        .select(F.coalesce("d", F.lit(0)).cast("bigint").alias("in_degree"))
+    )
+    return per_node.groupBy("in_degree").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+
+
+def degree_histogram_oracle_sql(source: str = "documents") -> str:
+    """DuckDB twin over the same synthesized quadratic link graph."""
+    links = " UNION ALL ".join(
+        f"SELECT doc_id AS src,"
+        f" (doc_id * doc_id * {a2} + doc_id * {a1} + {a0})"
+        f" % (SELECT c FROM n) AS dst FROM {source}"
+        for a2, a1, a0 in LINK_COEFFS
+    )
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM {source}),
+edges AS ({links}),
+indeg AS (SELECT dst AS doc_id, CAST(count(*) AS BIGINT) AS d
+          FROM edges GROUP BY dst),
+per_node AS (
+  SELECT CAST(COALESCE(i.d, 0) AS BIGINT) AS in_degree
+  FROM {source} s LEFT JOIN indeg i USING (doc_id)
+)
+SELECT in_degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM per_node GROUP BY in_degree
+"""

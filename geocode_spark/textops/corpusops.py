@@ -1407,3 +1407,83 @@ SELECT term, CAST(count(*) AS BIGINT) AS df,
 FROM tf GROUP BY term
 HAVING count(*) >= {int(min_df)}{cap}
 """
+
+
+# ---------------------------------------------------------- source overlap
+# Pairwise cross-source redundancy: Jaccard similarity of each source
+# PAIR's distinct word-3-gram sets — the mixture-design diagnostic that
+# says which corpus components are re-crawls / mirrors of each other
+# (near-1 overlap means budgeting them separately double-counts mass).
+#
+# Scale shape: one shingle explode -> DISTINCT (source, shingle) (keyed
+# aggregation) -> shingle-keyed self-join whose PER-KEY fan-out is bounded
+# by |sources| choose 2 (a shingle contributes at most one row per source
+# after the distinct, so even the hottest boilerplate shingle expands to
+# a constant ~|sources|^2 rows — skew-safe at any corpus size) -> one
+# groupBy(source pair). Set sizes ride a |sources|-row broadcast join.
+def source_overlap(docs: DataFrame) -> DataFrame:
+    """(src_a, src_b, n_a, n_b, n_common, jaccard_ppm) for every source
+    pair sharing >= 1 distinct 3-gram; src_a < src_b."""
+    from .dedup import WS, _shingle_udf
+
+    staged = docs.withColumn(
+        "_toks", F.split(F.lower(F.trim(F.col("text"))), WS)
+    ).filter(F.size("_toks") >= 3)
+    sx = staged.select(
+        "source", F.explode(_shingle_udf("_toks")).alias("shingle")
+    ).distinct()
+    sizes = sx.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    inter = (
+        sx.select(F.col("source").alias("src_a"), "shingle")
+        .join(
+            sx.select(F.col("source").alias("src_b"), "shingle"), "shingle"
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")
+                        .withColumnRenamed("n", "n_a")), "src_a"
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_b")
+                        .withColumnRenamed("n", "n_b")), "src_b"
+        )
+        .select(
+            "src_a", "src_b", "n_a", "n_b", "n_common",
+            F.expr("n_common * 1000000 div (n_a + n_b - n_common)")
+            .cast("bigint").alias("jaccard_ppm"),
+        )
+    )
+
+
+def source_overlap_oracle_sql(source: str = "documents") -> str:
+    """DuckDB twin: same distinct shingle sets, same integer ppm."""
+    from .dedup import _shingles_sql
+
+    return f"""
+WITH sx AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source, unnest({_shingles_sql("text")}) AS shingle
+    FROM {source}
+  )
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sx GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sx a JOIN sx b USING (shingle)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.src_a, i.src_b, x.n AS n_a, y.n AS n_b, i.n_common,
+       CAST(i.n_common * 1000000 // (x.n + y.n - i.n_common) AS BIGINT)
+         AS jaccard_ppm
+FROM inter i
+JOIN sizes x ON i.src_a = x.source
+JOIN sizes y ON i.src_b = y.source
+"""
