@@ -785,3 +785,77 @@ SELECT doc_id, chunk_id,
          ' ') AS chunk_text
 FROM exploded
 """
+
+
+# ------------------------------------------------------------ snapshot diff
+# Crawl-snapshot delta: classify every URL across two crawl snapshots as
+# added / removed / changed / unchanged — the table a recrawl scheduler and
+# an incremental-ingest job read (only `added`+`changed` flow into the
+# curation pipeline; `removed` triggers tombstones). ONE url-keyed full
+# outer join; change detection compares md5(text) so the corpus text never
+# crosses the exchange twice. Scale: url-keyed equi-join, no windows.
+#
+# The testdata has one snapshot, so the gate derives the pair
+# deterministically (the incremental_split precedent, dedup.py): a 1-in-21
+# md5(url) bucket is ONLY in the new snapshot (added), a second bucket is
+# ONLY in the old (removed), a third has its new-side text rewritten
+# (changed) — identically derived in both engines.
+SNAP_MOD = 21
+
+
+def _url_bucket(url) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(url), 1, 8), 16, 10)
+        .cast("bigint") % SNAP_MOD
+    )
+
+
+def snapshot_split(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(new_snapshot, old_snapshot) derived from one pages table: bucket 0
+    exists only in new, bucket 1 only in old, bucket 2 changed in new."""
+    b = _url_bucket(F.col("url"))
+    old = pages.filter(b != 0).select("url", "text")
+    new = pages.filter(b != 1).select(
+        "url",
+        F.when(b == 2, F.concat(F.col("text"), F.lit(" [updated]")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return new, old
+
+
+def snapshot_diff(new: DataFrame, old: DataFrame) -> DataFrame:
+    """(url, status): added | removed | changed | unchanged per URL across
+    two snapshots; change = md5(text) differs."""
+    n = new.select("url", F.md5("text").alias("h_new"))
+    o = old.select("url", F.md5("text").alias("h_old"))
+    return n.join(o, "url", "full_outer").select(
+        "url",
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_new") != F.col("h_old"), F.lit("changed"))
+        .otherwise(F.lit("unchanged")).alias("status"),
+    )
+
+
+def snapshot_diff_oracle_sql(pages_source: str) -> str:
+    """DuckDB twin: same md5(url) bucket derivation and md5(text)
+    comparison."""
+    bucket = f"(('0x' || substr(md5(url), 1, 8))::BIGINT % {SNAP_MOD})"
+    return f"""
+WITH old_snap AS (
+  SELECT url, md5(text) AS h_old FROM {pages_source}
+  WHERE {bucket} != 0
+), new_snap AS (
+  SELECT url,
+         md5(CASE WHEN {bucket} = 2 THEN text || ' [updated]'
+                  ELSE text END) AS h_new
+  FROM {pages_source}
+  WHERE {bucket} != 1
+)
+SELECT COALESCE(n.url, o.url) AS url,
+       CASE WHEN o.h_old IS NULL THEN 'added'
+            WHEN n.h_new IS NULL THEN 'removed'
+            WHEN n.h_new != o.h_old THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM new_snap n FULL OUTER JOIN old_snap o ON n.url = o.url
+"""

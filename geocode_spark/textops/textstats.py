@@ -489,3 +489,65 @@ SELECT doc_id,
              OR {_n_matches_sql("text", moj)} > 0) AS BIGINT) AS damaged
 FROM {encoding_corpus_sql(source)}
 """
+
+
+# --------------------------------------------------------- language mixture
+# Corpus language composition: pages and byte mass per predicted language —
+# the table a mixture/budget plan reads before language-balanced sampling
+# (composes the T8 lang-ID heuristic). ONE groupBy(lang) plus a 1-row
+# totals broadcast; shares are exact integer permille (cross-multiplied,
+# /0-guarded). Byte mass matters because pages/language and bytes/language
+# diverge on real crawls (CJK pages are byte-heavy) — both are reported.
+def lang_mixture(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """(lang, n_pages, n_bytes, permille_pages, permille_bytes): corpus
+    language-mixture table over the lang-ID prediction."""
+    per = pages.select(
+        lang_id_col(F.col(text_col)).alias("lang"),
+        F.octet_length(text_col).cast("bigint").alias("nb"),
+    ).groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.sum("nb").cast("bigint").alias("n_bytes"),
+    )
+    tot = per.agg(
+        F.sum("n_pages").cast("bigint").alias("tp"),
+        F.sum("n_bytes").cast("bigint").alias("tb"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_pages", "n_bytes",
+        F.expr("n_pages * 1000 div greatest(tp, 1)")
+        .cast("bigint").alias("permille_pages"),
+        F.expr("n_bytes * 1000 div greatest(tb, 1)")
+        .cast("bigint").alias("permille_bytes"),
+    )
+
+
+def lang_mixture_oracle_sql(source: str, text_col: str = "text") -> str:
+    """DuckDB twin: the lang-ID twin aggregated with the same exact
+    integer permille shares (strlen = byte length)."""
+    c = {
+        lang: _n_matches_sql(f"lower({text_col})", _marker_pattern(lang))
+        for lang in LANG_ORDER
+    }
+    return f"""
+WITH pred AS (
+  SELECT CASE WHEN {c['en']} >= {c['es']} AND {c['en']} >= {c['de']}
+                   AND {c['en']} >= {c['fr']} THEN 'en'
+              WHEN {c['es']} >= {c['de']} AND {c['es']} >= {c['fr']}
+                   THEN 'es'
+              WHEN {c['de']} >= {c['fr']} THEN 'de'
+              ELSE 'fr' END AS lang,
+         CAST(strlen({text_col}) AS BIGINT) AS nb
+  FROM {source}
+), per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(sum(nb) AS BIGINT) AS n_bytes
+  FROM pred GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n_pages) AS BIGINT) AS tp,
+         CAST(sum(n_bytes) AS BIGINT) AS tb FROM per
+)
+SELECT lang, n_pages, n_bytes,
+       CAST(n_pages * 1000 // greatest(tp, 1) AS BIGINT) AS permille_pages,
+       CAST(n_bytes * 1000 // greatest(tb, 1) AS BIGINT) AS permille_bytes
+FROM per CROSS JOIN tot
+"""
