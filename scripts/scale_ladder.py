@@ -71,6 +71,16 @@ HEAVY = [
     "bpe_encode_tokens",
     "frequent_terms",
     "bm25_topk",
+    # round-5 session additions: rank fusion composes three corpus-sized
+    # signal passes, the weights/fertility ops ride the propagation / BPE
+    # loops, the overlap matrix is a shingle-keyed self-join, the index and
+    # chunker are explode-heavy
+    "rrf_fusion",
+    "dedup_weights",
+    "tokenizer_fertility",
+    "source_overlap",
+    "inverted_index",
+    "chunk_overlap",
 ]
 
 
