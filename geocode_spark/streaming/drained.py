@@ -295,3 +295,65 @@ def drained_geocode(spark: SparkSession, fixtures_dir: str,
         )
         q.awaitTermination()
     return read_stream_results(spark, f"{root}/out")
+
+
+def _docs_split_source(spark: SparkSession, sf_dir: str, root: str) -> str:
+    """Stage the documents table as 2 doc_id-parity stream-source files:
+    with the fixture vocabulary every term occurs in BOTH halves, so the
+    final complete-mode counts are correct ONLY if the streaming
+    aggregation state carried batch 1's partial counts into batch 2 — a
+    state-less per-batch recount would roughly halve every value and fail
+    the hash gate."""
+    src = f"{root}/src"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    if first.limit(1).count() == 0 or second.limit(1).count() == 0:
+        raise ValueError("parity split left an empty micro-batch")
+    first.coalesce(1).write.mode("append").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def drained_term_counts(spark: SparkSession, sf_dir: str,
+                        root: str | None = None) -> DataFrame:
+    """Native streaming aggregation (the one streaming class the drained
+    family didn't yet gate — T15/T24/T29/T33 cover foreachBatch reuse,
+    applyInPandasWithState, dropDuplicatesWithinWatermark, and the
+    stream-stream join): exact corpus term counts via groupBy(term) in
+    COMPLETE output mode, drained over 2 parity-split micro-batches.
+    foreachBatch overwrites the sink with each batch's complete counts, so
+    the surviving table is the LAST batch's state — exactly the batch
+    groupBy when (and only when) cross-batch aggregation state held."""
+    from ..textops.textstats import ws_word_array
+
+    root = root or tempfile.mkdtemp(prefix="gs_drain_terms_")
+    src = _docs_split_source(spark, sf_dir, root)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    counts = (
+        stream.select(
+            F.explode(ws_word_array(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{root}/out")
+
+    with _drain_partitions(spark):
+        q = (
+            counts.writeStream.outputMode("complete")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(f"{root}/out")

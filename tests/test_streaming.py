@@ -257,3 +257,53 @@ def test_drained_dedup_cross_batch_state(spark, tmp_path):
     assert sorted(got.text_hash) == sorted(batch.text_hash)
     # effect size: the corpus genuinely contains duplicates
     assert len(got) < len(h0) + len(h1)
+
+
+def test_drained_term_counts_cross_batch_state(spark, tmp_path):
+    """The native streaming-aggregation gate: complete-mode term counts
+    drained over 2 parity-split micro-batches must (a) commit >= 2
+    offsets, (b) have every term's mass SPLIT across the halves (so a
+    state-less per-batch recount cannot reproduce the totals), and (c)
+    equal the batch groupBy exactly."""
+    import glob
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geocode_spark.streaming.drained import drained_term_counts
+    from geocode_spark.textops.textstats import ws_word_array
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = str(tmp_path / "drain")
+    got = (
+        drained_term_counts(spark, sf_dir, root=root)
+        .toPandas().sort_values("term").reset_index(drop=True)
+    )
+
+    committed = [
+        f for f in os.listdir(f"{root}/ckpt/offsets") if not f.startswith(".")
+    ]
+    assert len(committed) >= 2, f"only micro-batches {committed} committed"
+
+    halves = sorted(glob.glob(f"{root}/src/part-*.parquet"))
+    assert len(halves) == 2
+    # cross-batch evidence: the top term appears in BOTH halves, so its
+    # final count cannot come from either batch alone
+    top = got.iloc[got.n.idxmax()].term
+    for h in halves:
+        texts = pd.read_parquet(h).text.str.lower()
+        assert texts.str.contains(top, regex=False).any(), (
+            f"term {top!r} missing from {h} — split is not cross-batch"
+        )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = (
+        docs.select(
+            F.explode(ws_word_array(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .toPandas().sort_values("term").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
