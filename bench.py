@@ -209,6 +209,76 @@ def run_scaling() -> dict:
     }
 
 
+def run_scaling_cluster() -> dict:
+    """The FLAGSHIP pages->geocode pipeline at N=1 vs N=4 REAL executor
+    JVMs (4 cores each) via Spark's public local-cluster mode — the
+    letter-of-the-north-rule variant of --scaling (separate heaps,
+    MemoryStores, python workers, RPC shuffle). Same fixture input, same
+    plan, same noop-sink measurement; only the process topology differs.
+    The staged input is written once so both levels scan the identical
+    table (in-session replication would re-run the explode per level)."""
+    import shutil
+    import tempfile
+
+    res = {}
+    staged = tempfile.mkdtemp(prefix="gs_scaling_geo_lc_")
+    lo, hi = 1, 4
+    try:
+        spark = _session(4, "geocode-spark-scaling-lc-stage")
+        spark.sparkContext.setLogLevel("ERROR")
+        from geocode_spark.fixtures import ensure_fixtures
+
+        fix = str(ensure_fixtures(SF_DIR))
+        _scaled_pages(spark, fix).write.mode("overwrite").parquet(
+            f"{staged}/pages"
+        )
+        spark.stop()
+        for nexec in (lo, hi):
+            spark = _cluster_session(
+                nexec, 4, f"geocode-spark-scaling-lc-{nexec}"
+            )
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(SCALE_PARTITIONS)
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            from geocode_spark.plans.pipeline import (
+                geocode_pages,
+                load_locators,
+            )
+
+            pages = spark.read.parquet(f"{staged}/pages")
+            n = pages.count()
+            df = geocode_pages(pages, load_locators(spark, fix))
+            out_rows = df.count()
+            _force_full(df)  # warm: codegen + python workers + page cache
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force_full(df)
+                best = min(best, time.perf_counter() - t0)
+            res[nexec] = {
+                "sec": round(best, 4),
+                "pages_per_sec": round(n / best, 1),
+                "pages_in": n,
+                "rows_out": out_rows,
+            }
+            spark.stop()
+        speedup = res[lo]["sec"] / res[hi]["sec"]
+        eff = speedup / (hi / lo)
+        return {
+            "metric": "flagship scaling efficiency (%d -> %d executors"
+                      " x4 cores, local-cluster)" % (lo, hi),
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "levels": res,
+            "speedup": round(speedup, 3),
+            "repl": SCALE_REPL,
+            "sf_dir": SF_DIR,
+        }
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
 def _scaled_docs(spark, sf_dir: str, repl: int, partitions: int | None = None):
     """Deterministically replicate the documents table `repl` times with
     distinct doc_ids and a per-replica text suffix (so replicas are NOT
@@ -454,6 +524,8 @@ def _run_scaling_select_staged(lo: int, hi: int, docs_path: str,
 if __name__ == "__main__":
     if "--scaling-select-cluster" in sys.argv:
         print(json.dumps(run_scaling_select_cluster()))
+    elif "--scaling-cluster" in sys.argv:
+        print(json.dumps(run_scaling_cluster()))
     elif "--scaling-select" in sys.argv:
         print(json.dumps(run_scaling_select()))
     elif "--scaling-corpus" in sys.argv:
