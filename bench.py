@@ -361,6 +361,71 @@ def run_scaling_corpus() -> dict:
     }
 
 
+def run_scaling_corpus_cluster() -> dict:
+    """The corpus-curation protocol at 1 vs 4 REAL executor JVMs (4 cores
+    each) via local-cluster — the executor-mode twin of --scaling-corpus
+    (the flagship and select protocols both gained executor-mode runs; this
+    closes the set). The replicated corpus is STAGED to parquet once so
+    both levels scan the identical table instead of re-running the
+    replication explode inside every timed pass."""
+    import shutil
+    import tempfile
+
+    res = {}
+    staged = tempfile.mkdtemp(prefix="gs_scaling_corpus_lc_")
+    lo, hi = 1, 4
+    try:
+        spark = _session(4, "geocode-spark-scaling-corpus-lc-stage")
+        spark.sparkContext.setLogLevel("ERROR")
+        _scaled_docs(spark, SF_DIR, CORPUS_SCALE_REPL).write.mode(
+            "overwrite"
+        ).parquet(f"{staged}/docs")
+        spark.stop()
+        for nexec in (lo, hi):
+            spark = _cluster_session(
+                nexec, 4, f"geocode-spark-scaling-corpus-lc-{nexec}"
+            )
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(SCALE_PARTITIONS)
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            from geocode_spark.textops.corpusops import doc_repetition
+            from geocode_spark.textops.dedup import dedup_exact
+            from geocode_spark.textops.textstats import pii_redact
+
+            docs = spark.read.parquet(f"{staged}/docs")
+            n = docs.count()
+
+            def _run():
+                _force_full(doc_repetition(docs))
+                _force_full(pii_redact(docs))
+                _force_full(dedup_exact(docs))
+
+            _run()  # warm: codegen + python workers + page cache
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _run()
+                best = min(best, time.perf_counter() - t0)
+            res[nexec] = {"sec": round(best, 4),
+                          "docs_per_sec": round(n / best, 1), "docs_in": n}
+            spark.stop()
+        speedup = res[lo]["sec"] / res[hi]["sec"]
+        eff = speedup / (hi / lo)
+        return {
+            "metric": "corpus-curation scaling efficiency (%d -> %d"
+                      " executors x4 cores, local-cluster)" % (lo, hi),
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "levels": res,
+            "speedup": round(speedup, 3),
+            "repl": CORPUS_SCALE_REPL,
+            "sf_dir": SF_DIR,
+        }
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
 def run_scaling_select() -> dict:
     """Third scaling protocol: the round-4 LM-selection hot path
     (span-dedup rewrite + bigram-LM scoring + DSIR log-ratio) at task-slot
@@ -526,6 +591,8 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling_select_cluster()))
     elif "--scaling-cluster" in sys.argv:
         print(json.dumps(run_scaling_cluster()))
+    elif "--scaling-corpus-cluster" in sys.argv:
+        print(json.dumps(run_scaling_corpus_cluster()))
     elif "--scaling-select" in sys.argv:
         print(json.dumps(run_scaling_select()))
     elif "--scaling-corpus" in sys.argv:
