@@ -566,3 +566,145 @@ per_node AS (
 SELECT in_degree, CAST(count(*) AS BIGINT) AS n_nodes
 FROM per_node GROUP BY in_degree
 """
+
+
+# ------------------------------------------------------ anchor-text top-k
+# Per-target anchor-term aggregation: for every page, the terms linking
+# pages use when referring to it — the classic web-corpus relevance signal
+# (anchor text is the highest-precision description of a target page a
+# crawl contains; search engines and LLM-curation pipelines both rank on
+# it). Anchors here are the first ANCHOR_WORDS tokens of the linking
+# page's text — the deterministic sandbox stand-in for real <a> text, over
+# the same synthesized quadratic link graph every other graph op uses.
+ANCHOR_WORDS = 2
+ANCHOR_TOPK = 3
+
+
+def anchor_terms_topk(docs: DataFrame, k: int = ANCHOR_TOPK) -> DataFrame:
+    """(doc_id, term, n_refs, rank): the k most frequent anchor terms
+    pointing at each linked-to page, ties broken lexicographically.
+
+    Scale shape (100 TB): anchors are a bounded projection of the corpus
+    (ANCHOR_WORDS tokens/page); the edge->anchor join is keyed on src, the
+    count is a keyed (dst, term) groupBy with map-side partials, and the
+    top-k window partitions on dst AFTER counting, so a hub page's window
+    holds its distinct anchor vocabulary, not its raw in-link multiset.
+    No broadcast of the corpus side, no Python, no global sort."""
+    from pyspark.sql.window import Window
+
+    from ..textops.textstats import ws_word_array
+
+    n_docs = docs.count()  # control-flow scalar (graph synthesis mod N)
+    edges = link_graph(docs.select("doc_id"), n_docs)
+    anchors = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.slice(ws_word_array(F.lower(F.col("text"))), 1, ANCHOR_WORDS)
+        ).alias("term"),
+    )
+    counts = (
+        edges.join(anchors, "src")
+        .groupBy("dst", "term")
+        .agg(F.count("*").cast("bigint").alias("n_refs"))
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_refs").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("dst").alias("doc_id"), "term", "n_refs", "rank")
+    )
+
+
+def anchor_terms_topk_oracle_sql(source: str = "documents",
+                                 k: int = ANCHOR_TOPK) -> str:
+    """DuckDB twin: same link graph, same first-ANCHOR_WORDS anchor terms,
+    same (count desc, term asc) row_number ranking."""
+    from ..textops.textstats import ws_word_array_sql
+
+    links = " UNION ALL ".join(
+        f"SELECT doc_id AS src,"
+        f" (doc_id * doc_id * {a2} + doc_id * {a1} + {a0})"
+        f" % (SELECT c FROM n) AS dst FROM {source}"
+        for a2, a1, a0 in LINK_COEFFS
+    )
+    toks = ws_word_array_sql("lower(text)")
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM {source}),
+edges AS ({links}),
+anchors AS (
+  SELECT doc_id AS src, unnest(({toks})[1:{ANCHOR_WORDS}]) AS term
+  FROM {source}
+),
+counts AS (
+  SELECT e.dst, a.term, CAST(count(*) AS BIGINT) AS n_refs
+  FROM edges e JOIN anchors a ON a.src = e.src
+  GROUP BY e.dst, a.term
+),
+ranked AS (
+  SELECT dst, term, n_refs,
+         CAST(row_number() OVER (PARTITION BY dst
+              ORDER BY n_refs DESC, term ASC) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT dst AS doc_id, term, n_refs, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+# ------------------------------------------------------- co-citation pairs
+# Co-citation similarity (Small 1973): two pages are related when many
+# OTHER pages link to both — the link-graph near-dup/mirror signal that
+# needs no text at all. Pairs are expanded per TARGET from its sorted
+# in-link array (the source_overlap in-array pattern), so the blowup is
+# bounded by in-degree choose 2 per target, never a corpus self-join; hub
+# targets (the skew class) are the documented salting candidate.
+CO_CITE_MIN = 2
+
+
+def co_citation_pairs(docs: DataFrame, min_common: int = CO_CITE_MIN) -> DataFrame:
+    """(doc_a, doc_b, n_common): pairs of documents co-cited by at least
+    `min_common` distinct linking pages, doc_a < doc_b."""
+    n_docs = docs.count()  # control-flow scalar (graph synthesis mod N)
+    edges = link_graph(docs.select("doc_id"), n_docs).distinct()
+    per_dst = edges.groupBy("dst").agg(
+        F.sort_array(F.collect_set("src")).alias("srcs")
+    )
+    pairs = per_dst.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) ->"
+                " transform(slice(srcs, i + 2, size(srcs) - i - 1),"
+                " b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
+def co_citation_oracle_sql(source: str = "documents",
+                           min_common: int = CO_CITE_MIN) -> str:
+    """DuckDB twin: the naive relational self-join formulation (the ground
+    truth the in-array expansion must reproduce)."""
+    links = " UNION ALL ".join(
+        f"SELECT doc_id AS src,"
+        f" (doc_id * doc_id * {a2} + doc_id * {a1} + {a0})"
+        f" % (SELECT c FROM n) AS dst FROM {source}"
+        for a2, a1, a0 in LINK_COEFFS
+    )
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM {source}),
+edges AS (SELECT DISTINCT src, dst FROM ({links})),
+pairs AS (
+  SELECT e1.src AS doc_a, e2.src AS doc_b
+  FROM edges e1 JOIN edges e2
+    ON e1.dst = e2.dst AND e1.src < e2.src
+)
+SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_common
+FROM pairs GROUP BY doc_a, doc_b
+HAVING count(*) >= {min_common}
+"""

@@ -391,3 +391,451 @@ SELECT CAST(floor(x / {tile_size!r}) AS BIGINT) AS tile_x,
 FROM ({source_sql})
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------------------- tile pyramid
+# Multi-zoom rollup of the J9 raster tiling: the tile-server shape (a map
+# client asks for pre-aggregated tiles at EVERY zoom, not one). The naive
+# plan scans the point table once per zoom; this operator computes all
+# zooms in ONE pass via GROUPING SETS — Catalyst plans a single scan + one
+# Expand (3 rows per input) + one keyed hash aggregate, so a 100 TB point
+# table is read once instead of `n_zooms` times. Coarser tile indices are
+# derived from the BASE integer index by exact halving (floor over a
+# <2^53 integer), never by re-flooring x/y at a wider tile size — the two
+# are mathematically equal but only the former is float-roundoff-proof.
+PYRAMID_ZOOMS = 3  # zoom 2 = base tile_size, zoom 1 = 2x, zoom 0 = 4x
+
+
+def _pyramid_index_sql(base: str, z_from_finest: int) -> str:
+    """Shared-dialect SQL: halve a base tile index `z_from_finest` times."""
+    if z_from_finest == 0:
+        return base
+    return f"CAST(floor(({base}) / {1 << z_from_finest}.0) AS BIGINT)"
+
+
+def tile_pyramid(points: DataFrame, tile_size: float = DEFAULT_TILE,
+                 zooms: int = PYRAMID_ZOOMS) -> DataFrame:
+    """(zoom, tile_x, tile_y, n_points, sum_score) at every zoom level in
+    one scan. zoom = zooms-1 is the base grid (tile_size), each level down
+    doubles the tile edge."""
+    finest = zooms - 1
+    t = assign_tiles(points, tile_size)
+    for z in range(zooms):
+        h = finest - z  # halvings from the base grid
+        t = t.withColumns(
+            {
+                f"tx{z}": F.expr(_pyramid_index_sql("tile_x", h)),
+                f"ty{z}": F.expr(_pyramid_index_sql("tile_y", h)),
+            }
+        )
+    sets = [[F.col(f"tx{z}"), F.col(f"ty{z}")] for z in range(zooms)]
+    flat = [c for pair in sets for c in pair]
+    agg = t.groupingSets(sets, *flat).agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum("score").cast("bigint").alias("sum_score"),
+    )
+    # Exactly one (txZ, tyZ) pair is non-null per output row; fixture
+    # coordinates are never null, so null-ness IS the set marker.
+    zoom = F.lit(None).cast("bigint")
+    for z in range(zooms):
+        zoom = F.when(F.col(f"tx{z}").isNotNull(), F.lit(z).cast("bigint")).otherwise(zoom)
+    tx = F.coalesce(*[F.col(f"tx{z}") for z in range(zooms)])
+    ty = F.coalesce(*[F.col(f"ty{z}") for z in range(zooms)])
+    return agg.select(
+        zoom.alias("zoom"),
+        tx.cast("bigint").alias("tile_x"),
+        ty.cast("bigint").alias("tile_y"),
+        "n_points",
+        "sum_score",
+    )
+
+
+def tile_pyramid_sql(source_sql: str, tile_size: float = DEFAULT_TILE,
+                     zooms: int = PYRAMID_ZOOMS) -> str:
+    """DuckDB oracle: UNION ALL of per-zoom group-bys (the semantic ground
+    truth the one-pass Expand plan must reproduce).
+
+    source_sql: relation with (x, y, score)."""
+    finest = zooms - 1
+    base_x = f"CAST(floor(x / {tile_size!r}) AS BIGINT)"
+    base_y = f"CAST(floor(y / {tile_size!r}) AS BIGINT)"
+    parts = []
+    for z in range(zooms):
+        h = finest - z
+        parts.append(f"""
+SELECT CAST({z} AS BIGINT) AS zoom,
+       {_pyramid_index_sql(base_x, h)} AS tile_x,
+       {_pyramid_index_sql(base_y, h)} AS tile_y,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(score) AS BIGINT) AS sum_score
+FROM ({source_sql})
+GROUP BY 2, 3""")
+    return " UNION ALL ".join(parts)
+
+
+# ----------------------------------------------------------------- geohash
+# True base-32 geohash of the WGS84 position — the industry-standard
+# prefix-joinable spatial key (equal prefixes = nearby cells), complementing
+# the repo's Z-order cell id (geohash interleaves lon/lat bits MSB-first and
+# renders them in the 32-char alphabet, so a LIKE 'prefix%' range scan IS a
+# spatial window). Built from the SAME rounded lon/lat the projection family
+# already hash-gates (projection.py WGS84_DECIMALS), then pure integer
+# quantize -> 64-bit Morton spread -> base-32 render, identical SQL in both
+# dialects. Zero shuffle, zero Python, whole-stage codegen.
+GEOHASH_PRECISION = 7  # 35 bits: 18 lon + 17 lat (~76 m x 152 m cells)
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+# 64-bit part1by1 masks (18-bit inputs spread to 36 bits, bigint-safe).
+_SPREAD64 = (
+    (16, 281470681808895),          # 0x0000FFFF0000FFFF
+    (8, 71777214294589695),         # 0x00FF00FF00FF00FF
+    (4, 1085102592571150095),       # 0x0F0F0F0F0F0F0F0F
+    (2, 3689348814741910323),       # 0x3333333333333333
+    (1, 6148914691236517205),       # 0x5555555555555555
+)
+
+
+def _shr(expr: str, n: int, dialect: str) -> str:
+    if dialect == "spark":
+        return f"shiftright({expr}, {n})"
+    return f"({expr} >> {n})"
+
+
+def part1by1_64_sql(v: str, dialect: str) -> str:
+    """Spread an up-to-32-bit integer's bits to even positions (64-bit)."""
+    out = f"({v})"
+    for n, mask in _SPREAD64:
+        out = f"(({out} | {_shl(out, n, dialect)}) & {mask})"
+    return out
+
+
+def geohash_sql(lon: str, lat: str, dialect: str,
+                precision: int = GEOHASH_PRECISION) -> str:
+    """Base-32 geohash string expression from lon/lat degree expressions.
+
+    Quantization is the textbook bisection unrolled: bit k (MSB-first) of
+    the lon bit-stream is bit k of floor((lon+180)/360 * 2^n_lon) — the
+    binary expansion of the normalized coordinate — so this closed form
+    equals the per-bit interval-halving algorithm (pinned by the pure-
+    python bisection twin in tests/test_spatial_round5.py)."""
+    nbits = 5 * precision
+    n_lon = (nbits + 1) // 2
+    n_lat = nbits // 2
+    lonq = (f"least(CAST({(1 << n_lon) - 1} AS BIGINT), greatest(CAST(0 AS BIGINT),"
+            f" CAST(floor((({lon}) + 180.0) / 360.0 * {1 << n_lon}) AS BIGINT)))")
+    latq = (f"least(CAST({(1 << n_lat) - 1} AS BIGINT), greatest(CAST(0 AS BIGINT),"
+            f" CAST(floor((({lat}) + 90.0) / 180.0 * {1 << n_lat}) AS BIGINT)))")
+    # lon occupies even bit positions from the LSB end iff nbits is odd
+    # (precision 7 -> 35 bits: positions 34,32,..,0 are lon). With n_lon =
+    # n_lat + 1, combined = spread(lonq) | spread(latq) << 1.
+    combined = (f"({part1by1_64_sql(lonq, dialect)}"
+                f" | {_shl(part1by1_64_sql(latq, dialect), 1, dialect)})")
+    chars = [
+        f"substr('{_GEOHASH32}',"
+        f" CAST(({_shr(combined, nbits - 5 * (k + 1), dialect)} & 31)"
+        f" + 1 AS INT), 1)"
+        for k in range(precision)
+    ]
+    return "concat(" + ", ".join(chars) + ")"
+
+
+def geohash_encode(points: DataFrame,
+                   precision: int = GEOHASH_PRECISION) -> DataFrame:
+    """(primary_key, lon, lat, geohash) for UTM points (x, y)."""
+    from .projection import stage_utm_to_wgs84
+
+    staged = stage_utm_to_wgs84(points, "x", "y")
+    return staged.select(
+        "primary_key",
+        "lon",
+        "lat",
+        F.expr(geohash_sql("lon", "lat", "spark", precision)).alias("geohash"),
+    )
+
+
+def geohash_encode_sql(source_sql: str,
+                       precision: int = GEOHASH_PRECISION) -> str:
+    """DuckDB oracle: same projection formula, same integer geohash."""
+    from .projection import utm_to_wgs84_sql
+
+    ll = utm_to_wgs84_sql("x", "y")
+    return f"""
+WITH pts AS ({source_sql}),
+ll AS (SELECT primary_key, {ll['lon']} AS lon, {ll['lat']} AS lat FROM pts)
+SELECT primary_key, lon, lat,
+       {geohash_sql('lon', 'lat', 'duckdb', precision)} AS geohash
+FROM ll
+"""
+
+
+# ------------------------------------------------------ great-circle (hub)
+# Nearest-hub assignment by true great-circle (haversine) distance — the
+# geodesic companion to the planar kNN family: planar UTM distance is fine
+# inside one zone, but cross-region rollups (assign every page's geocoded
+# point to its serving data-center / metro hub) need the sphere. Hubs are a
+# metadata-scale relation (dozens), so the plan is a broadcast nested-loop
+# of |points| x |hubs| followed by a per-point argmin window keyed on the
+# UNIQUE primary key — no shuffle of the big side, skew-free by
+# construction, identical trig in both dialects with the result rounded to
+# 1e-3 m (the projection family's double-parity discipline).
+EARTH_RADIUS_M = 6371008.8  # IUGG mean radius
+DIST_DECIMALS = 3
+# Deterministic metro hubs on the fixture lattice's WGS84 footprint.
+DEFAULT_HUBS = (
+    (0, -112.10, 40.50),
+    (1, -111.70, 40.90),
+    (2, -111.95, 40.70),
+    (3, -112.00, 41.10),
+    (4, -111.80, 40.30),
+)
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Shared-dialect haversine distance in meters, rounded."""
+    p1, p2 = f"radians({lat1})", f"radians({lat2})"
+    dphi = f"(radians({lat2}) - radians({lat1}))"
+    dlmb = f"(radians({lon2}) - radians({lon1}))"
+    a = (f"(sin({dphi}/2.0) * sin({dphi}/2.0)"
+         f" + cos({p1}) * cos({p2}) * sin({dlmb}/2.0) * sin({dlmb}/2.0))")
+    return (f"round(2.0 * {EARTH_RADIUS_M!r}"
+            f" * asin(least(1.0, sqrt({a}))), {DIST_DECIMALS})")
+
+
+def nearest_hub(points: DataFrame, hubs=DEFAULT_HUBS) -> DataFrame:
+    """(primary_key, hub_id, dist_m): the great-circle-nearest hub per
+    geocoded point, ties broken by hub_id."""
+    from .projection import stage_utm_to_wgs84
+
+    spark = points.sparkSession
+    hub_df = spark.createDataFrame(
+        list(hubs), "hub_id bigint, hub_lon double, hub_lat double"
+    )
+    ll = stage_utm_to_wgs84(points, "x", "y").select(
+        "primary_key", "lon", "lat"
+    )
+    paired = ll.join(F.broadcast(hub_df)).withColumn(
+        "dist_m",
+        F.expr(haversine_sql("lon", "lat", "hub_lon", "hub_lat")),
+    )
+    w = Window.partitionBy("primary_key").orderBy(
+        F.col("dist_m").asc(), F.col("hub_id").asc()
+    )
+    return (
+        paired.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("primary_key", "hub_id", "dist_m")
+    )
+
+
+def nearest_hub_sql(source_sql: str, hubs=DEFAULT_HUBS) -> str:
+    """DuckDB oracle: same projection, same haversine, same argmin.
+
+    source_sql: relation with (primary_key, x, y)."""
+    from .projection import utm_to_wgs84_sql
+
+    ll = utm_to_wgs84_sql("x", "y")
+    hub_rows = " UNION ALL ".join(
+        f"SELECT CAST({h} AS BIGINT) AS hub_id, CAST({lo!r} AS DOUBLE)"
+        f" AS hub_lon, CAST({la!r} AS DOUBLE) AS hub_lat"
+        for h, lo, la in hubs
+    )
+    d = haversine_sql("lon", "lat", "hub_lon", "hub_lat")
+    return f"""
+WITH pts AS ({source_sql}),
+ll AS (SELECT primary_key, {ll['lon']} AS lon, {ll['lat']} AS lat FROM pts),
+hubs AS ({hub_rows}),
+paired AS (
+  SELECT primary_key, hub_id, {d} AS dist_m
+  FROM ll CROSS JOIN hubs
+),
+ranked AS (
+  SELECT primary_key, hub_id, dist_m,
+         row_number() OVER (PARTITION BY primary_key
+                            ORDER BY dist_m ASC, hub_id ASC) AS rn
+  FROM paired
+)
+SELECT primary_key, hub_id, dist_m FROM ranked WHERE rn = 1
+"""
+
+
+# ------------------------------------------------- cover-and-refine join
+# The big-big spatial join: when BOTH sides are large (points AND query
+# rectangles), neither broadcast (point_in_polygon's plan) nor a cross
+# product survives — the standard answer is space-partitioning cover +
+# exact refine: each rectangle explodes into its BOUNDED set of covering
+# grid cells (≤ (w/cell+2)·(h/cell+2), a constant for bounded-size
+# rects), points carry their single cell, the join is a plain keyed
+# equi-join on cell_id, and an exact BETWEEN predicate refines the
+# candidates. False positives are filtered; false negatives are
+# impossible (the clamp is monotone, so a contained point's cell is
+# always within the rect's clamped cell range). Each (rect, point) pair
+# meets in exactly ONE cell (the point's), so no dedup pass is needed.
+COVER_RES = 7  # ~547 m cells over the 70 km bbox
+
+
+def rect_cover_cells(rects: DataFrame, res: int = COVER_RES,
+                     bbox=DEFAULT_BBOX) -> DataFrame:
+    """Explode (rect_id, xmin, ymin, xmax, ymax) into covering cells."""
+    ix0, iy0 = quantize_exprs("xmin", "ymin", res, bbox)
+    ix1, iy1 = quantize_exprs("xmax", "ymax", res, bbox)
+    return (
+        rects.withColumns(
+            {"_ix0": F.expr(ix0), "_ix1": F.expr(ix1),
+             "_iy0": F.expr(iy0), "_iy1": F.expr(iy1)}
+        )
+        .select(
+            "*",
+            F.explode(F.sequence("_ix0", "_ix1")).alias("ix"),
+        )
+        .select(
+            "*",
+            F.explode(F.sequence("_iy0", "_iy1")).alias("iy"),
+        )
+        .withColumn("cell_id", F.expr(cell_sql("ix", "iy", "spark")))
+        .drop("_ix0", "_ix1", "_iy0", "_iy1")
+    )
+
+
+def bbox_cover_join(points: DataFrame, rects: DataFrame,
+                    res: int = COVER_RES, bbox=DEFAULT_BBOX) -> DataFrame:
+    """(rect_id, primary_key) for every point inside every rectangle —
+    keyed equi-join on covering cells, exact refine, no broadcast of
+    either big side, no cross product."""
+    p = with_cell(points, "x", "y", res, bbox).select(
+        "primary_key", "x", "y", "cell_id"
+    )
+    r = rect_cover_cells(rects, res, bbox).select(
+        "rect_id", "xmin", "ymin", "xmax", "ymax", "cell_id"
+    )
+    return (
+        p.join(r, "cell_id")
+        .filter(
+            (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax"))
+            & (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax"))
+        )
+        .select("rect_id", "primary_key")
+    )
+
+
+# Deterministic query-rectangle derivation shared with the oracle: every
+# point whose key ends in '0' spawns an 800 m x 600 m rect centred on it.
+RECT_W, RECT_H = 400.0, 300.0
+
+
+def derive_rects(points: DataFrame) -> DataFrame:
+    return points.filter(F.col("primary_key").endswith("0")).select(
+        F.col("primary_key").alias("rect_id"),
+        (F.col("x") - RECT_W).alias("xmin"),
+        (F.col("y") - RECT_H).alias("ymin"),
+        (F.col("x") + RECT_W).alias("xmax"),
+        (F.col("y") + RECT_H).alias("ymax"),
+    )
+
+
+def bbox_cover_join_sql(source_sql: str) -> str:
+    """DuckDB oracle: the naive exact theta-join ground truth.
+
+    source_sql: relation with (primary_key, x, y)."""
+    return f"""
+WITH pts AS ({source_sql}),
+rects AS (
+  SELECT primary_key AS rect_id,
+         x - {RECT_W!r} AS xmin, y - {RECT_H!r} AS ymin,
+         x + {RECT_W!r} AS xmax, y + {RECT_H!r} AS ymax
+  FROM pts WHERE primary_key LIKE '%0'
+)
+SELECT r.rect_id, p.primary_key
+FROM pts p JOIN rects r
+  ON p.x BETWEEN r.xmin AND r.xmax AND p.y BETWEEN r.ymin AND r.ymax
+"""
+
+
+# ---------------------------------------------------- density diagnostics
+# cell_density_histogram: the spatial twin of the link graph's
+# degree_histogram — how many cells hold how many points. This is the
+# FIRST table a spatial job reads at 100 TB: a heavy tail (SALT LAKE CITY
+# cells holding 10^6x the median) is exactly the signal that picks the
+# salting / two-phase-agg strategy for every downstream cell-keyed op.
+# Two keyed groupBys, nothing else.
+def cell_density_histogram(points: DataFrame, res: int = DEFAULT_RES,
+                           bbox=DEFAULT_BBOX) -> DataFrame:
+    """(n_points, n_cells): distribution of per-cell point counts over
+    occupied cells."""
+    per_cell = (
+        with_cell(points, "x", "y", res, bbox)
+        .groupBy("cell_id")
+        .agg(F.count("*").cast("bigint").alias("n_points"))
+    )
+    return per_cell.groupBy("n_points").agg(
+        F.count("*").cast("bigint").alias("n_cells")
+    )
+
+
+def cell_density_histogram_sql(source_sql: str, res: int = DEFAULT_RES,
+                               bbox=DEFAULT_BBOX) -> str:
+    ix, iy = quantize_exprs("x", "y", res, bbox)
+    cell = cell_sql(ix, iy, "duckdb")
+    return f"""
+WITH per_cell AS (
+  SELECT {cell} AS cell_id, CAST(count(*) AS BIGINT) AS n_points
+  FROM ({source_sql}) GROUP BY 1
+)
+SELECT n_points, CAST(count(*) AS BIGINT) AS n_cells
+FROM per_cell GROUP BY n_points
+"""
+
+
+# focal_density: the raster focal-sum (moving-window smoothing) over the
+# cell grid — per occupied cell, the point count in its 3x3 neighborhood.
+# The classic map-algebra op, done relationally: aggregate per cell FIRST
+# (so the explode runs over the |occupied cells| relation, not the corpus),
+# then a bounded 9-way offset explode + one keyed groupBy re-aggregates
+# neighborhoods. Point volume crosses an exchange exactly once.
+def focal_density(points: DataFrame, res: int = DEFAULT_RES,
+                  bbox=DEFAULT_BBOX) -> DataFrame:
+    """(ix, iy, n_focal): per occupied cell, points within its 3x3
+    neighborhood (truncated at the grid boundary by construction —
+    out-of-range neighbor offsets simply never match an occupied cell)."""
+    per_cell = (
+        with_cell(points, "x", "y", res, bbox)
+        .groupBy("ix", "iy")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _NEIGHBOR_OFFSETS
+        ]
+    )
+    contrib = per_cell.select(
+        F.explode(offsets).alias("o"), "ix", "iy", "n"
+    ).select(
+        (F.col("ix") + F.col("o.dx")).alias("cx"),
+        (F.col("iy") + F.col("o.dy")).alias("cy"),
+        "n",
+    )
+    return (
+        per_cell.select("ix", "iy")
+        .join(
+            contrib,
+            (F.col("ix") == F.col("cx")) & (F.col("iy") == F.col("cy")),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.sum("n").cast("bigint").alias("n_focal"))
+    )
+
+
+def focal_density_sql(source_sql: str, res: int = DEFAULT_RES,
+                      bbox=DEFAULT_BBOX) -> str:
+    """DuckDB twin: per-cell counts, then the independent 9-neighbor
+    correlated-sum formulation."""
+    ix, iy = quantize_exprs("x", "y", res, bbox)
+    return f"""
+WITH per_cell AS (
+  SELECT {ix} AS ix, {iy} AS iy, CAST(count(*) AS BIGINT) AS n
+  FROM ({source_sql}) GROUP BY 1, 2
+)
+SELECT a.ix, a.iy, CAST(sum(b.n) AS BIGINT) AS n_focal
+FROM per_cell a JOIN per_cell b
+  ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+GROUP BY a.ix, a.iy
+"""

@@ -357,3 +357,65 @@ def drained_term_counts(spark: SparkSession, sf_dir: str,
         )
         q.awaitTermination()
     return spark.read.parquet(f"{root}/out")
+
+
+def _points_split_source(spark: SparkSession, points: DataFrame,
+                         root: str) -> str:
+    """Stage a point relation as 2 md5-parity stream-source files. Tiles
+    hold many points, so (almost) every tile's mass spans both halves —
+    a state-less per-batch recount would report only the second half's
+    counts and fail the hash gate."""
+    src = f"{root}/src"
+    bucketed = points.withColumn(
+        "_b", F.expr("conv(substr(md5(primary_key), 1, 8), 16, 10) % 2")
+    )
+    first = bucketed.filter(F.col("_b") == 0).drop("_b")
+    second = bucketed.filter(F.col("_b") == 1).drop("_b")
+    if first.limit(1).count() == 0 or second.limit(1).count() == 0:
+        raise ValueError("md5 parity split left an empty micro-batch")
+    first.coalesce(1).write.mode("append").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def drained_tile_rollup(spark: SparkSession, points: DataFrame,
+                        root: str | None = None) -> DataFrame:
+    """Streaming tile rollup — the geospatial member of the drained
+    family: per-raster-tile counts + score mass via groupBy(tile) in
+    COMPLETE output mode over 2 md5-parity micro-batches (the live-map
+    dashboard shape: a feed of geocoded points, per-tile aggregates
+    maintained incrementally). Same contract as drained_term_counts:
+    foreachBatch overwrites the sink, so the survivor equals the batch
+    tile_rollup exactly when cross-batch aggregation state held — gated
+    against the SAME DuckDB oracle as the batch operator."""
+    from ..operators.spatial import assign_tiles
+
+    root = root or tempfile.mkdtemp(prefix="gs_drain_tiles_")
+    src = _points_split_source(spark, points, root)
+    stream = (
+        spark.readStream.schema(points.schema)  # the staged files' own types
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rollup = (
+        assign_tiles(stream)
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+        )
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{root}/out")
+
+    with _drain_partitions(spark):
+        q = (
+            rollup.writeStream.outputMode("complete")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(f"{root}/out")

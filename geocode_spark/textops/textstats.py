@@ -551,3 +551,146 @@ SELECT lang, n_pages, n_bytes,
        CAST(n_bytes * 1000 // greatest(tb, 1) AS BIGINT) AS permille_bytes
 FROM per CROSS JOIN tot
 """
+
+
+# ------------------------------------------------------- lexical diversity
+# Type-token ratio + hapax-legomena rate: the classic lexical-diversity
+# quality signals (a near-zero TTR flags template/spam pages; a near-one
+# TTR on a long page flags word-salad). The reference has no analog — this
+# is beyond-reference curation surface, same family as text_stats.
+#
+# Scale shape (100 TB): explode once -> ONE keyed groupBy on
+# (doc_id, token) with map-side partial aggregation, then a second keyed
+# groupBy on doc_id — both exchanges keyed on (or prefixed by) the unique
+# doc id, skew-free by construction. No window, no broadcast of the big
+# side, no Python. TTR is published as an exact integer (parts-per-million,
+# floor) so the oracle compares integer-for-integer.
+
+def lexical_diversity(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_types, n_hapax, ttr_ppm) per document.
+
+    Tokens are the shared case-folded whitespace tokenizer
+    (ws_word_array over lower()) used by the LM/span family, so the
+    numbers line up with token budgets elsewhere in the engine."""
+    toks = ws_word_array(F.lower(F.col(text_col)))
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        tf.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_hapax"),
+        )
+        .withColumn(
+            "ttr_ppm",
+            F.expr("n_types * 1000000 div greatest(n_tokens, 1)")
+            .cast("bigint"),
+        )
+    )
+
+
+def lexical_diversity_oracle_sql(source: str, id_col: str = "doc_id",
+                                 text_col: str = "text") -> str:
+    toks = ws_word_array_sql(f"lower({text_col})")
+    return f"""
+WITH tf AS (
+  SELECT {id_col}, tok, count(*) AS c
+  FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {source})
+  GROUP BY {id_col}, tok
+), agg AS (
+  SELECT {id_col},
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM tf GROUP BY {id_col}
+)
+SELECT {id_col}, n_tokens, n_types, n_hapax,
+       CAST(n_types * 1000000 // greatest(n_tokens, 1) AS BIGINT) AS ttr_ppm
+FROM agg
+"""
+
+
+# ------------------------------------------------------- Flesch readability
+# Flesch reading-ease + Flesch-Kincaid grade (the canonical readability
+# screens in curation stacks: extremely low ease flags legalese/boilerplate,
+# negative grades flag token soup). Published in exact integer MILLI units
+# over a common (words x sentences) denominator, so both engines run one
+# int64 division — no float in the formula at all. Syllables are the
+# standard vowel-group heuristic with a 1-syllable floor per token.
+#
+# Scale shape: a single zero-shuffle Catalyst projection (split + regexp +
+# higher-order aggregate), whole-stage codegen, no Python.
+_VOWEL_RUNS = "([aeiouy]+)"  # group-1 wrapped: the _n_matches convention
+_SENT_RUNS = "([.!?]+)"
+
+
+def flesch_readability(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    text = F.col(text_col)
+    words = ws_word_array(F.lower(text))
+    n_words = F.size(words).cast("bigint")
+    n_sents = _n_matches(text, _SENT_RUNS).cast("bigint")
+    syl = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.lit(1).cast("bigint"), _n_matches(w, _VOWEL_RUNS)
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    staged = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.greatest(F.lit(1).cast("bigint"), n_sents).alias("n_sentences"),
+        F.coalesce(syl, F.lit(0).cast("bigint")).alias("n_syllables"),
+    )
+    w = "greatest(n_words, 1)"
+    s = "n_sentences"
+    return staged.withColumns(
+        {
+            "ease_milli": F.expr(
+                f"CAST((206835 * {w} * {s} - 1015 * {w} * {w}"
+                f" - 84600 * n_syllables * {s}) div ({w} * {s}) AS BIGINT)"
+            ),
+            "grade_milli": F.expr(
+                f"CAST((390 * {w} * {w} + 11800 * n_syllables * {s}"
+                f" - 15590 * {w} * {s}) div ({w} * {s}) AS BIGINT)"
+            ),
+        }
+    )
+
+
+def flesch_readability_oracle_sql(source: str, id_col: str = "doc_id",
+                                  text_col: str = "text") -> str:
+    toks = ws_word_array_sql(f"lower({text_col})")
+    syl_list = (
+        f"list_transform({toks},"
+        f" w -> greatest(1, len(regexp_extract_all(w, '{_VOWEL_RUNS}'))))"
+    )
+    n_sents = _n_matches_sql(text_col, _SENT_RUNS)
+    w = "greatest(n_words, 1)"
+    s = "n_sentences"
+    return f"""
+WITH staged AS (
+  SELECT {id_col},
+         CAST(len({toks}) AS BIGINT) AS n_words,
+         CAST(greatest(1, {n_sents}) AS BIGINT) AS n_sentences,
+         CAST(coalesce(list_sum({syl_list}), 0) AS BIGINT) AS n_syllables
+  FROM {source}
+)
+SELECT {id_col}, n_words, n_sentences, n_syllables,
+       CAST((206835 * {w} * {s} - 1015 * {w} * {w}
+             - 84600 * n_syllables * {s}) // ({w} * {s}) AS BIGINT)
+           AS ease_milli,
+       CAST((390 * {w} * {w} + 11800 * n_syllables * {s}
+             - 15590 * {w} * {s}) // ({w} * {s}) AS BIGINT) AS grade_milli
+FROM staged
+"""

@@ -81,6 +81,13 @@ HEAVY = [
     "source_overlap",
     "inverted_index",
     "chunk_overlap",
+    # round-5 fourth wave: lexical diversity is a full (doc, token)
+    # explode+agg, anchor terms join the 3N-edge relation against the
+    # anchor projection, co-citation expands per-target in-link pairs —
+    # all corpus- or graph-sized
+    "lexical_diversity",
+    "anchor_terms_topk",
+    "co_citation_pairs",
 ]
 
 

@@ -1,0 +1,306 @@
+"""Round-5 spatial additions: tile pyramid, geohash, great-circle hub.
+
+The geohash test pins the closed-form integer quantization against the
+TEXTBOOK per-bit interval-bisection algorithm implemented independently in
+pure python below — the two must agree character-for-character, which is
+the strongest in-sandbox proof the engine emits real geohashes (no geohash
+library exists in this environment to compare against).
+"""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geocode_spark.operators.spatial import (
+    DEFAULT_HUBS,
+    DEFAULT_TILE,
+    EARTH_RADIUS_M,
+    GEOHASH_PRECISION,
+    PYRAMID_ZOOMS,
+    geohash_encode,
+    nearest_hub,
+    tile_pyramid,
+)
+
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_bisect(lon: float, lat: float, precision: int) -> str:
+    """Textbook geohash: alternate lon/lat interval halving, 5 bits/char."""
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    bits, out, even = 0, [], True
+    ch = 0
+    for _ in range(precision * 5):
+        if even:
+            mid = (lo_lon + hi_lon) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lo_lon = mid
+            else:
+                ch = ch << 1
+                hi_lon = mid
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lo_lat = mid
+            else:
+                ch = ch << 1
+                hi_lat = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(_B32[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def _haversine(lon1, lat1, lon2, lat2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dphi = p2 - p1
+    dlmb = math.radians(lon2) - math.radians(lon1)
+    a = (math.sin(dphi / 2) ** 2
+         + math.cos(p1) * math.cos(p2) * math.sin(dlmb / 2) ** 2)
+    return 2 * EARTH_RADIUS_M * math.asin(min(1.0, math.sqrt(a)))
+
+
+@pytest.fixture(scope="module")
+def utah_points(spark):
+    """A deterministic lattice of UTM-12N points (same footprint as the
+    geocode fixtures) with ids and scores."""
+    rows = []
+    for i in range(60):
+        rows.append(
+            {
+                "primary_key": f"p{i:03d}",
+                "x": 372000.0 + (i % 10) * 6100.0 + (i % 7) * 13.25,
+                "y": 4392000.0 + (i // 10) * 9700.0 + (i % 5) * 7.5,
+                "score": float(85 + (i % 4) * 5),
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+# ------------------------------------------------------------------ geohash
+def test_geohash_matches_textbook_bisection(spark, utah_points):
+    got = {
+        r.primary_key: (r.lon, r.lat, r.geohash)
+        for r in geohash_encode(utah_points).collect()
+    }
+    assert len(got) == 60
+    for pk, (lon, lat, gh) in got.items():
+        assert gh == _geohash_bisect(lon, lat, GEOHASH_PRECISION), pk
+        # Utah sits in geohash macro-cell '9' (SW United States quadrant);
+        # the lattice straddles the 9x (north) / 9r (south) boundary.
+        assert gh[0] == "9" and gh[1] in "xr", (pk, gh)
+
+
+def test_geohash_prefix_is_spatial(spark):
+    """Two points metres apart share a long prefix; far points diverge
+    early — the prefix-joinability property the operator exists for."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "primary_key": ["near1", "near2", "far"],
+                "x": [400000.0, 400003.0, 435000.0],
+                "y": [4420000.0, 4420002.0, 4455000.0],
+                "score": [90.0, 90.0, 90.0],
+            }
+        )
+    )
+    gh = {r.primary_key: r.geohash for r in geohash_encode(df).collect()}
+    assert gh["near1"][:6] == gh["near2"][:6]
+    assert gh["near1"][:4] != gh["far"][:4]
+
+
+def test_geohash_effect_size(spark, utah_points):
+    """The lattice spreads over many distinct hashes (guards against a
+    degenerate constant-output formulation)."""
+    n = geohash_encode(utah_points).select("geohash").distinct().count()
+    assert n == 60
+
+
+# ------------------------------------------------------------- tile pyramid
+def test_tile_pyramid_consistency(spark, utah_points):
+    pdf = tile_pyramid(utah_points).toPandas()
+    zooms = sorted(pdf["zoom"].unique())
+    assert zooms == list(range(PYRAMID_ZOOMS))
+    # every zoom partitions the full point set
+    for z in zooms:
+        assert pdf[pdf.zoom == z].n_points.sum() == 60
+        assert pdf[pdf.zoom == z].sum_score.sum() == pdf[pdf.zoom == 0].sum_score.sum()
+    # children aggregate exactly to their parent tile
+    fine = pdf[pdf.zoom == PYRAMID_ZOOMS - 1].copy()
+    fine["px"] = fine.tile_x // 2
+    fine["py"] = fine.tile_y // 2
+    rolled = (
+        fine.groupby(["px", "py"])[["n_points", "sum_score"]].sum().reset_index()
+    )
+    parent = pdf[pdf.zoom == PYRAMID_ZOOMS - 2]
+    merged = rolled.merge(
+        parent, left_on=["px", "py"], right_on=["tile_x", "tile_y"]
+    )
+    assert len(merged) == len(parent) == len(rolled)
+    assert (merged.n_points_x == merged.n_points_y).all()
+    assert (merged.sum_score_x == merged.sum_score_y).all()
+
+
+def test_tile_pyramid_single_scan(spark, utah_points):
+    """The whole pyramid is ONE scan + ONE Expand — not a scan per zoom."""
+    plan = tile_pyramid(utah_points)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan") <= 1
+
+
+def test_pyramid_base_matches_assign_tiles(spark, utah_points):
+    from geocode_spark.operators.spatial import assign_tiles
+
+    base = (
+        assign_tiles(utah_points, DEFAULT_TILE)
+        .groupBy("tile_x", "tile_y")
+        .count()
+        .toPandas()
+    )
+    finest = tile_pyramid(utah_points).filter(
+        F.col("zoom") == PYRAMID_ZOOMS - 1
+    ).toPandas()
+    assert len(base) == len(finest)
+    m = base.merge(finest, on=["tile_x", "tile_y"])
+    assert (m["count"] == m["n_points"]).all()
+
+
+# ------------------------------------------------------------- nearest hub
+def test_nearest_hub_matches_bruteforce(spark, utah_points):
+    got = {r.primary_key: (r.hub_id, r.dist_m)
+           for r in nearest_hub(utah_points).collect()}
+    lls = {
+        r.primary_key: (r.lon, r.lat)
+        for r in geohash_encode(utah_points).collect()
+    }
+    assert len(got) == 60
+    hubs_seen = set()
+    for pk, (hub_id, dist_m) in got.items():
+        lon, lat = lls[pk]
+        best = min(
+            (round(_haversine(lon, lat, hlo, hla), 3), h)
+            for h, hlo, hla in DEFAULT_HUBS
+        )
+        assert (dist_m, hub_id) == best, pk
+        hubs_seen.add(hub_id)
+    # effect size: the assignment is not a constant (the lattice straddles
+    # at least the south/west hub boundary)
+    assert len(hubs_seen) >= 2
+
+
+def test_nearest_hub_one_row_per_point(spark, utah_points):
+    df = nearest_hub(utah_points)
+    assert df.count() == df.select("primary_key").distinct().count() == 60
+
+
+# -------------------------------------------------------- cover-and-refine
+def test_bbox_cover_join_matches_bruteforce(spark, utah_points):
+    from geocode_spark.operators.spatial import bbox_cover_join, derive_rects
+
+    pts = utah_points.toPandas()
+    rects = pts[pts.primary_key.str.endswith("0")].copy()
+    expect = set()
+    for _, r in rects.iterrows():
+        for _, p in pts.iterrows():
+            if (abs(p.x - r.x) <= 400.0) and (abs(p.y - r.y) <= 300.0):
+                expect.add((r.primary_key, p.primary_key))
+    got = {
+        (row.rect_id, row.primary_key)
+        for row in bbox_cover_join(utah_points, derive_rects(utah_points)).collect()
+    }
+    assert got == expect
+    # effect size: self-containment guarantees non-empty, and the refine
+    # must actually reject candidate cells (lattice spacing < cell size)
+    assert len(got) >= len(rects)
+
+
+def test_bbox_cover_join_boundary_inclusive(spark):
+    from geocode_spark.operators.spatial import bbox_cover_join
+
+    import pandas as pd
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "primary_key": ["on_edge", "inside", "outside", "far"],
+                "x": [400400.0, 400100.0, 400401.0, 430000.0],
+                "y": [4420000.0, 4420000.0, 4420000.0, 4450000.0],
+            }
+        )
+    )
+    rects = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rect_id": ["r1"],
+                "xmin": [399600.0], "ymin": [4419700.0],
+                "xmax": [400400.0], "ymax": [4420300.0],
+            }
+        )
+    )
+    got = {r.primary_key for r in bbox_cover_join(pts, rects).collect()}
+    assert got == {"on_edge", "inside"}
+
+
+def test_rect_cover_is_bounded(spark):
+    from geocode_spark.operators.spatial import COVER_RES, rect_cover_cells
+
+    import pandas as pd
+
+    rects = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rect_id": ["r1"],
+                "xmin": [400000.0], "ymin": [4420000.0],
+                "xmax": [400800.0], "ymax": [4420600.0],
+            }
+        )
+    )
+    n = rect_cover_cells(rects, COVER_RES).count()
+    # an 800x600 m rect over ~547 m cells covers at most 3x3 cells
+    assert 1 <= n <= 9
+
+
+# ------------------------------------------------------ density diagnostics
+def test_cell_density_histogram_mass(spark, utah_points):
+    from geocode_spark.operators.spatial import cell_density_histogram
+
+    pdf = cell_density_histogram(utah_points).toPandas()
+    assert (pdf.n_points * pdf.n_cells).sum() == 60
+    assert (pdf.n_points >= 1).all()
+
+
+def test_focal_density_hand_case(spark):
+    from geocode_spark.operators.spatial import DEFAULT_BBOX, focal_density
+
+    x0, y0 = DEFAULT_BBOX[0], DEFAULT_BBOX[1]
+    cell = (DEFAULT_BBOX[2] - DEFAULT_BBOX[0]) / 64  # res 6 cell edge
+    # cells (1,1) x2 points, (2,1) x1, (5,5) x1: the (1,1) and (2,1)
+    # neighborhoods see each other; (5,5) is isolated.
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "primary_key": ["a", "b", "c", "d"],
+                "x": [x0 + 1.5 * cell, x0 + 1.4 * cell, x0 + 2.5 * cell,
+                      x0 + 5.5 * cell],
+                "y": [y0 + 1.5 * cell, y0 + 1.6 * cell, y0 + 1.5 * cell,
+                      y0 + 5.5 * cell],
+            }
+        )
+    )
+    got = {(r.ix, r.iy): r.n_focal for r in focal_density(pts).collect()}
+    assert got == {(1, 1): 3, (2, 1): 3, (5, 5): 1}
+
+
+def test_focal_density_bounds(spark, utah_points):
+    from geocode_spark.operators.spatial import focal_density
+
+    pdf = focal_density(utah_points).toPandas()
+    # focal sum >= own cell count >= 1; never exceeds the whole corpus
+    assert (pdf.n_focal >= 1).all()
+    assert (pdf.n_focal <= 60).all()

@@ -307,3 +307,57 @@ def test_drained_term_counts_cross_batch_state(spark, tmp_path):
         .toPandas().sort_values("term").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_drained_tile_rollup_cross_batch_state(spark, tmp_path):
+    """The geospatial drained gate: complete-mode per-tile aggregates over
+    2 md5-parity micro-batches must (a) commit >= 2 offsets, (b) have at
+    least one tile's mass split across the halves, and (c) equal the batch
+    tile_rollup exactly."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from geocode_spark.operators.spatial import tile_rollup
+    from geocode_spark.streaming.drained import drained_tile_rollup
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "primary_key": [f"p{i:03d}" for i in range(80)],
+                "x": [372000.0 + (i % 8) * 900.0 for i in range(80)],
+                "y": [4392000.0 + (i // 8) * 700.0 for i in range(80)],
+                "score": [float(80 + i % 20) for i in range(80)],
+            }
+        )
+    )
+    root = str(tmp_path / "drain")
+    got = (
+        drained_tile_rollup(spark, pts, root=root)
+        .toPandas().sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    )
+
+    committed = [
+        f for f in os.listdir(f"{root}/ckpt/offsets") if not f.startswith(".")
+    ]
+    assert len(committed) >= 2, f"only micro-batches {committed} committed"
+
+    halves = sorted(glob.glob(f"{root}/src/part-*.parquet"))
+    assert len(halves) == 2
+    tiles_per_half = [
+        set(map(tuple, (pd.read_parquet(h)[["x", "y"]] // [1000.0, 1000.0])
+                .astype(int).itertuples(index=False)))
+        for h in halves
+    ]
+    assert tiles_per_half[0] & tiles_per_half[1], (
+        "no tile spans both micro-batches — split is not cross-batch"
+    )
+
+    want = (
+        tile_rollup(pts)
+        .toPandas().sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns], want, check_dtype=False
+    )
