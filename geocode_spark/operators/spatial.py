@@ -839,3 +839,535 @@ FROM per_cell a JOIN per_cell b
   ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
 GROUP BY a.ix, a.iy
 """
+
+
+# Moran's I (Moran 1950): global spatial autocorrelation of the per-cell
+# point density — THE screening statistic for "is this point pattern
+# clustered, dispersed, or random?", read before choosing a spatial
+# partitioning (clustered => hot cells => salting / two-phase agg; the
+# cell_density_histogram's heavy tail, reduced to one number). Done
+# relationally at metadata scale: the corpus crosses ONE exchange (the
+# per-cell count — the same first stage every cell-keyed op here pays);
+# everything after runs on the |occupied cells| relation: deviations are
+# EXACT integers (d_i = n*x_i - S, the mean cleared by cross-multiplying
+# instead of dividing), rook-adjacent pairs come from a bounded 4-offset
+# explode + keyed equi-join (never a non-equi theta join), and the only
+# float op is the final ratio — identical cast/multiply/divide/round
+# sequence in both dialects (IEEE-exact, no libm).
+_ROOK_OFFSETS = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+
+
+def morans_i(points: DataFrame, res: int = DEFAULT_RES,
+             bbox=DEFAULT_BBOX) -> DataFrame:
+    """One row (n_cells, w_pairs, num, den, i_micro): Moran's I over
+    per-cell counts with rook adjacency (binary weights, ordered pairs).
+    num = sum_adj d_a*d_b, den = sum d^2 with d_i = n*x_i - S exact
+    int64; I = (n/W) * num/den scaled by n^-2 cancelling — i_micro =
+    round(1e6 * n * num / (W * den)), NULL when no adjacent pairs."""
+    per_cell = (
+        with_cell(points, "x", "y", res, bbox)
+        .groupBy("ix", "iy")
+        .agg(F.count("*").cast("bigint").alias("xv"))
+    )
+    from ..caching import persist_tracked
+
+    per_cell = persist_tracked(per_cell)
+    stats = per_cell.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum("xv").cast("bigint").alias("s"),
+    )
+    dev = per_cell.crossJoin(F.broadcast(stats)).select(
+        "ix", "iy",
+        (F.col("n_cells") * F.col("xv") - F.col("s"))
+        .cast("bigint").alias("d"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _ROOK_OFFSETS
+        ]
+    )
+    shifted = dev.select(
+        F.explode(offsets).alias("o"), "ix", "iy", "d"
+    ).select(
+        (F.col("ix") + F.col("o.dx")).alias("cx"),
+        (F.col("iy") + F.col("o.dy")).alias("cy"),
+        F.col("d").alias("d_b"),
+    )
+    pair_agg = (
+        dev.join(
+            shifted,
+            (F.col("ix") == F.col("cx")) & (F.col("iy") == F.col("cy")),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("w_pairs"),
+            F.sum(F.col("d") * F.col("d_b")).cast("bigint").alias("num"),
+        )
+    )
+    den_agg = dev.agg(
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("den")
+    )
+    return (
+        stats.crossJoin(pair_agg).crossJoin(den_agg).select(
+            "n_cells", "w_pairs", "num", "den",
+            F.when(
+                (F.col("w_pairs") > 0) & (F.col("den") > 0),
+                F.round(
+                    F.col("n_cells").cast("double")
+                    * F.col("num").cast("double")
+                    * F.lit(1000000.0)
+                    / (F.col("w_pairs").cast("double")
+                       * F.col("den").cast("double")),
+                    0,
+                ).cast("bigint"),
+            ).alias("i_micro"),
+        )
+    )
+
+
+def morans_i_sql(source_sql: str, res: int = DEFAULT_RES,
+                 bbox=DEFAULT_BBOX) -> str:
+    """DuckDB twin: identical integer deviations; adjacency as the
+    independent abs-offset formulation (|dix| + |diy| = 1)."""
+    ix, iy = quantize_exprs("x", "y", res, bbox)
+    return f"""
+WITH per_cell AS (
+  SELECT {ix} AS ix, {iy} AS iy, CAST(count(*) AS BIGINT) AS xv
+  FROM ({source_sql}) GROUP BY 1, 2
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(xv) AS BIGINT) AS s
+  FROM per_cell
+), dev AS (
+  SELECT ix, iy, CAST(n_cells * xv - s AS BIGINT) AS d
+  FROM per_cell CROSS JOIN stats
+), pair_agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS w_pairs,
+         CAST(sum(a.d * b.d) AS BIGINT) AS num
+  FROM dev a JOIN dev b
+    ON abs(a.ix - b.ix) + abs(a.iy - b.iy) = 1
+), den_agg AS (
+  SELECT CAST(sum(d * d) AS BIGINT) AS den FROM dev
+)
+SELECT n_cells, w_pairs, num, den,
+       CASE WHEN w_pairs > 0 AND den > 0 THEN
+         CAST(round(CAST(n_cells AS DOUBLE) * CAST(num AS DOUBLE)
+                    * 1000000.0
+                    / (CAST(w_pairs AS DOUBLE) * CAST(den AS DOUBLE)),
+                    0) AS BIGINT)
+       END AS i_micro
+FROM stats CROSS JOIN pair_agg CROSS JOIN den_agg"""
+
+
+# Vector-geometry layer: ring metrics via the shoelace formula (Gauss).
+# Area/centroid of polygon rings is the raster<->vector layer's other
+# half (assign_tiles/bbox_cover_join consume rectangles; real cadastral /
+# admin-boundary tables carry arbitrary rings). The operator is a pure
+# zero-shuffle projection over a (gid, xs, ys) vertex-ARRAY relation —
+# the natural 100 TB layout (one row per ring, never an exploded vertex
+# table that needs a window to re-order) — using higher-order array
+# functions; every term is exact int64 in the ring's OWN frame
+# (vertices translated to the first vertex before multiplying: absolute
+# UTM-milli products would overflow; translation leaves area and
+# centroid-offset invariant), and the only float op is the final
+# centroid ratio — identical cast/divide/round sequence both dialects.
+#
+# Negative-operand integer division: Spark `div` and DuckDB `//` BOTH
+# truncate toward zero (probed: (-707*1234)//1000 = -872 in DuckDB,
+# -872 via div in Spark), so the star-corpus radius scaling below is
+# dialect-exact without sign-factoring.
+POLY_VERTS = 8
+_STAR_DIRS = [  # CCW unit directions x1000; 707/1000 ~ cos 45
+    (1000, 0), (707, 707), (0, 1000), (-707, 707),
+    (-1000, 0), (-707, -707), (0, -1000), (707, -707),
+]
+
+
+def polygon_metrics(polys: DataFrame) -> DataFrame:
+    """(gid, n_vertices, area2, cx_micro, cy_micro) per ring: area2 =
+    signed shoelace sum in sq-milli units (positive = CCW), centroid in
+    micro units; NULL centroid for degenerate (zero-area) rings. Pure
+    projection — zero exchanges, arbitrary ring sizes."""
+    n = F.size("xs")
+    x1 = F.element_at("xs", 1)
+    y1 = F.element_at("ys", 1)
+    # cyclic next index (1-based): i in [1, n] -> i % n + 1
+    def _cross(i):
+        nx = i % n + 1
+        return (
+            (F.element_at("xs", i) - x1) * (F.element_at("ys", nx) - y1)
+            - (F.element_at("xs", nx) - x1) * (F.element_at("ys", i) - y1)
+        )
+
+    idx = F.sequence(F.lit(1), n)
+    zero = F.lit(0).cast("bigint")
+    area2 = F.aggregate(idx, zero, lambda a, i: a + _cross(i))
+    cnum_x = F.aggregate(
+        idx, zero,
+        lambda a, i: a
+        + ((F.element_at("xs", i) - x1)
+           + (F.element_at("xs", i % n + 1) - x1)) * _cross(i),
+    )
+    cnum_y = F.aggregate(
+        idx, zero,
+        lambda a, i: a
+        + ((F.element_at("ys", i) - y1)
+           + (F.element_at("ys", i % n + 1) - y1)) * _cross(i),
+    )
+    def _cent(base_milli, cnum):
+        return F.when(
+            F.col("area2") != 0,
+            base_milli * F.lit(1000)
+            + F.round(
+                F.lit(1000.0) * cnum.cast("double")
+                / (F.lit(3.0) * F.col("area2").cast("double")),
+                0,
+            ).cast("bigint"),
+        )
+
+    return (
+        polys.select(
+            "gid", "xs", "ys",
+            n.cast("bigint").alias("n_vertices"),
+            area2.alias("area2"),
+            cnum_x.alias("cnx"),
+            cnum_y.alias("cny"),
+        )
+        .select(
+            "gid", "n_vertices", "area2",
+            _cent(F.element_at("xs", 1), F.col("cnx")).alias("cx_micro"),
+            _cent(F.element_at("ys", 1), F.col("cny")).alias("cy_micro"),
+        )
+    )
+
+
+def _star_ring_exprs(res: int, bbox, dialect: str):
+    """(gid_sql, xs_sql, ys_sql) building one deterministic 8-vertex CCW
+    star ring per cell, given integer columns ix/iy in scope: center at
+    the cell center (milli units), per-vertex radius 500..1999 milli
+    from md5(gid:v). Pure integer arithmetic after the (exact-dyadic)
+    center literal — dialect-split only where syntax forces it (md5
+    prefix -> int, integer div, array constructor)."""
+    cellw = (bbox[2] - bbox[0]) / (1 << res)
+    cellh = (bbox[3] - bbox[1]) / (1 << res)
+    if dialect == "spark":
+        gid = "concat(cast(ix AS STRING), '_', cast(iy AS STRING))"
+
+        def r(v):
+            return (
+                f"(CAST(conv(substring(md5(concat(gid, ':{v}')), 1, 4), "
+                f"16, 10) AS BIGINT) % 1500 + 500)"
+            )
+
+        def idiv(e):
+            return f"(({e}) div 1000)"
+
+        arr = "array"
+    else:
+        gid = "concat(CAST(ix AS VARCHAR), '_', CAST(iy AS VARCHAR))"
+
+        def r(v):
+            return (
+                f"(('0x' || substr(md5(gid || ':{v}'), 1, 4))::BIGINT "
+                f"% 1500 + 500)"
+            )
+
+        def idiv(e):
+            return f"(({e}) // 1000)"
+
+        arr = "list_value"
+    cxm = (
+        f"CAST(round(({bbox[0]!r} + (ix + 0.5) * {cellw!r}) * 1000.0, 0) "
+        f"AS BIGINT)"
+    )
+    cym = (
+        f"CAST(round(({bbox[1]!r} + (iy + 0.5) * {cellh!r}) * 1000.0, 0) "
+        f"AS BIGINT)"
+    )
+    xs = ", ".join(
+        f"{cxm} + {idiv(f'{dx} * {r(v)}')}"
+        for v, (dx, _) in enumerate(_STAR_DIRS)
+    )
+    ys = ", ".join(
+        f"{cym} + {idiv(f'{dy} * {r(v)}')}"
+        for v, (_, dy) in enumerate(_STAR_DIRS)
+    )
+    return gid, f"{arr}({xs})", f"{arr}({ys})"
+
+
+def synthetic_polygon_corpus(points: DataFrame, res: int = DEFAULT_RES,
+                             bbox=DEFAULT_BBOX) -> DataFrame:
+    """(gid, xs, ys): the vertex-array polygon fixture for
+    polygon_metrics — one star ring per occupied cell of the point
+    relation (both engines derive it identically; see _star_ring_exprs).
+    One distinct groupBy of the corpus, then a zero-shuffle projection."""
+    gid, xs, ys = _star_ring_exprs(res, bbox, "spark")
+    cells = (
+        with_cell(points, "x", "y", res, bbox)
+        .select("ix", "iy")
+        .distinct()
+    )
+    # xs/ys reference BOTH gid (radius hash) and ix/iy (center): stage
+    # gid first, keep ix/iy in scope, project the arrays, then prune
+    return cells.select("ix", "iy", F.expr(gid).alias("gid")).select(
+        "gid",
+        F.expr(xs).alias("xs"),
+        F.expr(ys).alias("ys"),
+    )
+
+
+def polygon_metrics(polys: DataFrame) -> DataFrame:
+    """(gid, n_vertices, area2, cx_micro, cy_micro) per ring: area2 =
+    the signed shoelace sum in sq-milli units (positive = CCW), centroid
+    in micro units (NULL for degenerate zero-area rings). Zero-shuffle
+    higher-order-function projection over vertex arrays; every product
+    is taken in the ring's own frame (vertices translated to vertex 1 —
+    absolute UTM-milli products would overflow int64; area and the
+    centroid offset are translation-invariant)."""
+    n = F.size("xs")
+    x1 = F.element_at("xs", 1)
+    y1 = F.element_at("ys", 1)
+
+    def _cross(i):
+        nx = i % n + 1
+        return (
+            (F.element_at("xs", i) - x1) * (F.element_at("ys", nx) - y1)
+            - (F.element_at("xs", nx) - x1) * (F.element_at("ys", i) - y1)
+        )
+
+    idx = F.sequence(F.lit(1), n)
+    zero = F.lit(0).cast("bigint")
+    area2 = F.aggregate(idx, zero, lambda a, i: a + _cross(i))
+    cnum_x = F.aggregate(
+        idx, zero,
+        lambda a, i: a
+        + ((F.element_at("xs", i) - x1)
+           + (F.element_at("xs", i % n + 1) - x1)) * _cross(i),
+    )
+    cnum_y = F.aggregate(
+        idx, zero,
+        lambda a, i: a
+        + ((F.element_at("ys", i) - y1)
+           + (F.element_at("ys", i % n + 1) - y1)) * _cross(i),
+    )
+
+    def _cent(base_milli, cnum):
+        return F.when(
+            F.col("area2") != 0,
+            base_milli * F.lit(1000)
+            + F.round(
+                F.lit(1000.0) * cnum.cast("double")
+                / (F.lit(3.0) * F.col("area2").cast("double")),
+                0,
+            ).cast("bigint"),
+        )
+
+    staged = polys.select(
+        "gid", "xs", "ys",
+        n.cast("bigint").alias("n_vertices"),
+        area2.alias("area2"),
+        cnum_x.alias("cnx"),
+        cnum_y.alias("cny"),
+    )
+    return staged.select(
+        "gid", "n_vertices", "area2",
+        _cent(F.element_at("xs", 1), F.col("cnx")).alias("cx_micro"),
+        _cent(F.element_at("ys", 1), F.col("cny")).alias("cy_micro"),
+    )
+
+
+def polygon_metrics_sql(source_sql: str, res: int = DEFAULT_RES,
+                        bbox=DEFAULT_BBOX) -> str:
+    """DuckDB twin of polygon_metrics over synthetic_polygon_corpus(
+    source): the independent RELATIONAL shoelace (lateral unnest over
+    vertex index + GROUP BY, vs the engine's in-array fold), identical
+    translation, identical final float ratio."""
+    ix, iy = quantize_exprs("x", "y", res, bbox)
+    gid, xs, ys = _star_ring_exprs(res, bbox, "duckdb")
+    return f"""
+WITH cells AS (
+  SELECT DISTINCT {ix} AS ix, {iy} AS iy FROM ({source_sql})
+), polys AS (
+  SELECT {gid} AS gid, {xs} AS xs, {ys} AS ys
+  FROM (SELECT ix, iy, {gid} AS gid FROM cells)
+), terms AS (
+  SELECT gid, len(xs) AS n, i,
+         (xs[i] - xs[1]) * (ys[i % len(xs) + 1] - ys[1])
+         - (xs[i % len(xs) + 1] - xs[1]) * (ys[i] - ys[1]) AS cr,
+         (xs[i] - xs[1]) + (xs[i % len(xs) + 1] - xs[1]) AS sx,
+         (ys[i] - ys[1]) + (ys[i % len(xs) + 1] - ys[1]) AS sy,
+         xs[1] AS x1, ys[1] AS y1
+  FROM polys, unnest(generate_series(1, len(xs))) AS u(i)
+)
+SELECT gid,
+       CAST(max(n) AS BIGINT) AS n_vertices,
+       CAST(sum(cr) AS BIGINT) AS area2,
+       CASE WHEN sum(cr) != 0 THEN
+         max(x1) * 1000 + CAST(round(1000.0 * CAST(sum(sx * cr) AS DOUBLE)
+             / (3.0 * CAST(sum(cr) AS DOUBLE)), 0) AS BIGINT)
+       END AS cx_micro,
+       CASE WHEN sum(cr) != 0 THEN
+         max(y1) * 1000 + CAST(round(1000.0 * CAST(sum(sy * cr) AS DOUBLE)
+             / (3.0 * CAST(sum(cr) AS DOUBLE)), 0) AS BIGINT)
+       END AS cy_micro
+FROM terms GROUP BY gid"""
+
+
+# Polyline simplification (Douglas & Peucker 1973): reduce a vertex chain
+# to the subset that keeps every removed point within eps of the
+# simplified line — the standard pre-tiling step for trajectory / contour
+# / boundary layers (ship a 50-point ring to a z10 tile, not 50,000).
+# Spark shape: tracks are assembled once (one exchange: the row_number
+# that any ordered-track operator pays), then the kernel is ONE
+# applyInPandas stage — per-track state never leaves its group, so the
+# operator scales with the number of tracks, not their total length.
+# Kernel arithmetic: cross products in numpy int64 (within-track frames
+# bound them well under 2^63), and the single split decision per
+# interval in arbitrary-precision python ints (cross^2 vs eps^2*seglen2
+# would overflow int64) — the DuckDB twin runs the SAME comparison in
+# HUGEINT inside a recursive interval CTE whose argmax is expressed via
+# NOT EXISTS (no aggregates over the working table), so the gate is
+# exact-integer end to end. Argmax ties break to the smallest index in
+# both formulations (np.argmax first-hit ⟺ the twin's equal-cross2 AND
+# smaller-i refutation clause).
+TRACK_RES = 4  # 16x16 coarse cells group the session chunks spatially
+TRACK_CHUNK = 24  # bounded "recording sessions": fixture tracks <= 24 pts
+DP_EPS_MILLI = 500_000  # 500 m tolerance over ~4.4 km track footprints
+
+
+def synthetic_tracks(points: DataFrame, res: int = TRACK_RES,
+                     bbox=DEFAULT_BBOX,
+                     chunk: int = TRACK_CHUNK) -> DataFrame:
+    """(track_id, seq, x, y): deterministic GPS-track stand-in — the
+    points of each coarse cell ordered by primary_key, split into
+    bounded <= chunk-point session tracks (real trajectories arrive as
+    bounded recording sessions; the bound also keeps the twin's
+    recursive-CTE argmax, which is quadratic per interval, at gate
+    scale — zone-clustered cells would otherwise yield 300-point
+    tracks). Coordinates in exact milli units. One row_number exchange
+    (any ordered-track source pays exactly this)."""
+    cells = with_cell(points, "x", "y", res, bbox)
+    w = Window.partitionBy("ix", "iy").orderBy("primary_key")
+    staged = cells.select(
+        "ix", "iy",
+        (F.row_number().over(w) - 1).cast("bigint").alias("r"),
+        F.round(F.col("x") * 1000.0, 0).cast("bigint").alias("x"),
+        F.round(F.col("y") * 1000.0, 0).cast("bigint").alias("y"),
+    )
+    return staged.select(
+        F.concat_ws(
+            "_", F.col("ix"), F.col("iy"), F.expr(f"r div {int(chunk)}")
+        ).alias("track_id"),
+        (F.col("r") % chunk).cast("bigint").alias("seq"),
+        "x", "y",
+    )
+
+
+def polyline_simplify(tracks: DataFrame,
+                      eps_milli: int = DP_EPS_MILLI) -> DataFrame:
+    """(track_id, seq, x, y): the Douglas-Peucker-kept vertices of each
+    track (endpoints always survive; interior points survive iff some
+    recursion interval splits at them)."""
+    import numpy as np
+    import pandas as pd
+
+    eps2 = int(eps_milli) * int(eps_milli)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq").reset_index(drop=True)
+        xs = pdf["x"].to_numpy(np.int64)
+        ys = pdf["y"].to_numpy(np.int64)
+        n = len(pdf)
+        if n <= 2:
+            return pdf
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            i0, i1 = stack.pop()
+            if i1 - i0 < 2:
+                continue
+            dx = xs[i1] - xs[i0]
+            dy = ys[i1] - ys[i0]
+            # |cross| fits int64 (within-track spans); argmax |cross|
+            # == argmax cross^2, first-hit tie rule
+            cross = dx * (ys[i0] - ys[i0 + 1:i1]) - dy * (
+                xs[i0] - xs[i0 + 1:i1]
+            )
+            j = int(np.argmax(np.abs(cross)))
+            c = int(cross[j])
+            # exact split test in python ints: cross^2 > eps^2 * |seg|^2
+            if c * c > eps2 * (int(dx) * int(dx) + int(dy) * int(dy)):
+                split = i0 + 1 + j
+                keep[split] = True
+                stack.append((i0, split))
+                stack.append((split, i1))
+        return pdf[keep]
+
+    return tracks.groupBy("track_id").applyInPandas(
+        kernel, "track_id string, seq bigint, x bigint, y bigint"
+    )
+
+
+def polyline_simplify_sql(source_sql: str, eps_milli: int = DP_EPS_MILLI,
+                          res: int = TRACK_RES, bbox=DEFAULT_BBOX,
+                          chunk: int = TRACK_CHUNK) -> str:
+    """DuckDB twin over synthetic_tracks(source): recursive interval CTE
+    — an interval (i0, i1) splits at its max-cross^2 interior vertex
+    (ties to the smallest index, selected via NOT EXISTS — recursive
+    terms cannot aggregate over the working table) iff cross^2 >
+    eps^2 * seglen2 in HUGEINT; kept vertices = every interval endpoint
+    ever produced, plus single-point tracks."""
+    ix, iy = quantize_exprs("x", "y", res, bbox)
+    eps2 = int(eps_milli) * int(eps_milli)
+    cr = (
+        "((b.x - a.x)::HUGEINT * (a.y - {p}.y)::HUGEINT"
+        " - (b.y - a.y)::HUGEINT * (a.x - {p}.x)::HUGEINT)"
+    )
+    crp, crq = cr.format(p="p"), cr.format(p="q")
+    return f"""
+WITH RECURSIVE staged AS MATERIALIZED (
+  SELECT ix, iy,
+         CAST(row_number() OVER (PARTITION BY ix, iy ORDER BY primary_key)
+              - 1 AS BIGINT) AS r,
+         CAST(round(x * 1000.0, 0) AS BIGINT) AS x,
+         CAST(round(y * 1000.0, 0) AS BIGINT) AS y
+  FROM (SELECT primary_key, x, y, {ix} AS ix, {iy} AS iy
+        FROM ({source_sql}))
+), pts AS MATERIALIZED (
+  SELECT concat(CAST(ix AS VARCHAR), '_', CAST(iy AS VARCHAR), '_',
+                CAST(r // {int(chunk)} AS VARCHAR)) AS track_id,
+         CAST(r % {int(chunk)} AS BIGINT) AS seq, x, y
+  FROM staged
+), cnt AS MATERIALIZED (
+  SELECT track_id, max(seq) AS last FROM pts GROUP BY track_id
+), splits(track_id, i0, i1) AS (
+  SELECT track_id, CAST(0 AS BIGINT), last FROM cnt WHERE last >= 1
+  UNION ALL
+  SELECT s.track_id,
+         CASE v.side WHEN 0 THEN s.i0 ELSE p.seq END,
+         CASE v.side WHEN 0 THEN p.seq ELSE s.i1 END
+  FROM splits s
+  JOIN pts a ON a.track_id = s.track_id AND a.seq = s.i0
+  JOIN pts b ON b.track_id = s.track_id AND b.seq = s.i1
+  JOIN pts p ON p.track_id = s.track_id
+            AND p.seq > s.i0 AND p.seq < s.i1
+  CROSS JOIN (VALUES (0), (1)) v(side)
+  WHERE {crp} * {crp}
+        > {eps2}::HUGEINT * ((b.x - a.x)::HUGEINT * (b.x - a.x)::HUGEINT
+                             + (b.y - a.y)::HUGEINT * (b.y - a.y)::HUGEINT)
+    AND NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.track_id = s.track_id AND q.seq > s.i0 AND q.seq < s.i1
+        AND ({crq} * {crq} > {crp} * {crp}
+             OR ({crq} * {crq} = {crp} * {crp} AND q.seq < p.seq))
+    )
+), kept AS (
+  SELECT DISTINCT track_id, i AS seq FROM (
+    SELECT track_id, i0 AS i FROM splits
+    UNION ALL SELECT track_id, i1 FROM splits
+    UNION ALL SELECT track_id, 0 FROM cnt WHERE last = 0
+  )
+)
+SELECT p.track_id, p.seq, p.x, p.y
+FROM pts p JOIN kept k ON p.track_id = k.track_id AND p.seq = k.seq"""

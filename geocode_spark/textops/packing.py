@@ -859,3 +859,119 @@ SELECT COALESCE(n.url, o.url) AS url,
             ELSE 'unchanged' END AS status
 FROM new_snap n FULL OUTER JOIN old_snap o ON n.url = o.url
 """
+
+
+# --------------------------------------------------------------------------
+# URL template mining: collapse URL paths to their structural shape
+# (digit runs -> {d}, long hex runs -> {x}) and profile the crawl by
+# (host, template). The standard frontier-curation move: a template with
+# 10^9 pages and 10^9 distinct URLs is a crawler trap / session-id mill
+# (distinct/page ratio ~1), a template with 10^9 pages and 10^2 distinct
+# URLs is boilerplate re-fetch; both get capped before the next crawl.
+# Pure Catalyst regex (RE2-and-Java-compatible, the T42 dialect
+# discipline) + ONE keyed groupBy — the corpus never shuffles twice.
+# Hex runs collapse BEFORE digit runs (a digit run inside a 16-char hex
+# id would otherwise shred it into '{d}a{d}f...'); {8,}-length keeps
+# short hex-looking words ('cafe', 'dead') literal.
+URL_TEMPLATE_HEX_RE = "[0-9a-f]{8,}"
+URL_TEMPLATE_DIGIT_RE = "[0-9]+"
+
+
+def url_template(url) -> F.Column:
+    """host + structural path template for one URL column (scheme and
+    query dropped; hex runs >= 8 -> {x}, then digit runs -> {d})."""
+    u = F.col(url) if isinstance(url, str) else url
+    hostpath = F.regexp_replace(
+        F.regexp_replace(u, r"^[a-z]+://", ""), r"[?#][\s\S]*", ""
+    )
+    t = F.regexp_replace(hostpath, URL_TEMPLATE_HEX_RE, "{x}")
+    return F.regexp_replace(t, URL_TEMPLATE_DIGIT_RE, "{d}")
+
+
+def url_templates(frontier: DataFrame) -> DataFrame:
+    """(template, n_pages, n_urls, sample_url) per structural template
+    over a (doc_id, url) frontier: page count, DISTINCT-URL count (the
+    trap signal), and the lexicographically first concrete URL as the
+    human-readable witness."""
+    return (
+        frontier.select(
+            url_template("url").alias("template"), F.col("url")
+        )
+        .groupBy("template")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.countDistinct("url").cast("bigint").alias("n_urls"),
+            F.min("url").alias("sample_url"),
+        )
+    )
+
+
+def synthetic_path_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, url): a deterministic frontier with PATH-SHAPE structure —
+    the url_dedup/frontier corpora pin canonicalization and suffix
+    matching but their paths are all one shape. Five shapes cycle by
+    doc_id: dated articles, product ids, 16-hex session ids (the trap
+    shape: one page per URL), a constant asset path, and nested user
+    profiles; hosts cycle mod 7."""
+    d = F.col("doc_id")
+    host = F.concat(
+        F.lit("http://site"), (d % 7).cast("string"), F.lit(".example.com")
+    )
+    v = F.pmod(d, F.lit(5))
+    hex16 = F.substring(F.md5(d.cast("string")), 1, 16)
+    path = (
+        F.when(v == 0, F.concat(
+            F.lit("/articles/20"), F.lpad((d % 25).cast("string"), 2, "0"),
+            F.lit("/"), F.lpad((d % 12 + 1).cast("string"), 2, "0"),
+            F.lit("/post-"), d.cast("string"),
+        ))
+        .when(v == 1, F.concat(F.lit("/product/"), d.cast("string")))
+        .when(v == 2, F.concat(F.lit("/session/"), hex16))
+        .when(v == 3, F.lit("/static/css/main.css"))
+        .otherwise(F.concat(
+            F.lit("/user/"), d.cast("string"), F.lit("/profile")
+        ))
+    )
+    return docs.select("doc_id", F.concat(host, path).alias("url"))
+
+
+def synthetic_path_corpus_sql(source: str = "documents") -> str:
+    """DuckDB twin of synthetic_path_corpus."""
+    return f"""
+SELECT doc_id,
+       concat('http://site', CAST(doc_id % 7 AS VARCHAR), '.example.com',
+         CASE doc_id % 5
+           WHEN 0 THEN concat('/articles/20',
+                              lpad(CAST(doc_id % 25 AS VARCHAR), 2, '0'),
+                              '/',
+                              lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0'),
+                              '/post-', CAST(doc_id AS VARCHAR))
+           WHEN 1 THEN concat('/product/', CAST(doc_id AS VARCHAR))
+           WHEN 2 THEN concat('/session/',
+                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+           WHEN 3 THEN '/static/css/main.css'
+           ELSE concat('/user/', CAST(doc_id AS VARCHAR), '/profile')
+         END) AS url
+FROM {source}"""
+
+
+def url_templates_oracle_sql(source: str = "documents") -> str:
+    """DuckDB twin of url_templates over synthetic_path_corpus: identical
+    regex pipeline (hex before digits, 'g' flag — DuckDB replaces only
+    the first match by default where Spark replaces all)."""
+    return f"""
+WITH frontier AS ({synthetic_path_corpus_sql(source)}), t AS (
+  SELECT regexp_replace(
+           regexp_replace(
+             regexp_replace(regexp_replace(url, '^[a-z]+://', ''),
+                            '[?#][\\s\\S]*', ''),
+             '{URL_TEMPLATE_HEX_RE}', '{{x}}', 'g'),
+           '{URL_TEMPLATE_DIGIT_RE}', '{{d}}', 'g') AS template,
+         url
+  FROM frontier
+)
+SELECT template,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+       min(url) AS sample_url
+FROM t GROUP BY template"""

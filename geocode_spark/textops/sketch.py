@@ -142,3 +142,162 @@ SELECT term, CAST(count(*) AS BIGINT) AS cnt
 FROM toks CROSS JOIN total
 GROUP BY term, n_tokens
 HAVING CAST(count(*) AS BIGINT) * {k} > n_tokens"""
+
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct counting (Flajolet et al. 2007; the "HLL" every
+# warehouse exposes as approx_count_distinct). "Distinct visitors per
+# segment" is the canonical web-log cardinality question, and at 100 TB
+# the naive answer (groupBy segment + count(DISTINCT key)) shuffles the
+# full per-segment DISTINCT key relation. The HLL route never does: each
+# register is max(rho) over a hash bucket, max is associative, so
+# registers collapse MAP-SIDE and only <= m rows per segment ever cross
+# the exchange — the same mergeable-summaries argument as Misra-Gries
+# above, for cardinality instead of frequency. Registers are also the
+# storage/merge format: unioning two crawls' registers with max() gives
+# the union cardinality without re-scanning either.
+#
+# Determinism (why an approximate sketch can carry a hash-exact oracle
+# gate): every register is a pure integer function of md5(key) — bucket
+# = first 2 hex chars (m = 256), rho = 1 + leading zero BITS of the next
+# 52 (13 hex chars), derived by string ops on the hex itself (leading-'0'
+# run length x 4 + a 4-way first-nonzero-digit CASE), no floats anywhere.
+# The estimate divides ONE pre-folded python double literal by the exact
+# integer denominator and rounds to micro-units — a single IEEE-754
+# division + round, bit-identical across Spark's JVM and DuckDB's C++
+# (both exactly specified; no ln/exp, whose libm last-ulp freedom is why
+# the small-range linear-counting branch is deliberately NOT taken: the
+# gated corpus sits in the raw-estimate regime n >= 2.5m, and the
+# zero-register count is exposed for callers who want to apply it).
+#
+# The exact_distinct column is the GATE'S ACCURACY WITNESS (pytest
+# asserts the sketch lands within the 1.04/sqrt(m) = 6.5% band's
+# 3-sigma): at sf0.01 the full-distinct agg is free, at 100 TB you run
+# with_exact=False and ship registers only.
+
+HLL_M = 256  # 2^8 buckets: RSE ~ 1.04/sqrt(256) = 6.5%
+_HLL_POW50 = 1 << 50  # rho quantum: term = 2^(50-rho), rho > 50 truncates
+# alpha_m * m^2 * 2^50 * 1e6 pre-folded to ONE literal so the estimate is
+# a single division (see determinism note above)
+_HLL_EST_NUM = 5.299916281133621e25
+
+
+def _hll_rho_sql(hexpart: str) -> str:
+    """1 + leading-zero-bit count of the 52-bit field spelled by 13 hex
+    chars — pure string/CASE arithmetic, valid in BOTH dialects (hex
+    digits compare bytewise identically: '0'<'1'<...<'9'<'a'<...<'f')."""
+    z = f"length(regexp_extract({hexpart}, '^(0*)', 1))"
+    c = f"substring({hexpart}, {z} + 1, 1)"
+    off = (
+        f"(CASE WHEN {c} >= '8' THEN 0 WHEN {c} >= '4' THEN 1 "
+        f"WHEN {c} >= '2' THEN 2 ELSE 3 END)"
+    )
+    return f"(CASE WHEN {z} = 13 THEN 53 ELSE 4 * {z} + {off} + 1 END)"
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str = "visitor",
+    group_col: str = "segment",
+    with_exact: bool = True,
+) -> DataFrame:
+    """(group, occupied, denom, est_micro[, exact_distinct]): per-group
+    HLL distinct-count of key_col. occupied = registers hit (of HLL_M),
+    denom = the exact-integer estimate denominator
+    sum_buckets 2^(50 - rho) (empty buckets contribute 2^50), est_micro
+    = the raw HLL estimate in micro-units. Registers collapse map-side;
+    only <= HLL_M rows per group cross the exchange."""
+    h = F.md5(F.col(key_col))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint")
+    hexpart = f"substring(md5(`{key_col}`), 3, 13)"
+    rho = F.expr(_hll_rho_sql(hexpart)).cast("int")
+    regs = (
+        df.select(
+            F.col(group_col).alias("segment"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("segment", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    term = F.expr(
+        "CASE WHEN rho <= 50 THEN shiftleft(CAST(1 AS BIGINT), 50 - rho) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    per_grp = regs.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("occupied"),
+        F.sum(term).cast("bigint").alias("denom_occ"),
+    )
+    denom = (
+        F.col("denom_occ")
+        + (F.lit(HLL_M) - F.col("occupied")) * F.lit(_HLL_POW50)
+    ).cast("bigint")
+    est = F.round(F.lit(_HLL_EST_NUM) / denom.cast("double"), 0).cast(
+        "bigint"
+    )
+    out = per_grp.select(
+        "segment", "occupied", denom.alias("denom"), est.alias("est_micro")
+    )
+    if not with_exact:
+        return out
+    exact = df.groupBy(F.col(group_col).alias("segment")).agg(
+        F.countDistinct(key_col).cast("bigint").alias("exact_distinct")
+    )
+    return out.join(exact, "segment")
+
+
+def synthetic_crawl_log(lineitem: DataFrame) -> DataFrame:
+    """(segment, visitor): a deterministic high-cardinality crawl-log
+    stand-in derived from lineitem — ~2k distinct repeat visitors per
+    3-way segment at sf0.01 (n >= 2.5m, the raw-estimate regime HLL_M
+    targets; the bundled documents/events tables top out at a few
+    hundred distinct keys, below any m's raw band)."""
+    return lineitem.select(
+        F.col("l_returnflag").alias("segment"),
+        F.concat(F.lit("u"), F.col("l_partkey").cast("string")).alias(
+            "visitor"
+        ),
+    )
+
+
+SYNTHETIC_CRAWL_LOG_SQL = (
+    "SELECT l_returnflag AS segment, "
+    "concat('u', CAST(l_partkey AS VARCHAR)) AS visitor FROM lineitem"
+)
+
+
+def hll_distinct_oracle_sql(
+    source: str = SYNTHETIC_CRAWL_LOG_SQL, with_exact: bool = True
+) -> str:
+    """DuckDB twin of hll_distinct: identical md5-derived registers, the
+    identical single-division estimate."""
+    rho = _hll_rho_sql("substring(md5(visitor), 3, 13)")
+    exact_cte = """
+, exact AS (
+  SELECT segment, CAST(count(DISTINCT visitor) AS BIGINT) AS exact_distinct
+  FROM src GROUP BY segment
+)"""
+    exact_sel = ", e.exact_distinct" if with_exact else ""
+    exact_join = "JOIN exact e USING (segment)" if with_exact else ""
+    return f"""
+WITH src AS ({source}), regs AS (
+  SELECT segment,
+         ('0x' || substr(md5(visitor), 1, 2))::BIGINT AS bucket,
+         CAST(max({rho}) AS INTEGER) AS rho
+  FROM src GROUP BY segment, ('0x' || substr(md5(visitor), 1, 2))::BIGINT
+), per_grp AS (
+  SELECT segment,
+         CAST(count(*) AS BIGINT) AS occupied,
+         CAST(sum(CASE WHEN rho <= 50
+                       THEN CAST(1 AS BIGINT) << (50 - rho)
+                       ELSE 0 END) AS BIGINT) AS denom_occ
+  FROM regs GROUP BY segment
+){exact_cte if with_exact else ''}
+SELECT p.segment, p.occupied,
+       CAST(p.denom_occ + ({HLL_M} - p.occupied) * {_HLL_POW50} AS BIGINT)
+         AS denom,
+       CAST(round({_HLL_EST_NUM!r} /
+                  CAST(p.denom_occ + ({HLL_M} - p.occupied) * {_HLL_POW50}
+                       AS DOUBLE), 0) AS BIGINT) AS est_micro{exact_sel}
+FROM per_grp p {exact_join}"""

@@ -164,3 +164,46 @@ def test_url_dedup_keeps_lowest_id(spark):
         "http://h.com/a": (3, 3),
         "http://other.com/b": (5, 1),
     }
+
+
+# ----------------------------------------------------------- url templates
+def test_url_template_masking_rules(spark):
+    from geocode_spark.textops.packing import url_template
+
+    cases = {
+        # hex collapses BEFORE digits (a 16-hex id must not shred)
+        "http://a.com/s/deadbeef12345678": "a.com/s/{x}",
+        # short hex-looking words stay literal
+        "http://a.com/cafe/dead": "a.com/cafe/dead",
+        # digits mask everywhere, including the host
+        "http://shard7.a.com/p/123/x9": "shard{d}.a.com/p/{d}/x{d}",
+        # query and fragment are dropped before masking
+        "http://a.com/p/5?sess=ffffffffff#frag": "a.com/p/{d}",
+        # an all-digit run of >= 8 is a valid hex run -> {x}
+        "http://a.com/id/123456789": "a.com/id/{x}",
+    }
+    df = spark.createDataFrame(
+        [(u,) for u in cases], "url string"
+    ).select("url", url_template("url").alias("t"))
+    got = {r.url: r.t for r in df.collect()}
+    assert got == cases
+
+
+def test_url_templates_trap_signals(spark):
+    from geocode_spark.textops.packing import (
+        synthetic_path_corpus,
+        url_templates,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    rows = {r.template: r for r in
+            url_templates(synthetic_path_corpus(docs)).collect()}
+    assert len(rows) == 5
+    trap = rows["site{d}.example.com/session/{x}"]
+    # session-id mill: every page is a distinct URL
+    assert trap.n_urls == trap.n_pages == 40
+    asset = rows["site{d}.example.com/static/css/main.css"]
+    # boilerplate re-fetch: 40 pages collapse to the 7 per-host URLs
+    assert asset.n_pages == 40 and asset.n_urls == 7

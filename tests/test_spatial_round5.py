@@ -304,3 +304,237 @@ def test_focal_density_bounds(spark, utah_points):
     # focal sum >= own cell count >= 1; never exceeds the whole corpus
     assert (pdf.n_focal >= 1).all()
     assert (pdf.n_focal <= 60).all()
+
+
+# ------------------------------------------------------------------ Moran's I
+def _strip_points(spark, counts):
+    """counts[i] points in cell (i, 0) — a 1-row strip of res-6 cells."""
+    from geocode_spark.operators.spatial import DEFAULT_BBOX
+
+    x0, y0 = DEFAULT_BBOX[0], DEFAULT_BBOX[1]
+    cell = (DEFAULT_BBOX[2] - DEFAULT_BBOX[0]) / 64
+    rows = []
+    for i, c in enumerate(counts):
+        for j in range(c):
+            rows.append(
+                (f"p{i}-{j}", x0 + (i + 0.5) * cell,
+                 y0 + (0.3 + 0.01 * j) * cell)
+            )
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["primary_key", "x", "y"])
+    )
+
+
+def test_morans_i_perfect_alternation(spark):
+    # strip (4,1,4): d = (3,-6,3), num = -72, W = 4, den = 54
+    # I = 3*(-72)/(4*54) = -1 exactly — the dispersed extreme
+    from geocode_spark.operators.spatial import morans_i
+
+    r = morans_i(_strip_points(spark, [4, 1, 4])).collect()[0]
+    assert (r.n_cells, r.w_pairs, r.num, r.den) == (3, 4, -72, 54)
+    assert r.i_micro == -1000000
+
+
+def test_morans_i_clustered_positive(spark):
+    # strip (5,5,1,1): d = (8,8,-8,-8), num = 128, W = 6, den = 256
+    # I = 4*128/(6*256) = 1/3
+    from geocode_spark.operators.spatial import morans_i
+
+    r = morans_i(_strip_points(spark, [5, 5, 1, 1])).collect()[0]
+    assert (r.n_cells, r.w_pairs, r.num, r.den) == (4, 6, 128, 256)
+    assert r.i_micro == 333333
+
+
+def test_morans_i_constant_field_null(spark):
+    # equal counts everywhere: every deviation is 0, den = 0 -> the
+    # statistic is undefined and must surface as NULL, not a /0
+    from geocode_spark.operators.spatial import morans_i
+
+    r = morans_i(_strip_points(spark, [2, 2, 2])).collect()[0]
+    assert r.den == 0 and r.i_micro is None
+
+
+def test_morans_i_hotspot_positive(spark):
+    # a dense 3x3 hotspot (count 9 per cell) on a sparse 7x7 background
+    # (count 1): like-next-to-like dominates -> solidly positive
+    from geocode_spark.operators.spatial import DEFAULT_BBOX, morans_i
+
+    x0, y0 = DEFAULT_BBOX[0], DEFAULT_BBOX[1]
+    cell = (DEFAULT_BBOX[2] - DEFAULT_BBOX[0]) / 64
+    rows = []
+    for i in range(7):
+        for j in range(7):
+            c = 9 if (2 <= i <= 4 and 2 <= j <= 4) else 1
+            for k in range(c):
+                rows.append(
+                    (f"p{i}-{j}-{k}", x0 + (i + 0.5) * cell,
+                     y0 + (j + 0.3 + 0.01 * k) * cell)
+                )
+    pts = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["primary_key", "x", "y"])
+    )
+    r = morans_i(pts).collect()[0]
+    assert r.n_cells == 49 and r.w_pairs == 2 * (2 * 7 * 6)
+    assert r.i_micro is not None and r.i_micro > 500000
+
+
+# -------------------------------------------------------- polygon shoelace
+def _ring_df(spark, rings):
+    """rings: list of (gid, [(x, y), ...]) in milli units."""
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (g, [int(x) for x, _ in vs], [int(y) for _, y in vs])
+                for g, vs in rings
+            ],
+            columns=["gid", "xs", "ys"],
+        )
+    )
+
+
+def test_polygon_metrics_unit_square(spark):
+    from geocode_spark.operators.spatial import polygon_metrics
+
+    # CCW 2000x1000 rectangle at (5000, 7000): area2 = 2*2000*1000,
+    # centroid at (+1000, +500) from the corner
+    sq = [(5000, 7000), (7000, 7000), (7000, 8000), (5000, 8000)]
+    r = polygon_metrics(_ring_df(spark, [("a", sq)])).collect()[0]
+    assert (r.n_vertices, r.area2) == (4, 4000000)
+    assert (r.cx_micro, r.cy_micro) == (6000000, 7500000)
+    # CW orientation flips the sign of area2, centroid unchanged
+    r2 = polygon_metrics(_ring_df(spark, [("b", sq[::-1])])).collect()[0]
+    assert r2.area2 == -4000000
+    assert (r2.cx_micro, r2.cy_micro) == (6000000, 7500000)
+
+
+def test_polygon_metrics_translation_invariance(spark):
+    # absolute UTM-scale offsets: the in-frame products must not overflow
+    # and area/centroid-offset must ride the translation exactly
+    from geocode_spark.operators.spatial import polygon_metrics
+
+    tri = [(0, 0), (3000, 0), (0, 3000)]
+    big = 440_000_000  # UTM-ish milli
+    shifted = [(x + big, y + big) for x, y in tri]
+    a = polygon_metrics(_ring_df(spark, [("t", tri)])).collect()[0]
+    b = polygon_metrics(_ring_df(spark, [("t", shifted)])).collect()[0]
+    assert a.area2 == b.area2 == 9000000
+    assert b.cx_micro - a.cx_micro == big * 1000
+    assert b.cy_micro - a.cy_micro == big * 1000
+
+
+def test_polygon_metrics_degenerate_null(spark):
+    from geocode_spark.operators.spatial import polygon_metrics
+
+    line = [(0, 0), (5000, 0), (10000, 0)]  # zero-area "ring"
+    r = polygon_metrics(_ring_df(spark, [("d", line)])).collect()[0]
+    assert r.area2 == 0 and r.cx_micro is None and r.cy_micro is None
+
+
+def test_star_corpus_rings_are_ccw_and_bounded(spark, utah_points):
+    from geocode_spark.operators.spatial import (
+        polygon_metrics,
+        synthetic_polygon_corpus,
+    )
+
+    pdf = polygon_metrics(synthetic_polygon_corpus(utah_points)).toPandas()
+    assert len(pdf) > 10
+    assert (pdf.n_vertices == 8).all()
+    # CCW by construction; radius in [500, 1999] milli bounds area2 by
+    # the r=2000 octagon (area2 = 8 * r^2 * sin(45) = 2^1.5 * 4e6 * 2)
+    assert (pdf.area2 > 0).all()
+    assert (pdf.area2 < 8 * 2000 * 2000 * 0.7072).all()
+
+
+# -------------------------------------------------------- Douglas-Peucker
+def _dp_reference(pts, eps):
+    """Independent textbook recursive DP (floats), for parity pinning."""
+    def rec(i0, i1, keep):
+        if i1 - i0 < 2:
+            return
+        x0, y0 = pts[i0]
+        x1, y1 = pts[i1]
+        dx, dy = x1 - x0, y1 - y0
+        best, bj = -1.0, None
+        for j in range(i0 + 1, i1):
+            px, py = pts[j]
+            cross = dx * (y0 - py) - dy * (x0 - px)
+            d2 = cross * cross / max(dx * dx + dy * dy, 1e-300)
+            if d2 > best:
+                best, bj = d2, j
+        if best > eps * eps and (pts[i1] != pts[i0]):
+            keep.add(bj)
+            rec(i0, bj, keep)
+            rec(bj, i1, keep)
+
+    keep = {0, len(pts) - 1}
+    rec(0, len(pts) - 1, keep)
+    return sorted(keep)
+
+
+def _tracks_df(spark, tracks):
+    rows = [
+        (tid, i, int(x), int(y))
+        for tid, pts in tracks
+        for i, (x, y) in enumerate(pts)
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["track_id", "seq", "x", "y"])
+    )
+
+
+def test_polyline_simplify_matches_textbook(spark):
+    from geocode_spark.operators.spatial import polyline_simplify
+
+    # deterministic zigzag with mixed amplitudes around a baseline
+    pts = []
+    for i in range(40):
+        amp = (i * 37) % 11  # 0..10
+        pts.append((i * 1000, amp * 300 - 1500))
+    eps = 900
+    got = sorted(
+        r.seq
+        for r in polyline_simplify(
+            _tracks_df(spark, [("t", pts)]), eps_milli=eps
+        ).collect()
+    )
+    assert got == _dp_reference(pts, float(eps))
+    assert 2 < len(got) < 40  # it actually simplified, and kept shape
+
+
+def test_polyline_simplify_collinear_collapses(spark):
+    from geocode_spark.operators.spatial import polyline_simplify
+
+    line = [(i * 500, i * 250) for i in range(20)]
+    got = polyline_simplify(
+        _tracks_df(spark, [("l", line)]), eps_milli=1
+    ).collect()
+    assert sorted(r.seq for r in got) == [0, 19]
+
+
+def test_polyline_simplify_tiny_tracks(spark):
+    from geocode_spark.operators.spatial import polyline_simplify
+
+    got = polyline_simplify(
+        _tracks_df(
+            spark, [("one", [(5, 5)]), ("two", [(0, 0), (9, 9)])]
+        ),
+        eps_milli=10,
+    ).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.track_id, []).append(r.seq)
+    assert sorted(by["one"]) == [0] and sorted(by["two"]) == [0, 1]
+
+
+def test_synthetic_tracks_chunking(spark, utah_points):
+    from geocode_spark.operators.spatial import (
+        TRACK_CHUNK,
+        synthetic_tracks,
+    )
+
+    pdf = synthetic_tracks(utah_points).toPandas()
+    assert len(pdf) == 60  # every point lands in exactly one track
+    g = pdf.groupby("track_id")["seq"]
+    assert (g.max() <= TRACK_CHUNK - 1).all()
+    # seq is a clean 0..k prefix within each track
+    assert all(sorted(s) == list(range(len(s))) for _, s in g)
