@@ -1371,3 +1371,214 @@ WITH RECURSIVE staged AS MATERIALIZED (
 )
 SELECT p.track_id, p.seq, p.x, p.y
 FROM pts p JOIN kept k ON p.track_id = k.track_id AND p.seq = k.seq"""
+
+
+# Convex hull per track (Andrew's monotone chain, 1979): the minimal
+# convex cover of each point group — footprint polygons for tile
+# bounds, coverage summaries, and the input polygon_metrics consumes.
+# Same execution shape as polyline_simplify: per-group state never
+# leaves its applyInPandas group, so cost scales with group count.
+# Kernel crosses use within-group DIFFERENCES only (absolute UTM-milli
+# products overflow int64; differences are span-bounded). Strict-turn
+# pops drop collinear boundary points — matching the twin, which keeps
+# exactly the points NOT covered by any other points' closed
+# non-degenerate triangle nor strictly inside a collinear pair's
+# segment (the independent "covered point" characterization of hull
+# VERTICES, evaluated in HUGEINT — no shared code with the chain).
+def convex_hull(tracks: DataFrame) -> DataFrame:
+    """(track_id, x, y): the convex-hull VERTEX SET of each track's
+    distinct points (collinear boundary points excluded; 1- and 2-point
+    groups pass through)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        tid = pdf["track_id"].iloc[0]
+        pts = np.unique(pdf[["x", "y"]].to_numpy(np.int64), axis=0)
+        if len(pts) > 2:
+            base = pts.min(axis=0)
+            q = pts - base  # span-bounded: crosses stay far under 2^63
+
+            def chain(seq):
+                out = []
+                for p in seq:
+                    while len(out) >= 2 and (
+                        (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                        - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+                    ) <= 0:
+                        out.pop()
+                    out.append((int(p[0]), int(p[1])))
+                return out
+
+            seq = [tuple(r) for r in q]  # np.unique already sorted (x, y)
+            lower, upper = chain(seq), chain(seq[::-1])
+            hull = np.array(lower[:-1] + upper[:-1], dtype=np.int64)
+            pts = hull + base
+        return pd.DataFrame(
+            {"track_id": tid, "x": pts[:, 0], "y": pts[:, 1]}
+        )
+
+    return (
+        tracks.select("track_id", "x", "y")
+        .groupBy("track_id")
+        .applyInPandas(kernel, "track_id string, x bigint, y bigint")
+    )
+
+
+def convex_hull_sql(source_sql: str, res: int = TRACK_RES,
+                    bbox=DEFAULT_BBOX, chunk: int = TRACK_CHUNK) -> str:
+    """DuckDB twin over synthetic_tracks(source): a distinct point is a
+    hull vertex iff it is NOT covered — covered = inside-or-on some
+    CLOSED non-degenerate triangle of three OTHER points, or strictly
+    between a collinear pair (which absorbs the all-collinear groups a
+    triangle test cannot). All orientation tests in HUGEINT."""
+    ix, iy = quantize_exprs("x", "y", res, bbox)
+
+    def cr(a, b, c):
+        return (
+            f"(({b}.x - {a}.x)::HUGEINT * ({c}.y - {a}.y)::HUGEINT"
+            f" - ({b}.y - {a}.y)::HUGEINT * ({c}.x - {a}.x)::HUGEINT)"
+        )
+
+    return f"""
+WITH staged AS MATERIALIZED (
+  SELECT ix, iy,
+         CAST(row_number() OVER (PARTITION BY ix, iy ORDER BY primary_key)
+              - 1 AS BIGINT) AS r,
+         CAST(round(x * 1000.0, 0) AS BIGINT) AS x,
+         CAST(round(y * 1000.0, 0) AS BIGINT) AS y
+  FROM (SELECT primary_key, x, y, {ix} AS ix, {iy} AS iy
+        FROM ({source_sql}))
+), pts AS MATERIALIZED (
+  SELECT DISTINCT
+         concat(CAST(ix AS VARCHAR), '_', CAST(iy AS VARCHAR), '_',
+                CAST(r // {int(chunk)} AS VARCHAR)) AS track_id,
+         x, y
+  FROM staged
+), covered AS (
+  SELECT DISTINCT p.track_id, p.x, p.y
+  FROM pts p JOIN pts q ON q.track_id = p.track_id
+       JOIN pts r ON r.track_id = p.track_id
+       JOIN pts s ON s.track_id = p.track_id
+  WHERE (q.x, q.y) < (r.x, r.y) AND (r.x, r.y) < (s.x, s.y)
+    AND (p.x, p.y) NOT IN ((q.x, q.y), (r.x, r.y), (s.x, s.y))
+    AND {cr('q', 'r', 's')} != 0
+    AND ((({cr('q', 'r', 'p')} >= 0 AND {cr('r', 's', 'p')} >= 0
+           AND {cr('s', 'q', 'p')} >= 0)
+       OR ({cr('q', 'r', 'p')} <= 0 AND {cr('r', 's', 'p')} <= 0
+           AND {cr('s', 'q', 'p')} <= 0)))
+  UNION
+  SELECT DISTINCT p.track_id, p.x, p.y
+  FROM pts p JOIN pts q ON q.track_id = p.track_id
+       JOIN pts r ON r.track_id = p.track_id
+  WHERE (q.x, q.y) < (r.x, r.y)
+    AND (p.x, p.y) NOT IN ((q.x, q.y), (r.x, r.y))
+    AND {cr('q', 'r', 'p')} = 0
+    AND p.x BETWEEN least(q.x, r.x) AND greatest(q.x, r.x)
+    AND p.y BETWEEN least(q.y, r.y) AND greatest(q.y, r.y)
+)
+SELECT p.track_id, p.x, p.y
+FROM pts p ANTI JOIN covered c
+  ON p.track_id = c.track_id AND p.x = c.x AND p.y = c.y"""
+
+
+# Grid-density clustering (grid DBSCAN; Ester et al. 1996 by way of the
+# cell index): hotspot REGIONS, not just hot cells — cells holding >=
+# min_pts points are "dense", and maximal rook-connected groups of dense
+# cells are the clusters. The 100 TB shape: the corpus crosses ONE
+# exchange (the per-cell count every cell-keyed op here shares); density
+# filtering and component resolution run on the |dense cells| relation
+# (metadata scale) through the generic connected_components operator
+# (graph.py — min-label + pointer jumping, O(log diameter) rounds).
+# Cell keys pack (ix, iy) into one int64 so the graph layer needs no
+# composite keys; adjacency is a 2-positive-offset explode + equi-join
+# (each undirected edge generated exactly once, never a theta join).
+CLUSTER_MIN_PTS = 4
+
+
+def spatial_clusters(points: DataFrame, res: int = DEFAULT_RES,
+                     bbox=DEFAULT_BBOX,
+                     min_pts: int = CLUSTER_MIN_PTS) -> DataFrame:
+    """(cluster_id, n_cells, n_points): one row per maximal rook-connected
+    group of dense cells (>= min_pts points each); cluster_id = the
+    smallest packed cell key in the group, n_points counts only dense
+    cells' points (noise cells are outside any cluster, as in DBSCAN)."""
+    from .graph import connected_components
+
+    dense = (
+        with_cell(points, "x", "y", res, bbox)
+        .groupBy("ix", "iy")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") >= int(min_pts))
+        .select(
+            "ix", "iy", "n",
+            F.expr("shiftleft(ix, 32) + iy").cast("bigint").alias("key"),
+        )
+    )
+    from ..caching import persist_tracked
+
+    dense = persist_tracked(dense)
+    # right + up offsets: each undirected adjacency appears exactly once
+    shifted = dense.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+                F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+            )
+        ).alias("o"),
+        "ix", "iy", "key",
+    ).select(
+        (F.col("ix") + F.col("o.dx")).alias("cx"),
+        (F.col("iy") + F.col("o.dy")).alias("cy"),
+        F.col("key").alias("src"),
+    )
+    edges = shifted.join(
+        dense.select(F.col("ix").alias("cx"), F.col("iy").alias("cy"),
+                     F.col("key").alias("dst")),
+        ["cx", "cy"],
+    ).select("src", "dst")
+    labels = connected_components(
+        dense.select(F.col("key").alias("doc_id")), edges
+    )
+    return (
+        dense.join(labels, dense.key == labels.doc_id)
+        .groupBy("component_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum("n").cast("bigint").alias("n_points"),
+        )
+        .select(
+            F.col("component_id").alias("cluster_id"), "n_cells", "n_points"
+        )
+    )
+
+
+def spatial_clusters_sql(source_sql: str, res: int = DEFAULT_RES,
+                         bbox=DEFAULT_BBOX,
+                         min_pts: int = CLUSTER_MIN_PTS) -> str:
+    """DuckDB twin: same dense relation; components via the independent
+    recursive min-label reachability (the chain_components twin pattern),
+    adjacency as the abs-offset formulation."""
+    ix, iy = quantize_exprs("x", "y", res, bbox)
+    return f"""
+WITH RECURSIVE dense AS MATERIALIZED (
+  SELECT ix, iy, CAST(count(*) AS BIGINT) AS n,
+         CAST((ix << 32) + iy AS BIGINT) AS key
+  FROM (SELECT {ix} AS ix, {iy} AS iy FROM ({source_sql}))
+  GROUP BY ix, iy HAVING count(*) >= {int(min_pts)}
+), sym AS MATERIALIZED (
+  SELECT a.key AS src, b.key AS dst
+  FROM dense a JOIN dense b
+    ON abs(a.ix - b.ix) + abs(a.iy - b.iy) = 1
+), reach(key, lab) AS (
+  SELECT key, key FROM dense
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.key
+), labels AS (
+  SELECT key, min(lab) AS component_id FROM reach GROUP BY key
+)
+SELECT l.component_id AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(d.n) AS BIGINT) AS n_points
+FROM dense d JOIN labels l USING (key)
+GROUP BY l.component_id"""

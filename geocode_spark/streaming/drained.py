@@ -419,3 +419,64 @@ def drained_tile_rollup(spark: SparkSession, points: DataFrame,
         )
         q.awaitTermination()
     return spark.read.parquet(f"{root}/out")
+
+
+def _crawl_split_source(spark: SparkSession, log: DataFrame,
+                        root: str) -> str:
+    """Stage a (segment, visitor) crawl log as 2 stream-source files
+    split by md5(visitor) PARITY — each visitor's rows land wholly in
+    one half, so batch 2's registers alone MISS every batch-1 visitor:
+    the drained result equals the batch sketch only if register state
+    max-merged across batches."""
+    src = f"{root}/src"
+    bucketed = log.withColumn(
+        "_b", F.expr("conv(substr(md5(visitor), 9, 8), 16, 10) % 2")
+    )
+    first = bucketed.filter(F.col("_b") == 0).drop("_b")
+    second = bucketed.filter(F.col("_b") == 1).drop("_b")
+    if first.limit(1).count() == 0 or second.limit(1).count() == 0:
+        raise ValueError("md5 parity split left an empty micro-batch")
+    first.coalesce(1).write.mode("append").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def drained_hll(spark: SparkSession, sf_dir: str,
+                root: str | None = None) -> DataFrame:
+    """Streaming HLL distinct counting — the sketch member of the
+    drained family (the live "distinct visitors per segment" counter):
+    register maintenance (groupBy(segment, bucket) max(rho)) runs as a
+    COMPLETE-mode streaming aggregation over 2 visitor-disjoint
+    micro-batches; the estimate is finished by the read-side projection
+    over the surviving register table (registers, not estimates, are
+    what streams maintain and merge). Gated against the batch
+    hll_distinct oracle (with_exact=False)."""
+    from ..textops.sketch import (
+        hll_finish,
+        hll_registers,
+        synthetic_crawl_log,
+    )
+
+    root = root or tempfile.mkdtemp(prefix="gs_drain_hll_")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src = _crawl_split_source(spark, synthetic_crawl_log(li), root)
+    stream = (
+        spark.readStream.schema("segment string, visitor string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    regs = hll_registers(stream)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{root}/out")
+
+    with _drain_partitions(spark):
+        q = (
+            regs.writeStream.outputMode("complete")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return hll_finish(spark.read.parquet(f"{root}/out"))

@@ -196,23 +196,18 @@ def _hll_rho_sql(hexpart: str) -> str:
     return f"(CASE WHEN {z} = 13 THEN 53 ELSE 4 * {z} + {off} + 1 END)"
 
 
-def hll_distinct(
-    df: DataFrame,
-    key_col: str = "visitor",
-    group_col: str = "segment",
-    with_exact: bool = True,
+def hll_registers(
+    df: DataFrame, key_col: str = "visitor", group_col: str = "segment"
 ) -> DataFrame:
-    """(group, occupied, denom, est_micro[, exact_distinct]): per-group
-    HLL distinct-count of key_col. occupied = registers hit (of HLL_M),
-    denom = the exact-integer estimate denominator
-    sum_buckets 2^(50 - rho) (empty buckets contribute 2^50), est_micro
-    = the raw HLL estimate in micro-units. Registers collapse map-side;
-    only <= HLL_M rows per group cross the exchange."""
+    """(segment, bucket, rho): the HLL register relation — max(rho) per
+    md5 bucket per group. Max is associative/idempotent, so this is also
+    the streaming/merge format (complete-mode groupBy or register-union
+    + max both yield the same relation as one batch pass)."""
     h = F.md5(F.col(key_col))
     bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint")
     hexpart = f"substring(md5(`{key_col}`), 3, 13)"
     rho = F.expr(_hll_rho_sql(hexpart)).cast("int")
-    regs = (
+    return (
         df.select(
             F.col(group_col).alias("segment"),
             bucket.alias("bucket"),
@@ -221,6 +216,12 @@ def hll_distinct(
         .groupBy("segment", "bucket")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def hll_finish(regs: DataFrame) -> DataFrame:
+    """(segment, occupied, denom, est_micro) from a register relation —
+    the read-side projection (dashboards finish registers at query time;
+    registers, not estimates, are what merges)."""
     term = F.expr(
         "CASE WHEN rho <= 50 THEN shiftleft(CAST(1 AS BIGINT), 50 - rho) "
         "ELSE CAST(0 AS BIGINT) END"
@@ -236,9 +237,24 @@ def hll_distinct(
     est = F.round(F.lit(_HLL_EST_NUM) / denom.cast("double"), 0).cast(
         "bigint"
     )
-    out = per_grp.select(
+    return per_grp.select(
         "segment", "occupied", denom.alias("denom"), est.alias("est_micro")
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str = "visitor",
+    group_col: str = "segment",
+    with_exact: bool = True,
+) -> DataFrame:
+    """(group, occupied, denom, est_micro[, exact_distinct]): per-group
+    HLL distinct-count of key_col. occupied = registers hit (of HLL_M),
+    denom = the exact-integer estimate denominator
+    sum_buckets 2^(50 - rho) (empty buckets contribute 2^50), est_micro
+    = the raw HLL estimate in micro-units. Registers collapse map-side;
+    only <= HLL_M rows per group cross the exchange."""
+    out = hll_finish(hll_registers(df, key_col, group_col))
     if not with_exact:
         return out
     exact = df.groupBy(F.col(group_col).alias("segment")).agg(

@@ -538,3 +538,127 @@ def test_synthetic_tracks_chunking(spark, utah_points):
     assert (g.max() <= TRACK_CHUNK - 1).all()
     # seq is a clean 0..k prefix within each track
     assert all(sorted(s) == list(range(len(s))) for _, s in g)
+
+
+# ------------------------------------------------------------- convex hull
+def _hull_reference(pts):
+    """Independent brute-force hull-vertex check: p is a vertex iff not
+    inside/on a closed non-degenerate triangle of others, nor strictly
+    between a collinear pair (exact int arithmetic)."""
+    from itertools import combinations
+
+    def cr(a, b, c):
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    pts = sorted(set(pts))
+    out = []
+    for p in pts:
+        others = [q for q in pts if q != p]
+        covered = False
+        for q, r, s in combinations(others, 3):
+            if cr(q, r, s) == 0:
+                continue
+            a, b, c = cr(q, r, p), cr(r, s, p), cr(s, q, p)
+            if (a >= 0 and b >= 0 and c >= 0) or (
+                a <= 0 and b <= 0 and c <= 0
+            ):
+                covered = True
+                break
+        if not covered:
+            for q, r in combinations(others, 2):
+                if (
+                    cr(q, r, p) == 0
+                    and min(q[0], r[0]) <= p[0] <= max(q[0], r[0])
+                    and min(q[1], r[1]) <= p[1] <= max(q[1], r[1])
+                ):
+                    covered = True
+                    break
+        if not covered:
+            out.append(p)
+    return sorted(out)
+
+
+def _hull_df(spark, tracks):
+    rows = [(t, int(x), int(y)) for t, pts in tracks for x, y in pts]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["track_id", "x", "y"])
+    )
+
+
+def test_convex_hull_hand_cases(spark):
+    from geocode_spark.operators.spatial import convex_hull
+
+    square = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    tracks = [
+        ("sq", square + [(5, 5), (5, 0), (10, 5)]),  # interior + edge mids
+        ("line", [(0, 0), (3, 3), (7, 7), (9, 9)]),
+        ("pt", [(4, 4)]),
+        ("dup", [(1, 2), (1, 2), (8, 1)]),
+    ]
+    got = {}
+    for r in convex_hull(_hull_df(spark, tracks)).collect():
+        got.setdefault(r.track_id, []).append((r.x, r.y))
+    assert sorted(got["sq"]) == sorted(square)
+    assert sorted(got["line"]) == [(0, 0), (9, 9)]
+    assert got["pt"] == [(4, 4)]
+    assert sorted(got["dup"]) == [(1, 2), (8, 1)]
+
+
+def test_convex_hull_matches_bruteforce(spark):
+    from geocode_spark.operators.spatial import convex_hull
+
+    # deterministic pseudo-random cloud (md5-free: quadratic residues)
+    pts = [((i * i * 7) % 101, (i * i * i * 5) % 97) for i in range(60)]
+    got = sorted(
+        (r.x, r.y)
+        for r in convex_hull(_hull_df(spark, [("c", pts)])).collect()
+    )
+    assert got == _hull_reference(pts)
+    assert 3 <= len(got) < len(set(pts))  # real reduction
+
+
+# -------------------------------------------------------- spatial clusters
+def _cluster_points(spark, cells):
+    """cells: {(ix, iy): n_points} — synthesize n points inside each."""
+    from geocode_spark.operators.spatial import DEFAULT_BBOX
+
+    x0, y0 = DEFAULT_BBOX[0], DEFAULT_BBOX[1]
+    cw = (DEFAULT_BBOX[2] - DEFAULT_BBOX[0]) / 64
+    rows = []
+    for (i, j), n in cells.items():
+        for k in range(n):
+            rows.append(
+                (f"p{i}-{j}-{k}", x0 + (i + 0.4) * cw,
+                 y0 + (j + 0.3 + 0.01 * k) * cw)
+            )
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["primary_key", "x", "y"])
+    )
+
+
+def test_spatial_clusters_two_blobs_and_noise(spark):
+    from geocode_spark.operators.spatial import spatial_clusters
+
+    cells = {
+        # blob A: L-shaped, rook-connected
+        (2, 2): 5, (3, 2): 6, (3, 3): 4,
+        # blob B: far away
+        (9, 9): 7, (9, 10): 4,
+        # noise: dense but DIAGONAL to blob A (rook must not connect)
+        (4, 4): 5,
+        # noise: adjacent to blob A but below min_pts
+        (1, 2): 3,
+    }
+    got = sorted(
+        (r.n_cells, r.n_points)
+        for r in spatial_clusters(_cluster_points(spark, cells)).collect()
+    )
+    assert got == [(1, 5), (2, 11), (3, 15)]
+
+
+def test_spatial_clusters_min_pts_boundary(spark):
+    from geocode_spark.operators.spatial import spatial_clusters
+
+    cells = {(5, 5): 4, (5, 6): 3}  # exactly at / just below min_pts=4
+    rows = spatial_clusters(_cluster_points(spark, cells)).collect()
+    assert [(r.n_cells, r.n_points) for r in rows] == [(1, 4)]

@@ -361,3 +361,58 @@ def test_drained_tile_rollup_cross_batch_state(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got[want.columns], want, check_dtype=False
     )
+
+
+def test_drained_hll_cross_batch_registers(spark, tmp_path, monkeypatch):
+    """The sketch drained gate: complete-mode register maintenance over 2
+    VISITOR-DISJOINT micro-batches must (a) commit >= 2 offsets, (b) split
+    every visitor wholly into one half (so the second batch alone cannot
+    reproduce the registers), and (c) finish to exactly the batch
+    hll_distinct(with_exact=False) relation."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from geocode_spark.streaming import drained as dr
+    from geocode_spark.textops.sketch import hll_distinct
+
+    # a small crawl log staged where drained_hll expects lineitem
+    n, card = 4000, 900
+    log = spark.range(0, n).selectExpr(
+        "CASE WHEN (id DIV 900) % 2 = 0 THEN 'a' ELSE 'b' END AS segment",
+        "concat('v', CAST(id % 900 AS STRING)) AS visitor",
+    )
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    # drained_hll derives the log from lineitem via synthetic_crawl_log;
+    # monkeypatch the derivation to use this test's log directly
+    monkeypatch.setattr(
+        "geocode_spark.textops.sketch.synthetic_crawl_log", lambda df: log
+    )
+    spark.range(0, 1).write.parquet(f"{sf_dir}/lineitem.parquet")
+
+    root = str(tmp_path / "drain")
+    got = (
+        dr.drained_hll(spark, sf_dir, root=root)
+        .toPandas().sort_values("segment").reset_index(drop=True)
+    )
+
+    committed = [
+        f for f in os.listdir(f"{root}/ckpt/offsets") if not f.startswith(".")
+    ]
+    assert len(committed) >= 2, f"only micro-batches {committed} committed"
+
+    halves = sorted(glob.glob(f"{root}/src/part-*.parquet"))
+    assert len(halves) == 2
+    v0, v1 = [set(pd.read_parquet(h).visitor) for h in halves]
+    assert v0 and v1 and not (v0 & v1), (
+        "visitors must split wholly: batch 2 alone must miss batch 1's "
+        "registers"
+    )
+
+    want = (
+        hll_distinct(log, with_exact=False)
+        .toPandas().sort_values("segment").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
