@@ -88,6 +88,12 @@ HEAVY = [
     "lexical_diversity",
     "anchor_terms_topk",
     "co_citation_pairs",
+    # round-5 fifth wave: the HLL register pass streams every token-row of
+    # the crawl log, DP and hull are per-track Arrow kernels whose input
+    # (the geocoded point relation) scales with the page corpus
+    "hll_distinct",
+    "polyline_simplify",
+    "convex_hull",
 ]
 
 
