@@ -1582,3 +1582,190 @@ SELECT l.component_id AS cluster_id,
        CAST(sum(d.n) AS BIGINT) AS n_points
 FROM dense d JOIN labels l USING (key)
 GROUP BY l.component_id"""
+
+
+# ------------------------------------------------------- radius self-join
+# Fixed-radius pair search ("all points within R meters of each other") —
+# the distance-band neighbor primitive under density maps, duplicate-site
+# detection, and DBSCAN-style epsilon queries. Scale shape: grid the plane
+# into R-sized cells, explode ONE side into its 3x3 cell neighborhood
+# (bounded x9 blowup), equi-join on the cell key, verify the exact distance
+# — the canonical candidates-then-verify spatial join, never a cartesian
+# product. Each qualifying pair (a < b) is produced exactly once: a's probe
+# set covers b's unique home cell iff the pair is within one cell offset,
+# which an R-sized grid guarantees for any pair within R. The join key's
+# skew is bounded by the densest R-cell; at 100 TB a hot cell would be
+# salted exactly like tile_rollup_salted. All arithmetic is integer
+# millimeters (coordinates are positive UTM meters, so truncating `div`
+# equals DuckDB's floor `//`), so the oracle hash-compares bitwise.
+RADIUS_M = 500.0
+
+
+def radius_join(points: DataFrame, radius_m: float = RADIUS_M) -> DataFrame:
+    """(pk_a, pk_b, dist_sq_mm2): unordered point pairs (pk_a < pk_b)
+    within radius_m meters, squared distance in exact integer mm^2."""
+    r_mm = int(round(radius_m * 1000))
+    p = points.select(
+        F.col("primary_key").alias("pk"),
+        F.round(F.col("x") * 1000.0, 0).cast("bigint").alias("xi"),
+        F.round(F.col("y") * 1000.0, 0).cast("bigint").alias("yi"),
+    ).select(
+        "pk", "xi", "yi",
+        F.expr(f"xi div {r_mm}").alias("cx"),
+        F.expr(f"yi div {r_mm}").alias("cy"),
+    )
+    probes = p.select(
+        "pk", "xi", "yi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("cx"),
+                        (F.col("cy") + dy).alias("cy"),
+                    )
+                    for dx, dy in _NEIGHBOR_OFFSETS
+                ]
+            )
+        ).alias("o"),
+    ).select("pk", "xi", "yi", F.col("o.cx").alias("cx"),
+             F.col("o.cy").alias("cy"))
+    home = p.select(
+        F.col("pk").alias("pk_b"), F.col("xi").alias("xb"),
+        F.col("yi").alias("yb"), "cx", "cy",
+    )
+    d2 = (
+        (F.col("xi") - F.col("xb")) * (F.col("xi") - F.col("xb"))
+        + (F.col("yi") - F.col("yb")) * (F.col("yi") - F.col("yb"))
+    )
+    return (
+        probes.join(home, ["cx", "cy"])
+        .filter(F.col("pk") < F.col("pk_b"))
+        .filter(d2 <= F.lit(r_mm * r_mm).cast("bigint"))
+        .select(
+            F.col("pk").alias("pk_a"), "pk_b",
+            d2.cast("bigint").alias("dist_sq_mm2"),
+        )
+    )
+
+
+def radius_join_sql(source_sql: str, radius_m: float = RADIUS_M) -> str:
+    """DuckDB twin: brute-force exact pair filter — O(n^2) but exact, the
+    point of an oracle; the engine side must match it through the grid."""
+    r_mm = int(round(radius_m * 1000))
+    return f"""
+WITH p AS (
+  SELECT primary_key AS pk,
+         CAST(round(x * 1000, 0) AS BIGINT) AS xi,
+         CAST(round(y * 1000, 0) AS BIGINT) AS yi
+  FROM ({source_sql})
+)
+SELECT a.pk AS pk_a, b.pk AS pk_b,
+       (a.xi - b.xi) * (a.xi - b.xi)
+       + (a.yi - b.yi) * (a.yi - b.yi) AS dist_sq_mm2
+FROM p a JOIN p b ON a.pk < b.pk
+WHERE (a.xi - b.xi) * (a.xi - b.xi)
+      + (a.yi - b.yi) * (a.yi - b.yi)
+      <= CAST({r_mm} AS BIGINT) * {r_mm}"""
+
+
+# ------------------------------------------------------ trip segmentation
+# GPS-track preprocessing: split each recorded track into trips wherever
+# the step to the previous fix exceeds a jump threshold (signal loss,
+# teleport, new trip), then roll up per-segment point counts and path
+# length. One window exchange keyed by track_id (bounded tracks, skew-free
+# by construction) + one groupBy on (track_id, seg_idx) — the same keying,
+# so AQE coalesces them. Step lengths are floor(sqrt(int mm^2)): the
+# squared step of a <=2 km hop is < 2^53, so the BIGINT->DOUBLE transit is
+# exact and IEEE sqrt + floor are bit-identical in both engines.
+SEG_GAP_MM = 600_000  # split when a step exceeds 600 m
+
+
+def track_segments(tracks: DataFrame,
+                   gap_mm: int = SEG_GAP_MM) -> DataFrame:
+    """(track_id, seg_idx, n_points, len_mm): gap-split trip segments per
+    track; len_mm sums intra-segment step lengths (integer mm)."""
+    w = Window.partitionBy("track_id").orderBy("seq")
+    stepped = tracks.select(
+        "track_id", "seq", "x", "y",
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+    ).withColumn(
+        "d2",
+        (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+        + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py")),
+    ).withColumn(
+        "new_seg",
+        F.when(
+            F.col("px").isNull()
+            | (F.col("d2") > F.lit(int(gap_mm) * int(gap_mm)).cast("bigint")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    seg = stepped.withColumn(
+        "seg_idx",
+        F.sum("new_seg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint"),
+    ).withColumn(
+        "step_mm",
+        F.when(F.col("new_seg") == 1, F.lit(0).cast("bigint")).otherwise(
+            F.floor(F.sqrt(F.col("d2").cast("double"))).cast("bigint")
+        ),
+    )
+    return seg.groupBy("track_id", "seg_idx").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum("step_mm").cast("bigint").alias("len_mm"),
+    )
+
+
+def track_segments_sql(source_sql: str, gap_mm: int = SEG_GAP_MM) -> str:
+    """DuckDB twin of track_segments over the same (track_id, seq, x, y)
+    relation — identical window + integer arithmetic."""
+    return f"""
+WITH stepped AS (
+  SELECT track_id, seq, x, y,
+         lag(x) OVER w AS px, lag(y) OVER w AS py,
+         (x - lag(x) OVER w) * (x - lag(x) OVER w)
+         + (y - lag(y) OVER w) * (y - lag(y) OVER w) AS d2
+  FROM ({source_sql})
+  WINDOW w AS (PARTITION BY track_id ORDER BY seq)
+), flagged AS (
+  SELECT track_id, seq, d2,
+         CASE WHEN px IS NULL
+                   OR d2 > CAST({int(gap_mm)} AS BIGINT) * {int(gap_mm)}
+              THEN 1 ELSE 0 END AS new_seg
+  FROM stepped
+), seg AS (
+  SELECT track_id, d2, new_seg,
+         CAST(sum(new_seg) OVER (PARTITION BY track_id ORDER BY seq
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_idx
+  FROM flagged
+)
+SELECT track_id, seg_idx,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CASE WHEN new_seg = 1 THEN 0
+                     ELSE CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT)
+                END) AS BIGINT) AS len_mm
+FROM seg GROUP BY track_id, seg_idx"""
+
+
+def synthetic_tracks_sql(source_sql: str, res: int = TRACK_RES,
+                         bbox=DEFAULT_BBOX,
+                         chunk: int = TRACK_CHUNK) -> str:
+    """Parenthesized DuckDB subquery mirroring synthetic_tracks():
+    (track_id, seq, x, y) with exact-milli integer coordinates."""
+    ix, iy = quantize_exprs("x", "y", res, bbox)
+    return f"""(
+WITH staged AS (
+  SELECT ix, iy,
+         CAST(row_number() OVER (PARTITION BY ix, iy ORDER BY primary_key)
+              - 1 AS BIGINT) AS r,
+         CAST(round(x * 1000.0, 0) AS BIGINT) AS x,
+         CAST(round(y * 1000.0, 0) AS BIGINT) AS y
+  FROM (SELECT primary_key, x, y, {ix} AS ix, {iy} AS iy
+        FROM ({source_sql}))
+)
+SELECT concat(CAST(ix AS VARCHAR), '_', CAST(iy AS VARCHAR), '_',
+              CAST(r // {int(chunk)} AS VARCHAR)) AS track_id,
+       CAST(r % {int(chunk)} AS BIGINT) AS seq, x, y
+FROM staged)"""

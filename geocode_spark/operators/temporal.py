@@ -716,3 +716,69 @@ SELECT user_id, value_cents,
        CAST(CASE WHEN lead(ts_us) OVER w IS NULL THEN 1 ELSE 0 END
             AS BIGINT) AS is_current
 FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"""
+
+
+# -------------------------------------------------------- cohort retention
+# The classic product-analytics retention triangle: bucket users into
+# weekly cohorts by their FIRST event, then count how many of each cohort
+# are active k weeks later. Scale shape: one user-keyed min-aggregation
+# (the cohort map), one user-keyed distinct over (user, week) — both
+# partial-aggregated map-side — then a user-keyed join (the two sides share
+# the partitioning, so AQE plans it exchange-free after the aggs) and a
+# final metadata-sized rollup on (cohort, offset). Weeks are integer
+# epoch-microsecond floors (ts_us div WEEK_US), so both engines do exact
+# int64 arithmetic end to end.
+WEEK_US = 7 * 86400 * 1_000_000
+# The fixture's event stream is dense from t0, so every user's first event
+# lands in week 0 — a one-cohort degenerate gate. stagger_mod shifts each
+# user's clock by (user_id % mod) weeks (deterministic, mirrored in the
+# oracle), which fans the fixture into `mod` distinct cohorts so the gate
+# actually exercises the cohort join. Real event streams pass stagger_mod=0.
+COHORT_STAGGER_MOD = 8
+
+
+def cohort_retention(events: DataFrame,
+                     stagger_mod: int = COHORT_STAGGER_MOD) -> DataFrame:
+    """(cohort_week, week_offset, n_users): users of each first-event weekly
+    cohort still active `week_offset` weeks after their cohort week."""
+    mod = int(stagger_mod)
+    shifted = (
+        f"ts_us + (user_id % {mod}) * {WEEK_US}" if mod else "ts_us"
+    )
+    e = _with_ts_us(events).select(
+        "user_id", F.expr(f"({shifted}) div {WEEK_US}").alias("wk")
+    )
+    cohorts = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = e.distinct()
+    # (user, wk) is distinct and each user has ONE cohort week, so a plain
+    # count(*) equals count(DISTINCT user) — no Expand pass needed.
+    return (
+        active.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+def cohort_retention_oracle_sql(source: str = "events",
+                                stagger_mod: int = COHORT_STAGGER_MOD) -> str:
+    mod = int(stagger_mod)
+    shifted = (
+        f"ts_us + (user_id % {mod}) * {WEEK_US}" if mod else "ts_us"
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, ({shifted}) // {WEEK_US} AS wk
+  FROM {_events_src(source)}
+),
+cohorts AS (
+  SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, wk FROM e)
+SELECT c.cohort_week,
+       a.wk - c.cohort_week AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active a JOIN cohorts c USING (user_id)
+GROUP BY 1, 2"""
