@@ -1769,3 +1769,451 @@ SELECT concat(CAST(ix AS VARCHAR), '_', CAST(iy AS VARCHAR), '_',
               CAST(r // {int(chunk)} AS VARCHAR)) AS track_id,
        CAST(r % {int(chunk)} AS BIGINT) AS seq, x, y
 FROM staged)"""
+
+
+# --------------------------------------------------------- map-match snap
+# GPS-point -> road-segment snapping (the first stage of every
+# map-matching pipeline): for each point, the nearest centerline segment
+# within SNAP_RADIUS_M, by exact point-to-segment distance. Scale shape:
+# segments index into R-sized grid cells covering their bounding box
+# dilated by one cell (bounded explode: (len/R + 3)^2 cells per segment);
+# points join on their SINGLE home cell — the small side is exploded, the
+# big side is not. Correctness of the pruning: a segment within R of p has
+# its closest point q on the segment with |p-q| <= R, so q's cell is in
+# the segment's bbox cover and within one cell of p's home cell; the +1
+# dilation therefore guarantees the candidate pair survives. Distance is
+# the piecewise projection formula evaluated on exact integer-mm inputs,
+# with ONE shared SQL string rendered into both engines, so the
+# double-precision ops are bit-identical. Top-1 per point is a window over
+# the unique point key (skew-free).
+SNAP_RADIUS_M = 1000.0
+
+
+def _mm(expr: str) -> str:
+    return f"CAST(round(({expr}) * 1000, 0) AS BIGINT)"
+
+
+def seg_dist2_sql(px: str, py: str, ax: str, ay: str,
+                  bx: str, by: str) -> str:
+    """Squared point-to-segment distance (DOUBLE mm^2) over integer-mm
+    operands — dialect-neutral SQL (CASE/CAST only), rendered identically
+    into Spark and DuckDB so IEEE results hash-compare bitwise."""
+    dx, dy = f"({bx} - {ax})", f"({by} - {ay})"
+    pax, pay = f"({px} - {ax})", f"({py} - {ay})"
+    pbx, pby = f"({px} - {bx})", f"({py} - {by})"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    dot = f"({pax} * {dx} + {pay} * {dy})"
+    pa2 = f"({pax} * {pax} + {pay} * {pay})"
+    pb2 = f"({pbx} * {pbx} + {pby} * {pby})"
+    return (
+        f"(CASE WHEN {len2} = 0 THEN CAST({pa2} AS DOUBLE)"
+        f" WHEN {dot} <= 0 THEN CAST({pa2} AS DOUBLE)"
+        f" WHEN {dot} >= {len2} THEN CAST({pb2} AS DOUBLE)"
+        f" ELSE CAST({pa2} AS DOUBLE)"
+        f" - CAST({dot} AS DOUBLE) * CAST({dot} AS DOUBLE)"
+        f" / CAST({len2} AS DOUBLE) END)"
+    )
+
+
+def map_match(points: DataFrame, segments: DataFrame,
+              radius_m: float = SNAP_RADIUS_M) -> DataFrame:
+    """(primary_key, cand_id, dist_mm): nearest centerline segment within
+    radius_m of each point (ties broken by cand_id); unmatched points are
+    omitted. segments needs (cand_id, x0, y0, x1, y1) in meters."""
+    r_mm = int(round(radius_m * 1000))
+    segs = segments.select(
+        "cand_id",
+        F.expr(_mm("x0")).alias("ax"), F.expr(_mm("y0")).alias("ay"),
+        F.expr(_mm("x1")).alias("bx"), F.expr(_mm("y1")).alias("by"),
+    ).select(
+        "cand_id", "ax", "ay", "bx", "by",
+        F.explode(
+            F.expr(
+                f"sequence(least(ax, bx) div {r_mm} - 1,"
+                f" greatest(ax, bx) div {r_mm} + 1)"
+            )
+        ).alias("cx"),
+    ).select(
+        "cand_id", "ax", "ay", "bx", "by", "cx",
+        F.explode(
+            F.expr(
+                f"sequence(least(ay, by) div {r_mm} - 1,"
+                f" greatest(ay, by) div {r_mm} + 1)"
+            )
+        ).alias("cy"),
+    )
+    pts = points.select(
+        "primary_key",
+        F.expr(_mm("x")).alias("px"), F.expr(_mm("y")).alias("py"),
+    ).select(
+        "primary_key", "px", "py",
+        F.expr(f"px div {r_mm}").alias("cx"),
+        F.expr(f"py div {r_mm}").alias("cy"),
+    )
+    d2 = F.expr(seg_dist2_sql("px", "py", "ax", "ay", "bx", "by"))
+    cand = (
+        pts.join(segs, ["cx", "cy"])
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= F.lit(float(r_mm) * float(r_mm)))
+    )
+    w = Window.partitionBy("primary_key").orderBy(
+        F.col("d2").asc(), F.col("cand_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "primary_key", "cand_id",
+            F.floor(F.sqrt(F.col("d2"))).cast("bigint").alias("dist_mm"),
+        )
+    )
+
+
+def map_match_sql(fix_dir: str, source_sql: str,
+                  radius_m: float = SNAP_RADIUS_M) -> str:
+    """DuckDB twin: brute-force min over ALL segments (no grid pruning) —
+    the engine's pruned search must agree exactly."""
+    r_mm = int(round(radius_m * 1000))
+    d2 = seg_dist2_sql("p.px", "p.py", "s.ax", "s.ay", "s.bx", "s.by")
+    return f"""
+WITH p AS (
+  SELECT primary_key, {_mm('x')} AS px, {_mm('y')} AS py
+  FROM ({source_sql})
+), s AS (
+  SELECT cand_id, {_mm('x0')} AS ax, {_mm('y0')} AS ay,
+         {_mm('x1')} AS bx, {_mm('y1')} AS by
+  FROM read_parquet('{fix_dir}/road_centerlines.parquet')
+), cand AS (
+  SELECT p.primary_key, s.cand_id, {d2} AS d2
+  FROM p CROSS JOIN s
+), ranked AS (
+  SELECT primary_key, cand_id, d2,
+         row_number() OVER (PARTITION BY primary_key
+                            ORDER BY d2, cand_id) AS rn
+  FROM cand WHERE d2 <= {float(r_mm) * float(r_mm)!r}
+)
+SELECT primary_key, cand_id,
+       CAST(floor(sqrt(d2)) AS BIGINT) AS dist_mm
+FROM ranked WHERE rn = 1"""
+
+
+# -------------------------------------------------- origin-destination
+# Trip OD matrix: for every gap-split trip segment (track_segments), the
+# 1 km grid cell of its first fix -> cell of its last fix, counted. The
+# mobility-analytics staple (flow maps, demand matrices). Scale shape:
+# the segmentation window (keyed by bounded track_id) + min_by/max_by in
+# ONE groupBy pass per (track, segment), then a metadata-sized rollup on
+# the cell pair. Pure integer arithmetic end to end.
+OD_CELL_MM = 1_000_000  # 1 km cells
+
+
+def od_matrix(tracks: DataFrame, gap_mm: int = SEG_GAP_MM,
+              cell_mm: int = OD_CELL_MM) -> DataFrame:
+    """(o_cx, o_cy, d_cx, d_cy, n_trips): per-trip origin/destination 1 km
+    cells over gap-split segments of (track_id, seq, x, y) tracks."""
+    w = Window.partitionBy("track_id").orderBy("seq")
+    stepped = tracks.select(
+        "track_id", "seq", "x", "y",
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+    ).withColumn(
+        "new_seg",
+        F.when(
+            F.col("px").isNull()
+            | (
+                (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+                + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py"))
+                > F.lit(int(gap_mm) * int(gap_mm)).cast("bigint")
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "seg_idx",
+        F.sum("new_seg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint"),
+    )
+    trips = stepped.groupBy("track_id", "seg_idx").agg(
+        F.min_by("x", "seq").alias("ox"), F.min_by("y", "seq").alias("oy"),
+        F.max_by("x", "seq").alias("dx"), F.max_by("y", "seq").alias("dy"),
+    )
+    c = int(cell_mm)
+    return trips.groupBy(
+        F.expr(f"ox div {c}").alias("o_cx"),
+        F.expr(f"oy div {c}").alias("o_cy"),
+        F.expr(f"dx div {c}").alias("d_cx"),
+        F.expr(f"dy div {c}").alias("d_cy"),
+    ).agg(F.count("*").cast("bigint").alias("n_trips"))
+
+
+def od_matrix_sql(source_sql: str, gap_mm: int = SEG_GAP_MM,
+                  cell_mm: int = OD_CELL_MM) -> str:
+    """DuckDB twin of od_matrix over the same (track_id, seq, x, y)
+    relation (arg_min/arg_max mirror min_by/max_by; seq is unique per
+    track, so both are deterministic)."""
+    c = int(cell_mm)
+    return f"""
+WITH stepped AS (
+  SELECT track_id, seq, x, y,
+         CASE WHEN lag(x) OVER w IS NULL
+                   OR (x - lag(x) OVER w) * (x - lag(x) OVER w)
+                      + (y - lag(y) OVER w) * (y - lag(y) OVER w)
+                      > CAST({int(gap_mm)} AS BIGINT) * {int(gap_mm)}
+              THEN 1 ELSE 0 END AS new_seg
+  FROM ({source_sql})
+  WINDOW w AS (PARTITION BY track_id ORDER BY seq)
+), seg AS (
+  SELECT track_id, x, y, seq,
+         sum(new_seg) OVER (PARTITION BY track_id ORDER BY seq
+                            ROWS UNBOUNDED PRECEDING) AS seg_idx
+  FROM stepped
+), trips AS (
+  SELECT track_id, seg_idx,
+         arg_min(x, seq) AS ox, arg_min(y, seq) AS oy,
+         arg_max(x, seq) AS dx, arg_max(y, seq) AS dy
+  FROM seg GROUP BY track_id, seg_idx
+)
+SELECT ox // {c} AS o_cx, oy // {c} AS o_cy,
+       dx // {c} AS d_cx, dy // {c} AS d_cy,
+       CAST(count(*) AS BIGINT) AS n_trips
+FROM trips GROUP BY 1, 2, 3, 4"""
+
+
+# ------------------------------------------------------------ dwell runs
+# Stay-point detection, step-gated form: a dwell is a maximal run of
+# consecutive fixes whose every step is under DWELL_STEP_MM, kept when it
+# holds >= DWELL_MIN_PTS points — the trajectory-mining primitive behind
+# visit extraction and stop/move segmentation. Scale shape: one window
+# pass keyed by (bounded) track_id, a gaps-and-islands grouping, one
+# rollup; all integer arithmetic.
+DWELL_STEP_MM = 150_000   # "staying" = consecutive steps under 150 m
+DWELL_MIN_PTS = 3
+
+
+def dwell_runs(tracks: DataFrame, step_mm: int = DWELL_STEP_MM,
+               min_pts: int = DWELL_MIN_PTS) -> DataFrame:
+    """(track_id, dwell_idx, n_points, span_mm): maximal small-step runs
+    of >= min_pts fixes per track; dwell_idx is 1-based in seq order;
+    span_mm sums the run's step lengths (floor(sqrt) exact, as in
+    track_segments)."""
+    w = Window.partitionBy("track_id").orderBy("seq")
+    s2 = int(step_mm) * int(step_mm)
+    stepped = tracks.select(
+        "track_id", "seq", "x", "y",
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+    ).withColumn(
+        "d2",
+        (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+        + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py")),
+    ).withColumn(
+        "small",
+        F.when(
+            F.col("px").isNotNull() & (F.col("d2") <= F.lit(s2)), 1
+        ).otherwise(0),
+    )
+    # a small-step row joins its predecessor's run; islands over the
+    # small rows only (seq - row_number over smalls is run-constant)
+    smalls = stepped.filter(F.col("small") == 1).withColumn(
+        "grp", F.col("seq") - F.row_number().over(w)
+    )
+    runs = smalls.groupBy("track_id", "grp").agg(
+        (F.count("*") + 1).cast("bigint").alias("n_points"),
+        F.sum(
+            F.floor(F.sqrt(F.col("d2").cast("double"))).cast("bigint")
+        ).cast("bigint").alias("span_mm"),
+        F.min("seq").alias("seq0"),
+    ).filter(F.col("n_points") >= int(min_pts))
+    wi = Window.partitionBy("track_id").orderBy("seq0")
+    return runs.select(
+        "track_id",
+        F.row_number().over(wi).cast("bigint").alias("dwell_idx"),
+        "n_points", "span_mm",
+    )
+
+
+def dwell_runs_sql(source_sql: str, step_mm: int = DWELL_STEP_MM,
+                   min_pts: int = DWELL_MIN_PTS) -> str:
+    """DuckDB twin of dwell_runs over the same (track_id, seq, x, y)
+    relation."""
+    s2 = int(step_mm) * int(step_mm)
+    return f"""
+WITH stepped AS (
+  SELECT track_id, seq,
+         (x - lag(x) OVER w) * (x - lag(x) OVER w)
+         + (y - lag(y) OVER w) * (y - lag(y) OVER w) AS d2,
+         CASE WHEN lag(x) OVER w IS NOT NULL
+                   AND (x - lag(x) OVER w) * (x - lag(x) OVER w)
+                       + (y - lag(y) OVER w) * (y - lag(y) OVER w)
+                       <= {s2}
+              THEN 1 ELSE 0 END AS small
+  FROM ({source_sql})
+  WINDOW w AS (PARTITION BY track_id ORDER BY seq)
+), smalls AS (
+  SELECT track_id, seq, d2,
+         seq - row_number() OVER (PARTITION BY track_id ORDER BY seq)
+           AS grp
+  FROM stepped WHERE small = 1
+), runs AS (
+  SELECT track_id, grp,
+         CAST(count(*) + 1 AS BIGINT) AS n_points,
+         CAST(sum(CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS span_mm,
+         min(seq) AS seq0
+  FROM smalls GROUP BY track_id, grp
+  HAVING count(*) + 1 >= {int(min_pts)}
+)
+SELECT track_id,
+       CAST(row_number() OVER (PARTITION BY track_id ORDER BY seq0)
+            AS BIGINT) AS dwell_idx,
+       n_points, span_mm
+FROM runs"""
+
+
+# -------------------------------------------------------- bearing octants
+# Heading histogram in exact integer arithmetic: each step classifies into
+# one of 8 compass octants by sign/magnitude comparisons of (dx, dy) alone
+# — no atan2, so no float-boundary parity risk at all. Octant o counts
+# headings in [o*45°, (o+1)*45°), numbered counterclockwise from East;
+# zero-length steps are excluded. Zero-shuffle until the 8-row rollup.
+
+
+def bearing_histogram(tracks: DataFrame) -> DataFrame:
+    """(octant, n_steps) over all track steps. Octant by exact integer
+    tests: 0=[E,NE) 1=[NE,N) 2=[N,NW) 3=[NW,W) 4=[W,SW) 5=[SW,S)
+    6=[S,SE) 7=[SE,E)."""
+    w = Window.partitionBy("track_id").orderBy("seq")
+    d = tracks.select(
+        (F.col("x") - F.lag("x").over(w)).alias("dx"),
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+    ).filter(
+        F.col("dx").isNotNull() & ((F.col("dx") != 0) | (F.col("dy") != 0))
+    )
+    octant = F.expr(
+        "CASE"
+        " WHEN dy >= 0 AND dx > 0 AND dy < dx THEN 0"
+        " WHEN dy > 0 AND dx > 0 AND dy >= dx THEN 1"
+        " WHEN dy > 0 AND dx <= 0 AND -dx < dy THEN 2"
+        " WHEN dy > 0 AND dx < 0 AND -dx >= dy THEN 3"
+        " WHEN dy <= 0 AND dx < 0 AND -dy < -dx THEN 4"
+        " WHEN dy < 0 AND dx < 0 AND -dy >= -dx THEN 5"
+        " WHEN dy < 0 AND dx >= 0 AND dx < -dy THEN 6"
+        " ELSE 7 END"
+    ).cast("bigint")
+    return d.groupBy(octant.alias("octant")).agg(
+        F.count("*").cast("bigint").alias("n_steps")
+    )
+
+
+def bearing_histogram_sql(source_sql: str) -> str:
+    return f"""
+WITH d AS (
+  SELECT x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy
+  FROM ({source_sql})
+  WINDOW w AS (PARTITION BY track_id ORDER BY seq)
+)
+SELECT CAST(CASE
+  WHEN dy >= 0 AND dx > 0 AND dy < dx THEN 0
+  WHEN dy > 0 AND dx > 0 AND dy >= dx THEN 1
+  WHEN dy > 0 AND dx <= 0 AND -dx < dy THEN 2
+  WHEN dy > 0 AND dx < 0 AND -dx >= dy THEN 3
+  WHEN dy <= 0 AND dx < 0 AND -dy < -dx THEN 4
+  WHEN dy < 0 AND dx < 0 AND -dy >= -dx THEN 5
+  WHEN dy < 0 AND dx >= 0 AND dx < -dy THEN 6
+  ELSE 7 END AS BIGINT) AS octant,
+  CAST(count(*) AS BIGINT) AS n_steps
+FROM d
+WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)
+GROUP BY 1"""
+
+
+# ---------------------------------------------------- Z-order bbox ranges
+# Spatial range query the way a 100 TB table actually serves it: the query
+# bbox decomposes (driver-side, pure integer quadtree — O(perimeter)
+# ranges) into a handful of CONTIGUOUS Z-order intervals; the scan then
+# filters on `cell_id BETWEEN lo AND hi` — a sargable predicate that prunes
+# files/row-groups when the table is sorted or bucketed by cell_id (the
+# standard Z-order clustering layout) — followed by the exact coordinate
+# re-verify on the (cell-granular, hence superset) candidates. The oracle
+# is the plain bbox filter: the range decomposition is provably a cover,
+# so results must be identical.
+QUERY_BBOX = (392000.0, 4405000.0, 411500.0, 4421000.0)
+
+
+def _morton(ix: int, iy: int) -> int:
+    z = 0
+    for b in range(16):
+        z |= ((ix >> b) & 1) << (2 * b) | ((iy >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def zorder_ranges(ix0: int, iy0: int, ix1: int, iy1: int,
+                  res: int = DEFAULT_RES) -> list[tuple[int, int]]:
+    """Merged, sorted Z-value intervals exactly covering the inclusive
+    integer cell box [ix0..ix1] x [iy0..iy1] at 2^res cells/axis."""
+    out: list[tuple[int, int]] = []
+
+    def rec(x0: int, y0: int, size: int) -> None:
+        if x0 > ix1 or y0 > iy1 or x0 + size <= ix0 or y0 + size <= iy0:
+            return
+        if (x0 >= ix0 and y0 >= iy0
+                and x0 + size - 1 <= ix1 and y0 + size - 1 <= iy1):
+            z = _morton(x0, y0)  # aligned block = contiguous z interval
+            out.append((z, z + size * size - 1))
+            return
+        h = size // 2
+        for qx, qy in ((x0, y0), (x0 + h, y0), (x0, y0 + h),
+                       (x0 + h, y0 + h)):
+            rec(qx, qy, h)
+
+    rec(0, 0, 1 << res)
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def _bbox_cells(qbbox, res: int, bbox) -> tuple[int, int, int, int]:
+    x0, y0, x1, y1 = bbox
+    n = 1 << res
+    qx0, qy0, qx1, qy1 = qbbox
+
+    def q(c, lo, span):
+        import math
+
+        return min(max(int(math.floor((c - lo) / span * n)), 0), n - 1)
+
+    return (q(qx0, x0, x1 - x0), q(qy0, y0, y1 - y0),
+            q(qx1, x0, x1 - x0), q(qy1, y0, y1 - y0))
+
+
+def bbox_zrange_query(points: DataFrame, qbbox=QUERY_BBOX,
+                      res: int = DEFAULT_RES,
+                      bbox=DEFAULT_BBOX) -> DataFrame:
+    """(primary_key, x, y): points inside qbbox, found by Z-interval
+    candidate pruning + exact re-verify."""
+    ranges = zorder_ranges(*_bbox_cells(qbbox, res, bbox), res=res)
+    cells = with_cell(points, "x", "y", res, bbox)
+    zpred = None
+    for lo, hi in ranges:
+        c = F.col("cell_id").between(lo, hi)
+        zpred = c if zpred is None else (zpred | c)
+    qx0, qy0, qx1, qy1 = qbbox
+    exact = (
+        (F.col("x") >= qx0) & (F.col("x") <= qx1)
+        & (F.col("y") >= qy0) & (F.col("y") <= qy1)
+    )
+    return cells.filter(zpred).filter(exact).select("primary_key", "x", "y")
+
+
+def bbox_zrange_query_sql(source_sql: str, qbbox=QUERY_BBOX) -> str:
+    """DuckDB twin: the plain exact bbox filter — the Z-range cover must
+    not change the result set."""
+    qx0, qy0, qx1, qy1 = qbbox
+    return f"""
+SELECT primary_key, x, y FROM ({source_sql})
+WHERE x >= {qx0!r} AND x <= {qx1!r} AND y >= {qy0!r} AND y <= {qy1!r}"""

@@ -1509,3 +1509,223 @@ FROM inter i
 JOIN sizes x ON i.src_a = x.source
 JOIN sizes y ON i.src_b = y.source
 """
+
+
+# --------------------------------------------------------- RAKE keyphrases
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate phrases
+# are maximal runs of non-stopword tokens; each word scores
+# degree/frequency over the phrase corpus (degree = summed length of the
+# phrases it appears in); a phrase scores the sum of its words' scores.
+# Scale shape: one posexplode -> gaps-and-islands window keyed by doc_id
+# (bounded documents), one groupBy to assemble phrases, a vocabulary-sized
+# word-stats relation joined back (broadcast under AQE), and a per-doc
+# top-k window. Scores are integer micro-units ((deg * 1e6) div freq,
+# summed) — associative integer addition, so any shuffle order and the
+# serial oracle agree exactly.
+RAKE_TOPK = 3
+# union of the language-marker lists (textstats.LANG_MARKERS) — the
+# sandbox's deterministic stopword set
+def _rake_stopwords() -> list[str]:
+    from .textstats import LANG_MARKERS, LANG_ORDER
+
+    seen: list[str] = []
+    for lang in LANG_ORDER:
+        for wrd in LANG_MARKERS[lang]:
+            if wrd not in seen:
+                seen.append(wrd)
+    return seen
+
+
+RAKE_TOKEN_RE = "([a-z]+)"
+
+
+def rake_keyphrases(docs: DataFrame, k: int = RAKE_TOPK) -> DataFrame:
+    """(doc_id, phrase, score_micro, rank): top-k RAKE keyphrases per
+    document (ties by phrase ascending)."""
+    stops = _rake_stopwords()
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(RAKE_TOKEN_RE)
+            )
+        ).alias("pos", "word"),
+    ).withColumn("is_stop", F.array_contains(stop_arr, F.col("word")))
+    content = toks.filter(~F.col("is_stop"))
+    # gaps-and-islands: consecutive content positions share one group key
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    grouped = content.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wdoc)
+    )
+    phrases = grouped.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "word"))
+                ),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("bigint").alias("plen"),
+    )
+    words = phrases.select(
+        "doc_id", "phrase", "plen",
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    )
+    stats = words.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    scored = (
+        words.join(stats, "word")
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.sum(F.expr("(deg * 1000000) div freq"))
+            .cast("bigint").alias("score_micro")
+        )
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("phrase").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wtop).cast("bigint"))
+        .filter(F.col("rank") <= int(k))
+        .select("doc_id", "phrase", "score_micro", "rank")
+    )
+
+
+def rake_keyphrases_oracle_sql(source: str = "documents",
+                               k: int = RAKE_TOPK) -> str:
+    stops = ", ".join(f"'{s}'" for s in _rake_stopwords())
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{RAKE_TOKEN_RE}', 1))
+           AS word,
+         unnest(range(1, len(regexp_extract_all(lower(text),
+                '{RAKE_TOKEN_RE}', 1)) + 1)) AS pos
+  FROM {source}
+), content AS (
+  SELECT doc_id, word, pos FROM toks WHERE word NOT IN ({stops})
+), grouped AS (
+  SELECT doc_id, word, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM content
+), phrases AS (
+  SELECT doc_id, grp,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM grouped GROUP BY doc_id, grp
+), words AS (
+  SELECT doc_id, phrase, plen, unnest(string_split(phrase, ' ')) AS word
+  FROM phrases
+), stats AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM words GROUP BY word
+), scored AS (
+  SELECT w.doc_id, w.phrase,
+         CAST(sum((s.deg * 1000000) // s.freq) AS BIGINT) AS score_micro
+  FROM words w JOIN stats s USING (word)
+  GROUP BY w.doc_id, w.phrase
+), ranked AS (
+  SELECT doc_id, phrase, score_micro,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score_micro DESC, phrase ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, phrase, score_micro, rank FROM ranked WHERE rank <= {int(k)}"""
+
+
+# ------------------------------------------------------------- Zipf slope
+# Rank-frequency power-law fit per source: the slope of ln(freq) on
+# ln(rank) by least squares — the corpus-health scalar (natural text sits
+# near -1; templated/spammy sources flatten or steepen). All sums are over
+# milli-nat-quantized logs (exact int64, associative), and the final slope
+# is one integer division — so the distributed partial aggregation and the
+# serial oracle produce identical bits. Scale shape: one (source, term)
+# count, one per-source rank window over the vocabulary-sized relation,
+# one metadata-sized rollup.
+
+
+def zipf_slope(docs: DataFrame) -> DataFrame:
+    """(source, n_terms, slope_milli): least-squares slope (in exact milli
+    units) of ln(freq) vs ln(rank) over each source's term frequency
+    ranking (rank ties broken by term)."""
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(RAKE_TOKEN_RE)
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("source", "term").agg(
+        F.count("*").cast("bigint").alias("freq")
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    )
+    pts = tf.withColumn("rank", F.row_number().over(wr)).select(
+        "source",
+        F.floor(F.log(F.col("rank").cast("double")) * 1000)
+        .cast("bigint").alias("lx"),
+        F.floor(F.log(F.col("freq").cast("double")) * 1000)
+        .cast("bigint").alias("ly"),
+    )
+    agg = pts.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("lx").cast("bigint").alias("sx"),
+        F.sum("ly").cast("bigint").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("bigint").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("bigint").alias("sxx"),
+    )
+    return agg.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        F.when(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0,
+            F.lit(0),
+        )
+        .otherwise(
+            F.expr(
+                "((n * sxy - sx * sy) * 1000)"
+                " div (n * sxx - sx * sx)"
+            )
+        )
+        .cast("bigint")
+        .alias("slope_milli"),
+    )
+
+
+def zipf_slope_oracle_sql(source: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '{RAKE_TOKEN_RE}', 1))
+           AS term
+  FROM {source}
+), tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS freq
+  FROM toks GROUP BY source, term
+), pts AS (
+  SELECT source,
+         CAST(floor(ln(CAST(row_number() OVER (PARTITION BY source
+              ORDER BY freq DESC, term ASC) AS DOUBLE)) * 1000)
+              AS BIGINT) AS lx,
+         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000) AS BIGINT) AS ly
+  FROM tf
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         CAST(sum(lx * ly) AS BIGINT) AS sxy,
+         CAST(sum(lx * lx) AS BIGINT) AS sxx
+  FROM pts GROUP BY source
+)
+SELECT source, n AS n_terms,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                 ELSE ((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx)
+            END AS BIGINT) AS slope_milli
+FROM agg"""

@@ -94,6 +94,15 @@ HEAVY = [
     "hll_distinct",
     "polyline_simplify",
     "convex_hull",
+    # round-5 sixth-to-eighth waves: the radius/map-match joins scale with
+    # the geocoded point relation (candidate volume moves with density),
+    # triangle counting with the edge relation, RAKE with the token stream,
+    # and the trajectory ops with track count
+    "radius_join",
+    "map_match",
+    "triangle_counts",
+    "rake_keyphrases",
+    "track_segments",
 ]
 
 
