@@ -2195,19 +2195,35 @@ def bbox_zrange_query(points: DataFrame, qbbox=QUERY_BBOX,
                       res: int = DEFAULT_RES,
                       bbox=DEFAULT_BBOX) -> DataFrame:
     """(primary_key, x, y): points inside qbbox, found by Z-interval
-    candidate pruning + exact re-verify."""
+    candidate pruning + exact re-verify.
+
+    The interval set is applied as a broadcast theta-join against the
+    metadata-scale range relation, NOT as an OR-of-BETWEEN literal
+    predicate: with 28 disjuncts the optimizer inlines the full Morton
+    spread expression into every comparison and the generated
+    processNext() blows janino's 64 KB method limit (Code grows beyond
+    64 KB -> interpreted fallback; observed fatal under a long-lived
+    session). As a join input, cell_id is a bound column evaluated once
+    per row. Ranges are disjoint (merged), so no point matches twice and
+    no dedup pass is needed."""
     ranges = zorder_ranges(*_bbox_cells(qbbox, res, bbox), res=res)
+    spark = points.sparkSession
+    rdf = spark.createDataFrame(ranges, "z_lo bigint, z_hi bigint")
     cells = with_cell(points, "x", "y", res, bbox)
-    zpred = None
-    for lo, hi in ranges:
-        c = F.col("cell_id").between(lo, hi)
-        zpred = c if zpred is None else (zpred | c)
     qx0, qy0, qx1, qy1 = qbbox
     exact = (
         (F.col("x") >= qx0) & (F.col("x") <= qx1)
         & (F.col("y") >= qy0) & (F.col("y") <= qy1)
     )
-    return cells.filter(zpred).filter(exact).select("primary_key", "x", "y")
+    return (
+        cells.join(
+            F.broadcast(rdf),
+            (F.col("cell_id") >= F.col("z_lo"))
+            & (F.col("cell_id") <= F.col("z_hi")),
+        )
+        .filter(exact)
+        .select("primary_key", "x", "y")
+    )
 
 
 def bbox_zrange_query_sql(source_sql: str, qbbox=QUERY_BBOX) -> str:

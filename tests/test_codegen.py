@@ -34,7 +34,7 @@ qs = e.queries()
 for name in ("geocode_wgs84", "utm_wgs84_roundtrip", "image_bytehash",
              "image_hash_pairs", "bigram_lm_score", "bpe_pair_stats",
              "span_dup_stats", "span_dedup_rewrite",
-             "winnow_fingerprints"):
+             "winnow_fingerprints", "bbox_zrange_query"):
     n = qs[name](spark, %(sf)r).count()
     print(f"DONE {name} {n}", flush=True)
 """
@@ -52,7 +52,7 @@ def test_codegen_compiles_projection_and_dhash_families(sf_dir):
     for name in ("geocode_wgs84", "utm_wgs84_roundtrip", "image_bytehash",
                  "image_hash_pairs", "bigram_lm_score", "bpe_pair_stats",
                  "span_dup_stats", "span_dedup_rewrite",
-             "winnow_fingerprints"):
+                 "winnow_fingerprints", "bbox_zrange_query"):
         assert f"DONE {name} " in out, f"{name} did not complete:\n{out}"
     for marker in ("Failed to compile", "grows beyond 64 KB"):
         assert marker not in err, (
