@@ -1041,13 +1041,16 @@ def polygon_metrics(polys: DataFrame) -> DataFrame:
     )
 
 
-def _star_ring_exprs(res: int, bbox, dialect: str):
+def _star_ring_exprs(res: int, bbox, dialect: str,
+                     radius_scale: int = 1):
     """(gid_sql, xs_sql, ys_sql) building one deterministic 8-vertex CCW
     star ring per cell, given integer columns ix/iy in scope: center at
     the cell center (milli units), per-vertex radius 500..1999 milli
-    from md5(gid:v). Pure integer arithmetic after the (exact-dyadic)
-    center literal — dialect-split only where syntax forces it (md5
-    prefix -> int, integer div, array constructor)."""
+    (times radius_scale — 1 for the polygon_metrics gate corpus, 1000
+    for km-scale PIP regions) from md5(gid:v). Pure integer arithmetic
+    after the (exact-dyadic) center literal — dialect-split only where
+    syntax forces it (md5 prefix -> int, integer div, array
+    constructor)."""
     cellw = (bbox[2] - bbox[0]) / (1 << res)
     cellh = (bbox[3] - bbox[1]) / (1 << res)
     if dialect == "spark":
@@ -1084,12 +1087,13 @@ def _star_ring_exprs(res: int, bbox, dialect: str):
         f"CAST(round(({bbox[1]!r} + (iy + 0.5) * {cellh!r}) * 1000.0, 0) "
         f"AS BIGINT)"
     )
+    s = int(radius_scale)
     xs = ", ".join(
-        f"{cxm} + {idiv(f'{dx} * {r(v)}')}"
+        f"{cxm} + {idiv(f'{dx} * {r(v)} * {s}')}"
         for v, (dx, _) in enumerate(_STAR_DIRS)
     )
     ys = ", ".join(
-        f"{cym} + {idiv(f'{dy} * {r(v)}')}"
+        f"{cym} + {idiv(f'{dy} * {r(v)} * {s}')}"
         for v, (_, dy) in enumerate(_STAR_DIRS)
     )
     return gid, f"{arr}({xs})", f"{arr}({ys})"
@@ -2233,3 +2237,279 @@ def bbox_zrange_query_sql(source_sql: str, qbbox=QUERY_BBOX) -> str:
     return f"""
 SELECT primary_key, x, y FROM ({source_sql})
 WHERE x >= {qx0!r} AND x <= {qx1!r} AND y >= {qy0!r} AND y <= {qy1!r}"""
+
+
+# -------------------------------------------------- concave PIP (ray cast)
+# Point-in-polygon for ARBITRARY simple rings — the broadcast convex test
+# of point_in_polygon covers convex dims only; concave footprints (the
+# star regions here) need the even-odd ray cast. The crossing test uses
+# the half-open vertex rule ((yi > py) != (yj > py)) with the
+# x-intersection comparison CROSS-MULTIPLIED into exact int64 — no
+# division, no float, so both engines agree bit-for-bit. Scale shape: the
+# region relation is grid-bounded (<= 4^res rows, broadcast); points meet
+# regions through a bounded bbox-cover cell equi-join (regions, the small
+# side, explode their covering cells; points carry one home cell); the
+# crossing count is a zero-shuffle higher-order fold over the vertex
+# arrays. Products stay within int64: point-vertex deltas are bbox-local
+# (<= ~8e6 milli), so cross terms are <= ~6e13.
+REGION_RES = 4  # 16x16 region cells over the bbox (~4.4 x 4.4 km each)
+REGION_RADIUS_SCALE = 1000  # star radii 0.5..2.0 km
+
+
+def synthetic_regions(points: DataFrame, res: int = REGION_RES,
+                      bbox=DEFAULT_BBOX) -> DataFrame:
+    """(gid, xs, ys): km-scale concave star regions, one per occupied
+    res-cell of the point relation; vertex arrays in exact milli units
+    (the region-scale sibling of synthetic_polygon_corpus)."""
+    gid, xs, ys = _star_ring_exprs(res, bbox, "spark",
+                                   radius_scale=REGION_RADIUS_SCALE)
+    cells = (
+        with_cell(points, "x", "y", res, bbox).select("ix", "iy").distinct()
+    )
+    return cells.select("ix", "iy", F.expr(gid).alias("gid")).select(
+        "gid", F.expr(xs).alias("xs"), F.expr(ys).alias("ys"),
+    )
+
+
+def synthetic_regions_sql(source_sql: str, res: int = REGION_RES,
+                          bbox=DEFAULT_BBOX) -> str:
+    """Parenthesized DuckDB subquery mirroring synthetic_regions()."""
+    gid, xs, ys = _star_ring_exprs(res, bbox, "duckdb",
+                                   radius_scale=REGION_RADIUS_SCALE)
+    ix, iy = quantize_exprs("x", "y", res, bbox)
+    return f"""(
+SELECT {gid} AS gid, {xs} AS xs, {ys} AS ys
+FROM (SELECT DISTINCT {ix} AS ix, {iy} AS iy FROM ({source_sql})))"""
+
+
+PIP_CELL_MM = 1_094_000  # candidate grid ~ the DEFAULT_RES cell size
+
+
+def pip_raycast(points: DataFrame, regions: DataFrame,
+                cell_mm: int = PIP_CELL_MM) -> DataFrame:
+    """(primary_key, gid): point-in-region pairs by exact integer even-odd
+    ray casting. points carry meter doubles (x, y); regions carry milli
+    vertex arrays (xs, ys)."""
+    c = int(cell_mm)
+    regs = regions.select(
+        "gid", "xs", "ys",
+        F.expr("array_min(xs)").alias("bx0"),
+        F.expr("array_max(xs)").alias("bx1"),
+        F.expr("array_min(ys)").alias("by0"),
+        F.expr("array_max(ys)").alias("by1"),
+    ).select(
+        "gid", "xs", "ys", "bx0", "bx1", "by0", "by1",
+        F.explode(
+            F.expr(f"sequence(bx0 div {c}, bx1 div {c})")
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.expr(f"sequence(by0 div {c}, by1 div {c})")
+        ).alias("cy"),
+    )
+    pts = points.select(
+        "primary_key",
+        F.expr(_mm("x")).alias("px"), F.expr(_mm("y")).alias("py"),
+    ).select(
+        "primary_key", "px", "py",
+        F.expr(f"px div {c}").alias("cx"),
+        F.expr(f"py div {c}").alias("cy"),
+    )
+    cand = pts.join(F.broadcast(regs), ["cx", "cy"]).filter(
+        (F.col("px") >= F.col("bx0")) & (F.col("px") <= F.col("bx1"))
+        & (F.col("py") >= F.col("by0")) & (F.col("py") <= F.col("by1"))
+    )
+    # even-odd fold: for edge i -> j (wrap), a crossing iff the edge spans
+    # py's horizontal line (half-open) AND the ray to +x passes left of
+    # the intersection — cross-multiplied, sign-corrected by the edge's
+    # y direction.
+    crossings = F.expr(
+        "aggregate(sequence(1, size(xs)), 0L, (acc, i) -> acc + ("
+        " CASE WHEN ((element_at(ys, i) > py)"
+        "        != (element_at(ys, i % size(xs) + 1) > py))"
+        "      AND ("
+        "        CASE WHEN element_at(ys, i % size(xs) + 1)"
+        "                  > element_at(ys, i)"
+        "        THEN (px - element_at(xs, i))"
+        "             * (element_at(ys, i % size(xs) + 1)"
+        "                - element_at(ys, i))"
+        "             < (py - element_at(ys, i))"
+        "             * (element_at(xs, i % size(xs) + 1)"
+        "                - element_at(xs, i))"
+        "        ELSE (px - element_at(xs, i))"
+        "             * (element_at(ys, i % size(xs) + 1)"
+        "                - element_at(ys, i))"
+        "             > (py - element_at(ys, i))"
+        "             * (element_at(xs, i % size(xs) + 1)"
+        "                - element_at(xs, i))"
+        "        END)"
+        " THEN 1 ELSE 0 END))"
+    )
+    return (
+        cand.withColumn("_cr", crossings)
+        .filter(F.col("_cr") % 2 == 1)
+        .select("primary_key", "gid")
+    )
+
+
+def pip_raycast_sql(source_sql: str, regions_sql: str) -> str:
+    """DuckDB twin: relational even-odd — vertices unnested with index,
+    edges formed by the modular self-join, crossings counted per
+    (point, region) with the SAME cross-multiplied comparison; no grid
+    pruning (brute force over bbox-qualified candidates)."""
+    return f"""
+WITH regions AS (SELECT * FROM {regions_sql}),
+p AS (
+  SELECT primary_key, {_mm('x')} AS px, {_mm('y')} AS py
+  FROM ({source_sql})
+),
+verts AS (
+  SELECT gid, unnest(xs) AS vx, unnest(ys) AS vy,
+         unnest(range(1, len(xs) + 1)) AS i, len(xs) AS n
+  FROM regions
+),
+edges AS (
+  SELECT a.gid, a.vx AS xi, a.vy AS yi, b.vx AS xj, b.vy AS yj
+  FROM verts a JOIN verts b
+    ON b.gid = a.gid AND b.i = a.i % a.n + 1
+),
+bbox AS (
+  SELECT gid, min(vx) AS bx0, max(vx) AS bx1,
+         min(vy) AS by0, max(vy) AS by1
+  FROM verts GROUP BY gid
+),
+cand AS (
+  SELECT p.primary_key, p.px, p.py, b.gid
+  FROM p JOIN bbox b
+    ON p.px >= b.bx0 AND p.px <= b.bx1
+   AND p.py >= b.by0 AND p.py <= b.by1
+),
+cr AS (
+  SELECT c.primary_key, c.gid,
+         sum(CASE WHEN ((e.yi > c.py) <> (e.yj > c.py))
+                  AND (CASE WHEN e.yj > e.yi
+                       THEN (c.px - e.xi) * (e.yj - e.yi)
+                            < (c.py - e.yi) * (e.xj - e.xi)
+                       ELSE (c.px - e.xi) * (e.yj - e.yi)
+                            > (c.py - e.yi) * (e.xj - e.xi)
+                       END)
+             THEN 1 ELSE 0 END) AS n_cross
+  FROM cand c JOIN edges e ON e.gid = c.gid
+  GROUP BY c.primary_key, c.gid
+)
+SELECT primary_key, gid FROM cr WHERE n_cross % 2 = 1"""
+
+
+# ------------------------------------------------- segment crossing join
+# Proper line-segment intersections within the centerline network — the
+# topology-validation / planarization primitive (a road network's proper
+# crossings are its missing intersection nodes). Two segments properly
+# cross iff each straddles the other's supporting line: orient(a,b,c) and
+# orient(a,b,d) have strictly opposite signs AND orient(c,d,a) /
+# orient(c,d,b) do too. Touching / collinear-overlap contacts (any zero
+# orientation) are EXCLUDED by design — they are shared endpoints in a
+# well-noded network, not errors. Signs are compared (never multiplied:
+# the product of two ~6e13 orientations would overflow int64). Scale
+# shape: both sides explode their bounded bbox cell cover, equi-join on
+# the cell, dedupe the (multi-cell) pair via distinct on (id_a < id_b),
+# then the O(1) exact predicate — candidates-then-verify, no theta join.
+CROSS_CELL_MM = 1_000_000  # 1 km candidate grid
+CROSS_SEG_MOD = 3  # deterministic subset keeping the oracle's O(n^2) sane
+
+
+def segment_crossings(segments: DataFrame,
+                      cell_mm: int = CROSS_CELL_MM) -> DataFrame:
+    """(cand_a, cand_b): unordered pairs (cand_a < cand_b) of properly
+    crossing segments. segments carries (cand_id, x0, y0, x1, y1) in
+    meters."""
+    c = int(cell_mm)
+    s = segments.select(
+        "cand_id",
+        F.expr(_mm("x0")).alias("ax"), F.expr(_mm("y0")).alias("ay"),
+        F.expr(_mm("x1")).alias("bx"), F.expr(_mm("y1")).alias("by"),
+    )
+    covered = s.select(
+        "*",
+        F.explode(
+            F.expr(f"sequence(least(ax, bx) div {c},"
+                   f" greatest(ax, bx) div {c})")
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.expr(f"sequence(least(ay, by) div {c},"
+                   f" greatest(ay, by) div {c})")
+        ).alias("cy"),
+    )
+    left = covered.select(
+        F.col("cand_id").alias("cand_a"), F.col("ax").alias("ax1"),
+        F.col("ay").alias("ay1"), F.col("bx").alias("bx1"),
+        F.col("by").alias("by1"), "cx", "cy",
+    )
+    right = covered.select(
+        F.col("cand_id").alias("cand_b"), F.col("ax").alias("ax2"),
+        F.col("ay").alias("ay2"), F.col("bx").alias("bx2"),
+        F.col("by").alias("by2"), "cx", "cy",
+    )
+    cand = (
+        left.join(right, ["cx", "cy"])
+        .filter(F.col("cand_a") < F.col("cand_b"))
+        .select("cand_a", "ax1", "ay1", "bx1", "by1",
+                "cand_b", "ax2", "ay2", "bx2", "by2")
+        .distinct()
+    )
+
+    def orient(ax, ay, bx, by, cx_, cy_):
+        return (
+            (F.col(bx) - F.col(ax)) * (F.col(cy_) - F.col(ay))
+            - (F.col(by) - F.col(ay)) * (F.col(cx_) - F.col(ax))
+        )
+
+    o1 = orient("ax1", "ay1", "bx1", "by1", "ax2", "ay2")
+    o2 = orient("ax1", "ay1", "bx1", "by1", "bx2", "by2")
+    o3 = orient("ax2", "ay2", "bx2", "by2", "ax1", "ay1")
+    o4 = orient("ax2", "ay2", "bx2", "by2", "bx1", "by1")
+    straddle = (
+        (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0)))
+        & (((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0)))
+    )
+    return cand.filter(straddle).select("cand_a", "cand_b")
+
+
+def segment_crossings_sql(fix_dir: str, seg_mod: int = CROSS_SEG_MOD) -> str:
+    """DuckDB twin: brute-force O(n^2) pair test with the identical
+    sign-compared orientation predicate."""
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (
+            f"(({qx} - {px}) * ({ry} - {py})"
+            f" - ({qy} - {py}) * ({rx} - {px}))"
+        )
+
+    o1 = orient("ax1", "ay1", "bx1", "by1", "ax2", "ay2")
+    o2 = orient("ax1", "ay1", "bx1", "by1", "bx2", "by2")
+    o3 = orient("ax2", "ay2", "bx2", "by2", "ax1", "ay1")
+    o4 = orient("ax2", "ay2", "bx2", "by2", "bx1", "by1")
+    return f"""
+WITH s AS (
+  SELECT cand_id, {_mm('x0')} AS ax, {_mm('y0')} AS ay,
+         {_mm('x1')} AS bx, {_mm('y1')} AS by
+  FROM read_parquet('{fix_dir}/road_centerlines.parquet')
+  WHERE cand_id % {int(seg_mod)} = 0
+),
+pairs AS (
+  SELECT a.cand_id AS cand_a, a.ax AS ax1, a.ay AS ay1,
+         a.bx AS bx1, a.by AS by1,
+         b.cand_id AS cand_b, b.ax AS ax2, b.ay AS ay2,
+         b.bx AS bx2, b.by AS by2
+  FROM s a JOIN s b ON a.cand_id < b.cand_id
+),
+o AS (
+  SELECT cand_a, cand_b,
+         {o1} AS o1, {o2} AS o2, {o3} AS o3, {o4} AS o4
+  FROM pairs
+)
+SELECT cand_a, cand_b FROM o
+WHERE ((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
+  AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0))"""

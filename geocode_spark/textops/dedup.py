@@ -763,3 +763,90 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM {corpus_sql(source)}) d
 LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------- containment
+# Asymmetric set containment C(A->B) = |A ∩ B| / |A| — the quotation /
+# subset-duplication signal Jaccard structurally misses (a short doc fully
+# quoted inside a long one has tiny Jaccard but containment 1.0). Candidate
+# generation is the one-sided prefix filter: |A ∩ B| >= ceil(t·|A|) forces a
+# collision between A's (df-ascending) prefix and B's FULL shingle index —
+# only the probe side is prefixed (the containment prefix lemma; the
+# symmetric two-prefix pruning of the Jaccard join does not apply). The
+# verify pass and the threshold are exact integer cross-multiplications.
+# Scale note: the full-index side's posting lists on globally frequent
+# shingles are the hot keys of this join (the known asymmetric-join cost);
+# at 100 TB the standard remedy is df-descending postings split into a
+# broadcastable hot tier + a shuffled cold tier — same output by union.
+CONTAIN_PERMILLE = 800
+
+
+def containment_pairs(corpus: DataFrame,
+                      permille: int = CONTAIN_PERMILLE) -> DataFrame:
+    """(id_src, id_dst, containment_permille): ordered pairs where at
+    least permille/1000 of id_src's word-3-shingles also occur in
+    id_dst's (id_src != id_dst)."""
+    from pyspark.sql.window import Window
+
+    sh = persist_tracked(with_shingles(corpus))
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    t = int(permille) / 1000.0
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(t) * F.col("n_sh") - F.lit(1e-9))
+        + 1
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    pref = (
+        ex.join(freq, "shingle")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select(F.col("doc_id").alias("id_src"), "shingle")
+    )
+    full = ex.select(F.col("doc_id").alias("id_dst"), "shingle")
+    cand = (
+        pref.join(full, "shingle")
+        .filter(F.col("id_src") != F.col("id_dst"))
+        .select("id_src", "id_dst")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_src"),
+                   F.col("shingles").alias("sh_a"),
+                   F.col("n_sh").alias("n_a"))
+    sb = sh.select(F.col("doc_id").alias("id_dst"),
+                   F.col("shingles").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    return (
+        cand.join(sa, "id_src").join(sb, "id_dst")
+        .withColumn("_common", common)
+        .filter(
+            F.col("_common") * 1000 >= F.lit(int(permille)) * F.col("n_a")
+        )
+        .select(
+            "id_src", "id_dst",
+            F.expr("(_common * 1000) div n_a")
+            .cast("bigint").alias("containment_permille"),
+        )
+    )
+
+
+def containment_pairs_oracle_sql(source: str,
+                                 permille: int = CONTAIN_PERMILLE) -> str:
+    """Brute-force relational twin over the same shingle CTEs."""
+    corpus = corpus_sql(source)
+    return f"""
+WITH {_shingle_rows_cte(corpus)},
+common AS (
+  SELECT a.doc_id AS id_src, b.doc_id AS id_dst,
+         CAST(count(*) AS BIGINT) AS c
+  FROM shx a JOIN shx b ON a.shingle = b.shingle
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_src, id_dst,
+       CAST((c * 1000) // n_sh AS BIGINT) AS containment_permille
+FROM common JOIN shn ON shn.doc_id = common.id_src
+WHERE c * 1000 >= {int(permille)} * n_sh"""

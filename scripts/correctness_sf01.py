@@ -72,6 +72,16 @@ FAMILY = [
     "span_dup_stats",
     "span_dedup_rewrite",
     "semdedup",
+    # round-5 sixth-to-ninth waves: the 10x corpus exercises candidate
+    # density (radius/map-match/crossings), posting-list asymmetry
+    # (containment), and the triangle orientation bound
+    "radius_join",
+    "map_match",
+    "triangle_counts",
+    "containment_pairs",
+    "pip_raycast",
+    "segment_crossings",
+    "cohort_retention",
 ]
 
 
