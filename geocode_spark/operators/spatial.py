@@ -1809,13 +1809,17 @@ def seg_dist2_sql(px: str, py: str, ax: str, ay: str,
     dot = f"({pax} * {dx} + {pay} * {dy})"
     pa2 = f"({pax} * {pax} + {pay} * {pay})"
     pb2 = f"({pbx} * {pbx} + {pby} * {pby})"
+    # the perpendicular branch clamps at 0: when the point lies (near-)
+    # exactly on the segment's line, pa2 - dot^2/len2 can round to a tiny
+    # NEGATIVE double — DuckDB's sqrt then throws (observed at sf0.1) and
+    # Spark's returns NaN. greatest(…, 0e0) is identical in both dialects.
     return (
         f"(CASE WHEN {len2} = 0 THEN CAST({pa2} AS DOUBLE)"
         f" WHEN {dot} <= 0 THEN CAST({pa2} AS DOUBLE)"
         f" WHEN {dot} >= {len2} THEN CAST({pb2} AS DOUBLE)"
-        f" ELSE CAST({pa2} AS DOUBLE)"
+        f" ELSE greatest(CAST({pa2} AS DOUBLE)"
         f" - CAST({dot} AS DOUBLE) * CAST({dot} AS DOUBLE)"
-        f" / CAST({len2} AS DOUBLE) END)"
+        f" / CAST({len2} AS DOUBLE), CAST(0 AS DOUBLE)) END)"
     )
 
 
