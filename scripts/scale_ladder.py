@@ -103,6 +103,12 @@ HEAVY = [
     "triangle_counts",
     "rake_keyphrases",
     "track_segments",
+    # ninth wave: the containment join's posting lists and the PIP
+    # candidate volume both move with corpus/point density
+    # (segment_crossings is excluded: its OUTPUT is quadratic in segment
+    # density, so the 5x tier's cost is output size, not operator shape)
+    "containment_pairs",
+    "pip_raycast",
 ]
 
 
