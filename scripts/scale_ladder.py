@@ -188,6 +188,15 @@ def build_tier(spark) -> str:
     ).write.mode("overwrite").parquet(f"{TIER_DIR}/_tmp_events")
     consolidate("events")
 
+    # lineitem feeds the HLL crawl-log stand-in (hll_distinct): the key
+    # stride multiplies the distinct-visitor cardinality (l_partkey) by
+    # REPLICAS so the sketch stays in its raw-estimate regime at 5x
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    replicate(li, ["l_orderkey", "l_partkey"], lambda p, k: p).repartition(
+        8
+    ).write.mode("overwrite").parquet(f"{TIER_DIR}/_tmp_lineitem")
+    consolidate("lineitem")
+
     with open(marker, "w") as fh:
         fh.write(f"replicas={REPLICAS} src={SRC}\n")
     return TIER_DIR
