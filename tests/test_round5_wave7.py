@@ -57,6 +57,16 @@ def test_map_match_matches_bruteforce(spark):
     assert got == want
     assert set(got) == {"a", "b", "c"}
 
+    # the at-scale path (shuffle equi-join on cell keys, nothing broadcast)
+    # must produce identical rows — same candidates, same tie-break
+    got_shuffle = {
+        r.primary_key: (r.cand_id, r.dist_mm)
+        for r in map_match(
+            pdf, sdf, radius_m=1000.0, broadcast_points=False
+        ).collect()
+    }
+    assert got_shuffle == want
+
 
 # -------------------------------------------------------------- OD matrix
 def test_od_matrix_splits_trips(spark):
