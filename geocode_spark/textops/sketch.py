@@ -317,3 +317,129 @@ SELECT p.segment, p.occupied,
                   CAST(p.denom_occ + ({HLL_M} - p.occupied) * {_HLL_POW50}
                        AS DOUBLE), 0) AS BIGINT) AS est_micro{exact_sel}
 FROM per_grp p {exact_join}"""
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — point-frequency
+# estimation with a one-sided (over-estimate only) error bound, the third
+# member of the mergeable-sketch family here: Misra-Gries answers WHICH
+# terms are frequent, HLL answers HOW MANY distinct keys, CMS answers
+# "about how often does THIS term occur" without ever keying an exchange
+# by term. The counter relation is (depth x width) cells; each cell is a
+# SUM over the tokens hashing to it, sum is associative, so cells
+# collapse MAP-SIDE and only <= depth*width rows per partition cross the
+# exchange — at 100 TB the token stream never shuffles on term, and two
+# crawls' sketches merge by adding cells. est(t) = min_j cell[j][pos_j(t)]
+# >= true count always (every occurrence of t lands in all d of its
+# cells; collisions only ADD), which the gate asserts per probe term.
+#
+# Determinism: pos_j(term) = first-8-hex-chars of md5(j || ':' || term)
+# mod width — pure integer string arithmetic, identical in both engines
+# (the _hll_rho_sql precedent). No floats anywhere in the sketch.
+#
+# The probe set here is the exact top-k terms (count desc, term asc) —
+# vocabulary-sized work the GATE can afford; a 100 TB run probes the
+# Misra-Gries candidate set instead (frequent_terms above) and never
+# builds the full vocabulary relation.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+CMS_TOPK = 20
+
+
+def _cms_pos_sql(j: int, term: str, width: int, duck: bool) -> str:
+    """Row-j CMS position of `term` — dialect-split ONLY in the hex->int
+    cast spelling (conv vs '0x' concat); the md5 operand is identical."""
+    h = f"substring(md5(concat('{j}:', {term})), 1, 8)"
+    as_int = (
+        f"('0x' || {h})::BIGINT" if duck
+        else f"CAST(conv({h}, 16, 10) AS BIGINT)"
+    )
+    return f"({as_int} % {width})"
+
+
+def cms_term_counts(
+    docs: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    topk: int = CMS_TOPK,
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, exact_cnt, cms_est): the exact top-`topk` corpus terms
+    (count desc, term asc) with their count-min estimates from a
+    depth x width sketch built WITHOUT a term-keyed exchange.
+    cms_est >= exact_cnt for every row (one-sided CMS bound)."""
+    depth, width, topk = int(depth), int(width), int(topk)
+    toks_arr = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(TOKEN_RE)
+    )
+    from ..caching import persist_tracked
+
+    toks = persist_tracked(docs.select(F.explode(toks_arr).alias("term")))
+    # sketch build: d cells per token, collapsed map-side on (j, pos)
+    cells = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            F.expr(_cms_pos_sql(j, "term", width, duck=False)).alias("pos"),
+        )
+        for j in range(depth)
+    ])
+    cms = (
+        toks.select(F.inline(cells))
+        .groupBy("j", "pos")
+        .agg(F.count("*").cast("bigint").alias("cell"))
+    )
+    # probe terms: exact top-k (gate-sized; see module note for the
+    # 100 TB probe-set choice)
+    probes = (
+        toks.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("term").asc())
+        .limit(topk)
+    )
+    probe_cells = probes.select(
+        "term", "exact_cnt", F.inline(cells)
+    )
+    return (
+        probe_cells.join(F.broadcast(cms), ["j", "pos"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("cell").cast("bigint").alias("cms_est"))
+        .select("term", "exact_cnt", "cms_est")
+    )
+
+
+def cms_term_counts_oracle_sql(
+    source: str = "documents",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    topk: int = CMS_TOPK,
+) -> str:
+    """DuckDB twin: identical md5-derived positions, identical min-over-
+    rows estimate, identical (count desc, term asc) probe selection."""
+    depth, width, topk = int(depth), int(width), int(topk)
+    cell_rows = " UNION ALL ".join(
+        f"SELECT term, {j} AS j, "
+        f"{_cms_pos_sql(j, 'term', width, duck=True)} AS pos FROM toks"
+        for j in range(depth)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT term, exact_cnt, {j} AS j, "
+        f"{_cms_pos_sql(j, 'term', width, duck=True)} AS pos FROM probes"
+        for j in range(depth)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                '{TOKEN_RE}', 1)) AS term
+  FROM {source}
+), cms AS (
+  SELECT j, pos, CAST(count(*) AS BIGINT) AS cell
+  FROM ({cell_rows}) GROUP BY j, pos
+), probes AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM toks GROUP BY term
+  ORDER BY exact_cnt DESC, term ASC LIMIT {topk}
+)
+SELECT p.term, p.exact_cnt, CAST(min(c.cell) AS BIGINT) AS cms_est
+FROM ({probe_rows}) p JOIN cms c USING (j, pos)
+GROUP BY p.term, p.exact_cnt"""
