@@ -443,3 +443,147 @@ WITH toks AS (
 SELECT p.term, p.exact_cnt, CAST(min(c.cell) AS BIGINT) AS cms_est
 FROM ({probe_rows}) p JOIN cms c USING (j, pos)
 GROUP BY p.term, p.exact_cnt"""
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter blocklist membership (Bloom 1970) — the fourth sketch: a
+# bounded-memory stand-in for the exact broadcast blocklist join when the
+# blocked set is too large to broadcast raw (URL-level blocklists run to
+# billions of entries at crawl scale; m bits broadcast where the strings
+# cannot). Same suffix semantics as packing.blocklist_filter: every
+# >= 2-label suffix of the host is probed, a doc is a (probable) hit if
+# ANY suffix has all k of its bit positions set. One-sided like CMS:
+# exactly-blocked docs are ALWAYS hits (no false negatives — pytest pins
+# the superset invariant against blocklist_filter), false positives are
+# the deterministic, oracle-matched price of the m-bit budget (a width-16
+# pytest forces them — anti-vacuous-gate).
+#
+# Positions are the CMS hash family over a disjoint lane tag ('b{i}:'):
+# pure md5-string integer arithmetic, identical in both engines. The bit
+# relation is <= m rows (bits SET, not the dense array) built by one
+# bounded explode + distinct over the metadata-scale blocklist; the
+# corpus side is one scan + two bounded explodes (suffixes x k) joined
+# against the broadcast bit relation — the corpus never shuffles.
+
+BLOOM_M_BITS = 4096
+BLOOM_K = 3
+
+
+def _bloom_pos_sql(i: int, key: str, m_bits: int, duck: bool) -> str:
+    h = f"substring(md5(concat('b{i}:', {key})), 1, 8)"
+    as_int = (
+        f"('0x' || {h})::BIGINT" if duck
+        else f"CAST(conv({h}, 16, 10) AS BIGINT)"
+    )
+    return f"({as_int} % {m_bits})"
+
+
+def bloom_blocklist(
+    frontier: DataFrame,
+    blocklist: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(doc_id, host, bloom_hit): bloom_hit = 1 iff any >= 2-label suffix
+    of the doc's host is PROBABLY in the blocked set (all k bit positions
+    set), else 0. Superset of the exact suffix match by construction."""
+    from .packing import HOST_FROM_URL_RE
+
+    m_bits, k = int(m_bits), int(k)
+
+    def positions(key_col: str):
+        return F.array(*[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.expr(_bloom_pos_sql(i, key_col, m_bits, duck=False))
+                .alias("pos"),
+            )
+            for i in range(k)
+        ])
+
+    bits = (
+        blocklist.select(F.inline(positions("domain")))
+        .select("pos").distinct()
+    )
+    host = F.lower(F.regexp_extract("url", HOST_FROM_URL_RE, 1))
+    hosts = frontier.select("doc_id", host.alias("host"))
+    labels = F.split(F.col("host"), r"\.")
+    sufs = F.when(
+        F.size(labels) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(labels) - 1),
+            lambda i: F.array_join(
+                F.slice(labels, i, F.size(labels) - i + 1), "."
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    probes = hosts.select(
+        "doc_id", F.explode(sufs).alias("suffix")
+    ).select("doc_id", "suffix", F.inline(positions("suffix")))
+    hits = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "suffix")
+        .agg(F.countDistinct("i").alias("n_set"))
+        .filter(F.col("n_set") == k)
+        .select("doc_id").distinct()
+        .withColumn("bloom_hit", F.lit(1).cast("bigint"))
+    )
+    return (
+        hosts.join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "host",
+            F.coalesce("bloom_hit", F.lit(0)).cast("bigint")
+            .alias("bloom_hit"),
+        )
+    )
+
+
+def bloom_blocklist_oracle_sql(
+    source: str = "documents",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> str:
+    """DuckDB twin: identical bit positions, identical all-k/any-suffix
+    membership rule over the same synthetic frontier + gate blocklist."""
+    from .packing import (
+        BLOCKED_DOMAINS,
+        HOST_FROM_URL_RE,
+        synthetic_frontier_corpus_sql,
+    )
+
+    m_bits, k = int(m_bits), int(k)
+    bl = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+    bit_rows = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql(i, 'domain', m_bits, duck=True)} AS pos "
+        "FROM bl"
+        for i in range(k)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT doc_id, suffix, {i} AS i, "
+        f"{_bloom_pos_sql(i, 'suffix', m_bits, duck=True)} AS pos FROM suf"
+        for i in range(k)
+    )
+    return f"""
+WITH bl AS (
+  SELECT unnest([{bl}]) AS domain
+), bits AS (
+  SELECT DISTINCT pos FROM ({bit_rows})
+), hosts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '{HOST_FROM_URL_RE}', 1)) AS host
+  FROM ({synthetic_frontier_corpus_sql(source)})
+), suf AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(labels)),
+                i -> array_to_string(labels[i:], '.'))) AS suffix
+  FROM (SELECT doc_id, string_split(host, '.') AS labels FROM hosts)
+), hits AS (
+  SELECT DISTINCT doc_id
+  FROM ({probe_rows}) p JOIN bits USING (pos)
+  GROUP BY doc_id, suffix
+  HAVING count(DISTINCT i) = {k}
+)
+SELECT h.doc_id, h.host,
+       CAST(CASE WHEN hits.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS bloom_hit
+FROM hosts h LEFT JOIN hits ON h.doc_id = hits.doc_id"""

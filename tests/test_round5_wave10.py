@@ -67,3 +67,58 @@ def test_cms_cells_merge_by_addition(spark):
         p: pa.get(p, 0) + pb.get(p, 0) for p in set(pa) | set(pb)
     }
     assert merged == whole
+
+
+# ------------------------------------------------------------ bloom filter
+def test_bloom_no_false_negatives_and_matches_exact_at_wide_m(spark):
+    """Every exactly-blocked doc (packing.blocklist_filter keep=0) must be
+    a bloom hit — the filter's one-sided guarantee."""
+    from geocode_spark.textops.packing import (
+        blocklist_filter,
+        default_blocklist,
+        synthetic_frontier_corpus,
+    )
+    from geocode_spark.textops.sketch import bloom_blocklist
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    frontier = synthetic_frontier_corpus(docs)
+    bl = default_blocklist(spark)
+    exact_blocked = {
+        r.doc_id
+        for r in blocklist_filter(frontier, bl).filter("keep = 0").collect()
+    }
+    hits = {
+        r.doc_id
+        for r in bloom_blocklist(frontier, bl).filter("bloom_hit = 1")
+        .collect()
+    }
+    assert exact_blocked  # fixture really exercises the blocklist
+    assert exact_blocked <= hits
+
+
+def test_bloom_false_positives_forced_at_tiny_m(spark):
+    """m = 8 bits with a 5-entry x 3-hash blocklist saturates the bit
+    array: unblocked hosts must now collide into hits (the anti-vacuous
+    check that membership really goes through the bit relation), while
+    the no-false-negative side still holds."""
+    from geocode_spark.textops.packing import (
+        blocklist_filter,
+        default_blocklist,
+        synthetic_frontier_corpus,
+    )
+    from geocode_spark.textops.sketch import bloom_blocklist
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    frontier = synthetic_frontier_corpus(docs)
+    bl = default_blocklist(spark)
+    exact_blocked = {
+        r.doc_id
+        for r in blocklist_filter(frontier, bl).filter("keep = 0").collect()
+    }
+    hits = {
+        r.doc_id
+        for r in bloom_blocklist(frontier, bl, m_bits=8, k=3)
+        .filter("bloom_hit = 1").collect()
+    }
+    assert exact_blocked <= hits
+    assert hits - exact_blocked  # false positives present by design
