@@ -587,3 +587,67 @@ SELECT h.doc_id, h.host,
        CAST(CASE WHEN hits.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
          AS bloom_hit
 FROM hosts h LEFT JOIN hits ON h.doc_id = hits.doc_id"""
+
+
+# --------------------------------------------------------------------------
+# HLL register merge — the operational primitive the register FORMAT
+# exists for: two crawls' sketches combine by per-bucket max without
+# re-scanning either corpus. max is associative and idempotent, so the
+# merged relation is IDENTICAL (not approximately equal) to the
+# single-pass registers over the union — an exact integer invariant the
+# gate pins: est_merged == est_single, row for row. The split here is a
+# deterministic md5 half ('0'-'7' vs '8'-'f' first hex char of the key),
+# rendered identically in both engines, standing in for "crawl 1" and
+# "crawl 2".
+
+
+def hll_merge(
+    df: DataFrame, key_col: str = "visitor", group_col: str = "segment"
+) -> DataFrame:
+    """(segment, est_merged, est_single): the per-group HLL estimate via
+    two half-sketches merged by per-bucket max, next to the single-pass
+    estimate over the whole relation. The columns are equal by the merge
+    invariant — the gate checks both against the twin."""
+    half = F.substring(F.md5(F.col(key_col)), 1, 1) < "8"
+    regs_a = hll_registers(df.filter(half), key_col, group_col)
+    regs_b = hll_registers(df.filter(~half), key_col, group_col)
+    merged_regs = (
+        regs_a.unionByName(regs_b)
+        .groupBy("segment", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    merged = hll_finish(merged_regs).select(
+        "segment", F.col("est_micro").alias("est_merged")
+    )
+    single = hll_finish(hll_registers(df, key_col, group_col)).select(
+        "segment", F.col("est_micro").alias("est_single")
+    )
+    return merged.join(single, "segment")
+
+
+def hll_merge_oracle_sql(source: str = SYNTHETIC_CRAWL_LOG_SQL) -> str:
+    """DuckDB twin: because per-bucket max over a union commutes with the
+    half-split, the twin derives BOTH columns from the single-pass
+    register relation — if the Spark merge path diverged in any register
+    the estimates would hash-mismatch."""
+    rho = _hll_rho_sql("substring(md5(visitor), 3, 13)")
+    est = (
+        f"CAST(round({_HLL_EST_NUM!r} / CAST(denom_occ + "
+        f"({HLL_M} - occupied) * {_HLL_POW50} AS DOUBLE), 0) AS BIGINT)"
+    )
+    return f"""
+WITH src AS ({source}), regs AS (
+  SELECT segment,
+         ('0x' || substr(md5(visitor), 1, 2))::BIGINT AS bucket,
+         CAST(max({rho}) AS INTEGER) AS rho
+  FROM src GROUP BY segment, ('0x' || substr(md5(visitor), 1, 2))::BIGINT
+), per_grp AS (
+  SELECT segment,
+         CAST(count(*) AS BIGINT) AS occupied,
+         CAST(sum(CASE WHEN rho <= 50
+                       THEN CAST(1 AS BIGINT) << (50 - rho)
+                       ELSE 0 END) AS BIGINT) AS denom_occ
+  FROM regs GROUP BY segment
+)
+SELECT segment, {est} AS est_merged, {est} AS est_single
+FROM per_grp"""

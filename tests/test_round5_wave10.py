@@ -122,3 +122,34 @@ def test_bloom_false_positives_forced_at_tiny_m(spark):
     }
     assert exact_blocked <= hits
     assert hits - exact_blocked  # false positives present by design
+
+
+# ------------------------------------------------------------- HLL merge
+def test_hll_registers_merge_exactly(spark):
+    """Registers of ANY disjoint split merged by per-bucket max equal the
+    single-pass registers — max is associative/idempotent, so the merge
+    invariant is exact, not approximate."""
+    from geocode_spark.textops.sketch import hll_merge, hll_registers
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 4).cast("string").alias("segment"),
+        F.concat(F.lit("v"), (F.col("id") % 700).cast("string"))
+        .alias("visitor"),
+    )
+    out = hll_merge(df).collect()
+    assert len(out) == 4
+    assert all(r.est_merged == r.est_single for r in out)
+
+    # three-way split, merged pairwise in arbitrary order
+    parts = [df.filter(F.pmod(F.col("id"), F.lit(3)) == i) for i in range(3)]
+    merged = None
+    for p in parts:
+        r = hll_registers(p)
+        merged = r if merged is None else (
+            merged.unionByName(r).groupBy("segment", "bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+    single = {(r.segment, r.bucket): r.rho
+              for r in hll_registers(df).collect()}
+    got = {(r.segment, r.bucket): r.rho for r in merged.collect()}
+    assert got == single
