@@ -186,34 +186,108 @@ FROM {corpus_sql(source)} GROUP BY 1
 
 
 # -------------------------------------------------------------- n-gram Jaccard
+def _doc_int_sets(sh: DataFrame) -> DataFrame:
+    """Dictionary-encode a shingle relation into per-doc SORTED int arrays.
+
+    Returns (doc_id, n_sh, sids) where sids is the doc's shingle set as a
+    sorted array of vocabulary ranks (rank order = ascending global document
+    frequency, ties by shingle string — the exact prefix-filter order). The
+    encoding is a pure bijection on the gate's shingle universe, so every
+    count computed on sids (intersections, prefixes, positions) equals the
+    same count on the string sets; downstream joins and verifies then move
+    4-byte ints instead of ~20-byte strings and array_intersect hashes longs
+    instead of UTF8 strings (guide §2.3 "narrower types" — measured 19x on
+    the containment verify at sf1.0). The sorted array also encodes each
+    element's global-order RANK as its position, which is what the ppjoin
+    positional filter needs, replacing the per-doc row_number window of the
+    string form with one groupBy.
+
+    Scale note: the vocabulary ranking is a single-partition window over the
+    DISTINCT-shingle relation — fine at vocabulary scale (28k distinct
+    shingles for the 66k-doc gate corpus; vocabularies grow sublinearly in
+    corpus size). At 100 TB swap in the standard two-pass id assignment
+    (per-partition counts -> prefix-sum offsets), which preserves the same
+    (df, shingle) order; nothing downstream depends on HOW ranks are
+    assigned, only that they are that order's ranks.
+    """
+    from pyspark.sql.window import Window
+
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    vocab = freq.select(
+        "shingle",
+        F.row_number()
+        .over(Window.orderBy(F.col("df").asc(), F.col("shingle").asc()))
+        .alias("sid"),
+    )
+    return (
+        ex.join(vocab, "shingle")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
+        .withColumn("n_sh", F.size("sids"))
+    )
+
+
+def _ceil_t_n(threshold: float, n: Column) -> Column:
+    """ceil(threshold * n) as an exact integer column, with the module's
+    1e-9 guard against IEEE t*n landing a hair above an integer (erring
+    low only lengthens prefixes / loosens filters — never drops a pair)."""
+    return F.ceil(F.lit(float(threshold)) * n - F.lit(1e-9))
+
+
+def _jaccard_collisions(docint: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-collision rows (id_a, id_b, n_a, n_b) for the Jaccard join,
+    id_a < id_b, NOT deduplicated (one row per surviving prefix collision).
+
+    Beyond the classic prefix filter this applies two further exact-safe
+    prunes (Xiao et al. 2008, ppjoin):
+      - size filter: J >= t forces min(n_a,n_b) >= ceil(t*max(n_a,n_b));
+      - positional filter: a collision at sorted positions (i, j) bounds the
+        overlap by 1 + min(n_a-i-1, n_b-j-1); a qualifying pair always
+        survives via its FIRST collision in the global order (all common
+        elements sit at ranks >= that collision's on both sides), so
+        filtering every collision row keeps candidate generation complete.
+    Both prunes only shrink the candidate set; exact verification on the
+    full sets removes all remaining false positives, so the operator output
+    is unchanged."""
+    plen = F.col("n_sh") - _ceil_t_n(threshold, F.col("n_sh")) + 1
+    pref = docint.select(
+        "doc_id",
+        "n_sh",
+        F.posexplode(F.slice("sids", F.lit(1), plen)).alias("_p", "sid"),
+    )
+    a = pref.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"),
+        F.col("_p").alias("p_a"), "sid",
+    )
+    b = pref.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"),
+        F.col("_p").alias("p_b"), "sid",
+    )
+    c_min = _ceil_t_n(threshold, F.greatest("n_a", "n_b"))
+    return (
+        a.join(b, "sid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.least("n_a", "n_b") >= c_min)
+        .filter(
+            1 + F.least(
+                F.col("n_a") - F.col("p_a") - 1,
+                F.col("n_b") - F.col("p_b") - 1,
+            )
+            >= c_min
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+    )
+
+
 def ngram_prefix_candidates(sh: DataFrame, threshold: float = 0.8) -> DataFrame:
     """AllPairs/ppjoin prefix-filter candidate pairs over a shingle relation
     (doc_id, shingles, n_sh). Exposed separately so skew tests can pin the
     candidate COUNT: a corpus-wide hot shingle (template boilerplate) must
     fall out of every prefix, keeping candidates bounded by the rare tail."""
-    from pyspark.sql.window import Window
-
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
-    freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
-    prefix_len = (
-        F.col("n_sh")
-        - F.ceil(F.lit(float(threshold)) * F.col("n_sh") - F.lit(1e-9))
-        + 1
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("df").asc(), F.col("shingle").asc()
-    )
-    pref = (
-        ex.join(freq, "shingle")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= prefix_len)
-        .select("doc_id", "shingle")
-    )
-    a = pref.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = pref.select(F.col("doc_id").alias("id_b"), "shingle")
+    docint = _doc_int_sets(sh)
     return (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        _jaccard_collisions(docint, threshold)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -241,20 +315,32 @@ def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
     against IEEE t*n landing a hair above an integer, which would shorten a
     prefix and break completeness; erring long only adds candidates.
 
-    The shingle relation is persist()ed (MEMORY_AND_DISK): it feeds four plan
-    branches (prefix, frequency, and both verification sides) and Spark does
-    not materialize common subtrees, so without it the Arrow shingle stage
-    re-runs once per branch.
+    r6 optimization (guide §2.3/§3.1): the whole join runs over the
+    dictionary-encoded int form (_doc_int_sets) — candidate keys, positional
+    prunes and the exact verify all move 4-byte ints instead of ~20-byte
+    shingle strings, and verification intersects sorted int arrays instead
+    of hashing UTF8 strings. Candidate rows are verified PER COLLISION and
+    deduplicated after the (tiny) qualifying output instead of hash-
+    aggregating the tens-of-millions-row candidate set first: the verify is
+    row-local compute over broadcast-attached arrays, so duplicate
+    collisions (bounded by the prefix length) are cheaper than a corpus-
+    pairs-sized exchange. Output is bit-identical to the string form — the
+    encoding is a bijection, counts are counts.
+
+    Both persisted relations (shingles, int sets) feed multiple plan
+    branches and Spark does not materialize common subtrees, so without the
+    persists the Arrow shingle stage re-runs once per branch.
     """
     sh = persist_tracked(with_shingles(corpus))
-    cand = ngram_prefix_candidates(sh, threshold)
+    docint = persist_tracked(_doc_int_sets(sh))
+    coll = _jaccard_collisions(docint, threshold)
 
-    sa = sh.select(F.col("doc_id").alias("id_a"),
-                   F.col("shingles").alias("sh_a"), F.col("n_sh").alias("n_a"))
-    sb = sh.select(F.col("doc_id").alias("id_b"),
-                   F.col("shingles").alias("sh_b"), F.col("n_sh").alias("n_b"))
-    v = cand.join(sa, "id_a").join(sb, "id_b")
-    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    sa = docint.select(F.col("doc_id").alias("id_a"),
+                       F.col("sids").alias("sids_a"))
+    sb = docint.select(F.col("doc_id").alias("id_b"),
+                       F.col("sids").alias("sids_b"))
+    v = coll.join(sa, "id_a").join(sb, "id_b")
+    common = F.size(F.array_intersect("sids_a", "sids_b"))
     jac = common.cast("double") / (
         F.col("n_a") + F.col("n_b") - common
     ).cast("double")
@@ -262,6 +348,7 @@ def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
         v.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .distinct()
     )
 
 
@@ -785,42 +872,70 @@ def containment_pairs(corpus: DataFrame,
                       permille: int = CONTAIN_PERMILLE) -> DataFrame:
     """(id_src, id_dst, containment_permille): ordered pairs where at
     least permille/1000 of id_src's word-3-shingles also occur in
-    id_dst's (id_src != id_dst)."""
-    from pyspark.sql.window import Window
+    id_dst's (id_src != id_dst).
 
+    r6 optimization (before: 281.6 s of the 841.5 s sf1.0 bench; after
+    measured ~15 s cold / less under the bench's warm-cache protocol): the
+    sf1.0 gate corpus is pathologically dense (66k docs over a 28k-shingle
+    vocabulary), so the prefix-vs-full-index join emits 82M collision rows
+    -> 79.4M DISTINCT candidate pairs, and the old verify shipped BOTH
+    docs' full string-shingle arrays to every candidate row (~80 GB of
+    array copies) and string-hash array_intersect'ed each — measured
+    319.6 s of the 325 s total. Three exact-output-preserving changes
+    (guide §2.3 narrower types, §3.1 broadcast the small side, Xiao et al.
+    2008 positional filter):
+      1. everything runs on _doc_int_sets' sorted int arrays — join keys,
+         prefixes and the verify intersect move ints, not strings;
+      2. a ppjoin-style positional filter prunes collisions that provably
+         cannot reach ceil(t*|A|) overlap: at a collision at sorted
+         positions (i, j), overlap <= 1 + min(n_a-i-1, n_b-j-1); a
+         qualifying pair always survives via its FIRST collision in the
+         global df order (its rarest common shingle sits within A's prefix
+         AND within B's first n_b - c_min + 1 ranks — the set-containment
+         index-prefix lemma), so completeness holds collision-by-collision;
+      3. verification runs per collision row against the attached int
+         arrays, and the output (43.5k rows at sf1.0) is deduplicated at
+         the END — dropping the 79M-pair hash aggregate entirely. Each
+         duplicate collision re-verifies (dup factor bounded by the prefix
+         length), far cheaper row-local work than a pairs-sized exchange.
+    """
     sh = persist_tracked(with_shingles(corpus))
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
-    freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
-    t = int(permille) / 1000.0
-    prefix_len = (
-        F.col("n_sh")
-        - F.ceil(F.lit(t) * F.col("n_sh") - F.lit(1e-9))
-        + 1
+    docint = persist_tracked(_doc_int_sets(sh))
+    # c_min = ceil(permille/1000 * n) in exact integer arithmetic; equals
+    # the old float ceil(t*n - 1e-9) for every integer n, permille <= 1000
+    c_min_a = f"(({int(permille)} * n_sh + 999) div 1000)"
+    pref = docint.select(
+        F.col("doc_id").alias("id_src"),
+        F.col("n_sh").alias("n_a"),
+        F.expr(c_min_a).alias("c_min"),
+        F.posexplode(
+            F.expr(f"slice(sids, 1, n_sh - {c_min_a} + 1)")
+        ).alias("p_a", "sid"),
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("df").asc(), F.col("shingle").asc()
+    full = docint.select(
+        F.col("doc_id").alias("id_dst"),
+        F.col("n_sh").alias("n_b"),
+        F.posexplode("sids").alias("p_b", "sid"),
     )
-    pref = (
-        ex.join(freq, "shingle")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= prefix_len)
-        .select(F.col("doc_id").alias("id_src"), "shingle")
-    )
-    full = ex.select(F.col("doc_id").alias("id_dst"), "shingle")
-    cand = (
-        pref.join(full, "shingle")
+    coll = (
+        pref.join(full, "sid")
         .filter(F.col("id_src") != F.col("id_dst"))
-        .select("id_src", "id_dst")
-        .distinct()
+        .filter(
+            1 + F.least(
+                F.col("n_a") - F.col("p_a") - 1,
+                F.col("n_b") - F.col("p_b") - 1,
+            )
+            >= F.col("c_min")
+        )
+        .select("id_src", "id_dst", "n_a")
     )
-    sa = sh.select(F.col("doc_id").alias("id_src"),
-                   F.col("shingles").alias("sh_a"),
-                   F.col("n_sh").alias("n_a"))
-    sb = sh.select(F.col("doc_id").alias("id_dst"),
-                   F.col("shingles").alias("sh_b"))
-    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    sa = docint.select(F.col("doc_id").alias("id_src"),
+                       F.col("sids").alias("sids_a"))
+    sb = docint.select(F.col("doc_id").alias("id_dst"),
+                       F.col("sids").alias("sids_b"))
+    common = F.size(F.array_intersect("sids_a", "sids_b")).cast("bigint")
     return (
-        cand.join(sa, "id_src").join(sb, "id_dst")
+        coll.join(sa, "id_src").join(sb, "id_dst")
         .withColumn("_common", common)
         .filter(
             F.col("_common") * 1000 >= F.lit(int(permille)) * F.col("n_a")
@@ -830,6 +945,7 @@ def containment_pairs(corpus: DataFrame,
             F.expr("(_common * 1000) div n_a")
             .cast("bigint").alias("containment_permille"),
         )
+        .distinct()
     )
 
 
