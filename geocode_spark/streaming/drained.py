@@ -32,17 +32,52 @@ from pyspark.sql import functions as F
 # 24/7 stream sizes this to state VOLUME instead.
 DRAIN_SHUFFLE_PARTITIONS = 8
 
+# r6: each micro-batch reads ONE staged file, so the pre-shuffle stage of
+# every drained plan (scan + tokenize/md5/geocode + partial agg) ran as a
+# single task regardless of core count — measured 37.3 s addBatch vs 0.75 s
+# for the identical batch plan over the FULL table at sf1.0 (guide §2.5
+# input skew: one unsplittable-in-practice file). Staged files are therefore
+# written with small parquet row groups (block size below) and drains read
+# with a matching small maxPartitionBytes, so the one-file-per-micro-batch
+# contract (2 files -> 2 batches, unchanged) no longer serializes the scan.
+DRAIN_PARQUET_BLOCK_BYTES = 4 * 1024 * 1024
+# staging-format version for the reusable pages source (bump when the
+# staged layout changes so stale /tmp dirs are never reused)
+PAGES_STAGE_VERSION = "ranksplit-v3"
+DRAIN_MAX_PARTITION_BYTES = 4 * 1024 * 1024
+
 
 @contextmanager
 def _drain_partitions(spark: SparkSession):
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(DRAIN_SHUFFLE_PARTITIONS)
+    )
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(DRAIN_MAX_PARTITION_BYTES)
     )
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
+
+
+def _write_half(df: DataFrame, path: str) -> None:
+    """Write one micro-batch half as ONE splittable parquet file.
+
+    repartition(1), not coalesce(1): coalesce pulls the ENTIRE upstream
+    (filters, md5 bucketing, rank windows) into the single writer task;
+    repartition keeps the upstream parallel and serializes only the final
+    encode. The small row-group size keeps the single file splittable for
+    the drain-side scan (see DRAIN_PARQUET_BLOCK_BYTES)."""
+    (
+        df.repartition(1)
+        .write.mode("append")
+        .option("parquet.block.size", str(DRAIN_PARQUET_BLOCK_BYTES))
+        .parquet(path)
+    )
 
 
 def _events_source(spark: SparkSession, sf_dir: str, root: str) -> str:
@@ -74,15 +109,22 @@ def _events_source(spark: SparkSession, sf_dir: str, root: str) -> str:
     # n >= 2. The global window is one task — fine for a gate-sized input;
     # production streams never take this path.
     w = Window.orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
-    ranked = events.withColumn("_rn", F.row_number().over(w))
-    n = ranked.count()
-    if n < 2:
-        raise ValueError(f"events source has {n} rows — cannot 2-batch split")
-    half = n // 2
-    first = ranked.filter(F.col("_rn") <= half).drop("_rn")
-    second = ranked.filter(F.col("_rn") > half).drop("_rn")
-    first.coalesce(1).write.mode("append").parquet(src)
-    second.coalesce(1).write.mode("append").parquet(src)
+    # persist: the ranked relation feeds the size check AND both half
+    # writes — without it the one-task global window runs three times
+    ranked = events.withColumn("_rn", F.row_number().over(w)).persist()
+    try:
+        n = ranked.count()
+        if n < 2:
+            raise ValueError(
+                f"events source has {n} rows — cannot 2-batch split"
+            )
+        half = n // 2
+        first = ranked.filter(F.col("_rn") <= half).drop("_rn")
+        second = ranked.filter(F.col("_rn") > half).drop("_rn")
+        _write_half(first, src)
+        _write_half(second, src)
+    finally:
+        ranked.unpersist()
     return src
 
 
@@ -163,7 +205,8 @@ def _pages_stream_source(spark: SparkSession, fixtures_dir: str) -> str:
     pages_path = f"{fixtures_dir}/pages.parquet"
     st = os.stat(pages_path)
     key = hashlib.md5(
-        f"{fixtures_dir}|{st.st_mtime_ns}|{st.st_size}|ranksplit-v2".encode()
+        f"{fixtures_dir}|{st.st_mtime_ns}|{st.st_size}|{PAGES_STAGE_VERSION}"
+        .encode()
     ).hexdigest()[:16]
     src = f"{tempfile.gettempdir()}/gs_drain_pages_{key}"
     if not os.path.exists(f"{src}/_HALVES_OK"):
@@ -179,15 +222,21 @@ def _pages_stream_source(spark: SparkSession, fixtures_dir: str) -> str:
         # production streams arrive pre-split into many files and never
         # take this path.
         w = Window.orderBy("url")
-        ranked = pages.withColumn("_rn", F.row_number().over(w))
-        n = ranked.count()
-        if n < 2:
-            raise ValueError(f"pages source has {n} rows — cannot 2-batch split")
-        half = n // 2
-        first = ranked.filter(F.col("_rn") <= half).drop("_rn")
-        second = ranked.filter(F.col("_rn") > half).drop("_rn")
-        first.coalesce(1).write.mode("append").parquet(tmp)
-        second.coalesce(1).write.mode("append").parquet(tmp)
+        # persist: feeds the size check and both half writes (3 uses)
+        ranked = pages.withColumn("_rn", F.row_number().over(w)).persist()
+        try:
+            n = ranked.count()
+            if n < 2:
+                raise ValueError(
+                    f"pages source has {n} rows — cannot 2-batch split"
+                )
+            half = n // 2
+            first = ranked.filter(F.col("_rn") <= half).drop("_rn")
+            second = ranked.filter(F.col("_rn") > half).drop("_rn")
+            _write_half(first, tmp)
+            _write_half(second, tmp)
+        finally:
+            ranked.unpersist()
         # success marker distinct from Spark's _SUCCESS: set only after BOTH
         # sequential half-writes committed.
         with open(f"{tmp}/_HALVES_OK", "w") as fh:
@@ -228,14 +277,18 @@ def _dup_corpus_source(spark: SparkSession, sf_dir: str, root: str) -> str:
     )
     # one-task global window — gate-sized staging input only
     w = Window.orderBy(F.md5("text"), F.col("doc_id"))
-    ranked = corpus.withColumn("_rn", F.row_number().over(w))
-    n = ranked.count()
-    if n < 2:
-        raise ValueError(f"dup corpus has {n} rows — cannot 2-batch split")
-    first = ranked.filter(F.col("_rn") % 2 == 1).drop("_rn")
-    second = ranked.filter(F.col("_rn") % 2 == 0).drop("_rn")
-    first.coalesce(1).write.mode("append").parquet(src)
-    second.coalesce(1).write.mode("append").parquet(src)
+    # persist: feeds the size check and both half writes (3 uses)
+    ranked = corpus.withColumn("_rn", F.row_number().over(w)).persist()
+    try:
+        n = ranked.count()
+        if n < 2:
+            raise ValueError(f"dup corpus has {n} rows — cannot 2-batch split")
+        first = ranked.filter(F.col("_rn") % 2 == 1).drop("_rn")
+        second = ranked.filter(F.col("_rn") % 2 == 0).drop("_rn")
+        _write_half(first, src)
+        _write_half(second, src)
+    finally:
+        ranked.unpersist()
     return src
 
 
@@ -312,8 +365,8 @@ def _docs_split_source(spark: SparkSession, sf_dir: str, root: str) -> str:
     second = docs.filter(F.col("doc_id") % 2 == 1)
     if first.limit(1).count() == 0 or second.limit(1).count() == 0:
         raise ValueError("parity split left an empty micro-batch")
-    first.coalesce(1).write.mode("append").parquet(src)
-    second.coalesce(1).write.mode("append").parquet(src)
+    _write_half(first, src)
+    _write_half(second, src)
     return src
 
 
@@ -373,8 +426,8 @@ def _points_split_source(spark: SparkSession, points: DataFrame,
     second = bucketed.filter(F.col("_b") == 1).drop("_b")
     if first.limit(1).count() == 0 or second.limit(1).count() == 0:
         raise ValueError("md5 parity split left an empty micro-batch")
-    first.coalesce(1).write.mode("append").parquet(src)
-    second.coalesce(1).write.mode("append").parquet(src)
+    _write_half(first, src)
+    _write_half(second, src)
     return src
 
 
@@ -436,8 +489,8 @@ def _crawl_split_source(spark: SparkSession, log: DataFrame,
     second = bucketed.filter(F.col("_b") == 1).drop("_b")
     if first.limit(1).count() == 0 or second.limit(1).count() == 0:
         raise ValueError("md5 parity split left an empty micro-batch")
-    first.coalesce(1).write.mode("append").parquet(src)
-    second.coalesce(1).write.mode("append").parquet(src)
+    _write_half(first, src)
+    _write_half(second, src)
     return src
 
 

@@ -192,8 +192,11 @@ def test_drained_geocode_runs_multiple_micro_batches(spark, fixtures_dir, tmp_pa
     # fixture fingerprint so the rank-split write path itself is exercised
     pages_path = f"{fixtures_dir}/pages.parquet"
     st = os.stat(pages_path)
+    from geocode_spark.streaming.drained import PAGES_STAGE_VERSION
+
     key = hashlib.md5(
-        f"{fixtures_dir}|{st.st_mtime_ns}|{st.st_size}|ranksplit-v2".encode()
+        f"{fixtures_dir}|{st.st_mtime_ns}|{st.st_size}|{PAGES_STAGE_VERSION}"
+        .encode()
     ).hexdigest()[:16]
     staged = f"{tempfile.gettempdir()}/gs_drain_pages_{key}"
     shutil.rmtree(staged, ignore_errors=True)
