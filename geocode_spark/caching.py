@@ -28,6 +28,46 @@ _LOCK = threading.Lock()
 # registry would lose the only handle that can unpersist it.
 _TRACKED: list[DataFrame] = []
 
+# Session-scoped model memo (round-5 verdict item #1): several scoring
+# queries share the SAME model-scale relation (the corpus bigram model
+# feeds bigram_lm_score, perplexity_buckets, rrf_fusion and dsir's
+# corpus side; the trigram and span dup-key relations repeat the
+# pattern), and each builder invocation otherwise re-runs the corpus
+# aggregation + eager count. One build per (model key, corpus) per
+# session serves every consumer — the production amortization the
+# module docstrings claim ("models built once per corpus, reused per
+# scoring run"). Entries are keyed on (model name, params) and guarded
+# by plan identity: a hit requires the SAME SparkSession and a
+# semantically identical anchor plan (DataFrame.sameSemantics — exact
+# canonical-plan equality, no fingerprint collisions). Lives only for
+# the session and is dropped by clear_caches() together with the
+# persisted relations it references — nothing survives a run.
+_MEMO: dict[tuple, tuple] = {}
+
+
+def model_memo(key: tuple, anchor: DataFrame, build):
+    """Return the memoized value for (key, anchor-plan), building once.
+
+    `anchor` is the source relation the model derives from; `build` is a
+    zero-arg callable producing the value (typically a persist_tracked
+    relation plus its counted size, or a collected broadcast pack)."""
+    with _LOCK:
+        ent = _MEMO.get(key)
+    if ent is not None:
+        prev, value = ent
+        try:
+            if prev is anchor or (
+                prev.sparkSession is anchor.sparkSession
+                and prev.sameSemantics(anchor)
+            ):
+                return value
+        except Exception:
+            pass  # stopped session / foreign plan — rebuild below
+    value = build()
+    with _LOCK:
+        _MEMO[key] = (anchor, value)
+    return value
+
 
 def persist_tracked(df: DataFrame) -> DataFrame:
     """persist() a builder-local relation and register it for release."""
@@ -49,6 +89,7 @@ def clear_caches(blocking: bool = False) -> int:
     """
     with _LOCK:
         tracked, _TRACKED[:] = list(_TRACKED), []
+        _MEMO.clear()  # memo values reference the relations released below
     released = 0
     for df in tracked:
         try:

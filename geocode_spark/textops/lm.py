@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import persist_tracked
+from ..caching import model_memo, persist_tracked
 from .textstats import ws_word_array, ws_word_array_sql
 
 LP_SCALE = 1_000_000  # micro-nats
@@ -103,6 +103,26 @@ def _bigram_pairs(docs: DataFrame, text_col: str, extra_cols=()):
 
 
 
+def _bigram_model(docs: DataFrame, pairs: DataFrame, text_col: str,
+                  memo_key: str = "bigram_c2"):
+    """(c2 persisted, |distinct bigrams|) — built ONCE per (corpus,
+    text_col) per session via the model memo (round-5 verdict item #1):
+    bigram_lm_score, perplexity_buckets, rrf_fusion and dsir_log_ratio's
+    corpus side all consume the identical relation, and re-running the
+    corpus kernel pass + aggregation + eager count per consumer was the
+    measured gate-scale fixed cost (~0.4-1.3 s/query at sf0.1)."""
+
+    def build():
+        c2 = persist_tracked(
+            pairs.groupBy("k1", "k2").agg(
+                F.count("*").cast("bigint").alias("c2")
+            )
+        )
+        return c2, c2.count()  # metadata-scale action: |distinct bigrams|
+
+    return model_memo((memo_key, text_col), docs, build)
+
+
 def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_bigrams, nll_micro): negative log-likelihood of each
     document under the corpus's own add-one-smoothed bigram model, in exact
@@ -122,13 +142,7 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from .spans import _collect_sorted_keys, score_pairs_membership
 
     based, pairs = _bigram_pairs(docs, text_col)
-
-    c2 = persist_tracked(
-        pairs.groupBy("k1", "k2").agg(
-            F.count("*").cast("bigint").alias("c2")
-        )
-    )
-    n_model = c2.count()  # metadata-scale action: |distinct bigrams|
+    c2, n_model = _bigram_model(docs, pairs, text_col)
     c1 = c2.groupBy("k1").agg(F.sum("c2").cast("bigint").alias("c1"))
     vocab = c2.agg(F.count_distinct("k2").cast("bigint").alias("v"))
     lm = (
@@ -145,7 +159,10 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
     if n_model <= _model_broadcast_rows():
-        pack = _collect_sorted_keys(lm, n_model, "lp_micro")
+        pack = model_memo(
+            ("bigram_pack", text_col), docs,
+            lambda: _collect_sorted_keys(lm, n_model, "lp_micro"),
+        )
         return score_pairs_membership(
             based.select("doc_id", "txt"), pack
         ).select(
@@ -196,12 +213,15 @@ def trigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     based = docs.select("doc_id", F.lower(F.col(text_col)).alias("txt"))
     trips = word_context_keys(based, ctx=2)
 
-    c3 = persist_tracked(
-        trips.groupBy("k1", "k2").agg(
-            F.count("*").cast("bigint").alias("c3")
+    def _build_c3():
+        c3 = persist_tracked(
+            trips.groupBy("k1", "k2").agg(
+                F.count("*").cast("bigint").alias("c3")
+            )
         )
-    )
-    n_model = c3.count()  # metadata-scale action: |distinct trigrams|
+        return c3, c3.count()  # metadata-scale: |distinct trigrams|
+
+    c3, n_model = model_memo(("trigram_c3", text_col), docs, _build_c3)
     cctx = c3.groupBy("k1").agg(F.sum("c3").cast("bigint").alias("c1"))
     vocab = c3.agg(F.count_distinct("k2").cast("bigint").alias("v"))
     lm = (
@@ -218,7 +238,10 @@ def trigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
     if n_model <= _model_broadcast_rows():
-        pack = _collect_sorted_keys(lm, n_model, "lp_micro")
+        pack = model_memo(
+            ("trigram_pack", text_col), docs,
+            lambda: _collect_sorted_keys(lm, n_model, "lp_micro"),
+        )
         return score_pairs_membership(based, pack, ctx=2).select(
             "doc_id",
             F.col("n_pairs").alias("n_trigrams"),
@@ -419,17 +442,22 @@ def dsir_log_ratio(
         docs.filter(F.col("source") == target_source), text_col
     )
 
-    def model(rel):
-        return persist_tracked(
-            rel.groupBy("k1", "k2").agg(
+    # corpus model: the SAME relation bigram_lm_score builds (identical
+    # plan) — shared through the model memo, so whichever family member
+    # runs first pays the build
+    c2c, n_c = _bigram_model(docs, occ, text_col)
+
+    def _build_tgt():
+        c2t = persist_tracked(
+            tgt_pairs.groupBy("k1", "k2").agg(
                 F.count("*").cast("bigint").alias("c2")
             )
         )
+        return c2t, c2t.count()  # metadata-scale: target-subset bigrams
 
-    c2c = model(occ)
-    n_c = c2c.count()  # metadata-scale: |distinct bigrams|, whole corpus
-    c2t = model(tgt_pairs)
-    n_t = c2t.count()  # metadata-scale: |distinct bigrams|, target subset
+    c2t, n_t = model_memo(
+        ("dsir_tgt_c2", target_source, text_col), docs, _build_tgt
+    )
     if n_t == 0:
         raise ValueError(
             f"dsir_log_ratio: target_source {target_source!r} matched "
@@ -471,7 +499,10 @@ def dsir_log_ratio(
     )
 
     if n_c <= _model_broadcast_rows():
-        pack = _collect_sorted_keys(delta, n_c, "d")
+        pack = model_memo(
+            ("dsir_delta_pack", target_source, text_col), docs,
+            lambda: _collect_sorted_keys(delta, n_c, "d"),
+        )
         return score_pairs_membership(
             based.select("doc_id", "txt"), pack
         ).select(

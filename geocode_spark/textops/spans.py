@@ -69,7 +69,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..caching import persist_tracked
+from ..caching import model_memo, persist_tracked
 from .textstats import ws_word_array_sql
 
 DEFAULT_WINDOW = 8  # words per span at sandbox doc sizes (Lee et al. use 50)
@@ -944,10 +944,19 @@ def span_dup_stats(
     """
     w = int(window)
     base = docs.select("doc_id", F.lower(F.col(text_col)).alias("txt"))
-    dup = persist_tracked(_dup_keys_rel(base, w))
-    n_dup = dup.count()  # metadata-scale: |distinct duplicated windows|
+
+    def _build_dup():
+        dup = persist_tracked(_dup_keys_rel(base, w))
+        return dup, dup.count()  # metadata-scale: |distinct dup windows|
+
+    # one dup-key build per (corpus, window) per session (model memo —
+    # round-5 verdict item #1); the warm pass pays it, consumers reuse
+    dup, n_dup = model_memo(("span_dup_stats", text_col, w), docs, _build_dup)
     if n_dup <= _broadcast_key_rows():
-        pack = _collect_sorted_keys(dup, n_dup)
+        pack = model_memo(
+            ("span_dup_stats_pack", text_col, w), docs,
+            lambda: _collect_sorted_keys(dup, n_dup),
+        )
         return _stats_membership(base, w, pack)
     # drop the kernel's position column BEFORE the exchange — stats never
     # use it, and it would otherwise ride the corpus-sized shuffle. The
@@ -1008,10 +1017,19 @@ def span_dedup_rewrite(
         "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("text")
     )
     lowered = base.select("doc_id", F.lower("text").alias("txt"))
-    dup = persist_tracked(_dup_keys_rel(lowered, w))
-    n_dup = dup.count()  # metadata-scale: |distinct duplicated windows|
+
+    def _build_dup():
+        dup = persist_tracked(_dup_keys_rel(lowered, w))
+        return dup, dup.count()  # metadata-scale: |distinct dup windows|
+
+    dup, n_dup = model_memo(
+        ("span_dup_rewrite", text_col, w), docs, _build_dup
+    )
     if n_dup <= _broadcast_key_rows():
-        pack = _collect_sorted_keys(dup, n_dup)
+        pack = model_memo(
+            ("span_dup_rewrite_pack", text_col, w), docs,
+            lambda: _collect_sorted_keys(dup, n_dup),
+        )
         src = base.select("doc_id", "text", F.lower("text").alias("txt"))
         return _rewrite_membership(src, w, pack)
     # duplicated starts via a semi-join against the ALREADY-PERSISTED
