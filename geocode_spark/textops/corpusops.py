@@ -63,6 +63,41 @@ def dedup_clusters(corpus: DataFrame, threshold: float = 0.8,
     if edges is None:
         edges = minhash_lsh_pairs(corpus, threshold=threshold)
     edges = edges.select("id_a", "id_b")
+
+    from ..operators.graph import _collect_edges_capped, _graph_pack_rows
+
+    # near-dup pair graphs are metadata-scale (edge-touched nodes only —
+    # singletons never enter); below the pack budget the min-label
+    # fixpoint runs as one vectorized pass on the collected pair list
+    # instead of per-round Spark jobs, stitched back by the SAME final
+    # corpus join (graph._graph_pack_rows has the discipline note; the
+    # distributed loop below is the over-budget fallback)
+    packed = _collect_edges_capped(edges, _graph_pack_rows())
+    if packed is not None:
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.graph import _packed_min_labels
+
+        src, dst = packed
+        ids = np.sort(np.unique(np.concatenate([src, dst])))
+        comp = _packed_min_labels(ids, src, dst)
+        labels = corpus.sparkSession.createDataFrame(
+            pd.DataFrame({"doc_id": ids, "lab": comp}),
+            schema="doc_id bigint, lab bigint",
+        )
+        return (
+            corpus.select("doc_id")
+            .join(labels, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("lab", "doc_id").alias("cluster_id"),
+                (F.col("doc_id") == F.coalesce("lab", "doc_id"))
+                .cast("int")
+                .alias("is_canonical"),
+            )
+        )
+
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

@@ -585,17 +585,21 @@ def simhash_pairs(corpus: DataFrame,
                       F.col("simhash").alias("h_a"), "chunk", "ck")
     b = chunks.select(F.col("doc_id").alias("id_b"),
                       F.col("simhash").alias("h_b"), "chunk", "ck")
-    cand = (
-        a.join(b, on=["chunk", "ck"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .distinct()
-    )
+    # verify per COLLISION row and dedup only the qualifying output (the
+    # containment-join discipline): bit_count is a comparison-cheap
+    # codegen filter, so evaluating it before the exchange means the
+    # distinct shuffles |qualifying pairs| x (<= SIMHASH_CHUNKS dup hits)
+    # rows instead of the full collision volume — a hot chunk value
+    # (boilerplate-heavy corpora) otherwise pushes its c^2/2 collision
+    # rows through the exchange just to drop them after
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("bigint")
     return (
-        cand.withColumn("hamming", ham)
+        a.join(b, on=["chunk", "ck"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -88,13 +88,33 @@ def _round_half_up(a, decimals: int = 6):
 
 
 def _fold_dots(q, m):
-    """(b,d)x(n,d) -> (b,n) dot products, left-to-right over dimensions."""
+    """(b,d)x(n,d) -> (b,n) dot products, left-to-right over dimensions.
+
+    BLAS matmul reorders the d-dimensional reduction, so the oracle's
+    exact left-to-right fold (DuckDB list_sum) must stay a per-dimension
+    accumulation — but the naive full-matrix fold round-trips the whole
+    (b, n) accumulator through DRAM d times (measured ~10x the compute
+    cost at semdedup's ~3k-row cells). Tile over both operands so the
+    accumulator block stays cache-resident; each element still
+    accumulates in ascending-dimension order from zero, so every result
+    is bit-identical to the untiled fold."""
     import numpy as np
 
-    acc = np.zeros((q.shape[0], m.shape[0]))
-    for j in range(q.shape[1]):
-        acc += q[:, j : j + 1] * m[None, :, j]
-    return acc
+    b, n = q.shape[0], m.shape[0]
+    d = q.shape[1]
+    out = np.empty((b, n))
+    tb, tn = 64, 1024  # 64x1024x8 = 512 KB accumulator block
+    for i0 in range(0, b, tb):
+        i1 = min(i0 + tb, b)
+        qt = q[i0:i1]
+        for j0 in range(0, n, tn):
+            j1 = min(j0 + tn, n)
+            mt = m[j0:j1]
+            acc = np.zeros((i1 - i0, j1 - j0))
+            for j in range(d):
+                acc += qt[:, j : j + 1] * mt[None, :, j]
+            out[i0:i1, j0:j1] = acc
+    return out
 
 
 def _fold_nsq(m):
@@ -472,6 +492,16 @@ def _kmeans_centroids(emb: DataFrame, n_centroids: int, iters: int):
     argument)."""
     import numpy as np
 
+    from ..caching import persist_tracked
+
+    # one materialization serves the seed pass + every Lloyd round + the
+    # caller's final assignment pass (MLlib's own iterative-training
+    # discipline); without it each round re-runs the scan (and, for a
+    # split-starved input, its spreading exchange — measured ~1.4 s extra
+    # at sf0.1 across semdedup's passes). Persist the PROJECTION, not the
+    # raw relation: caching all columns would widen the scan's ReadSchema
+    # and break column pruning (pinned by test_plans).
+    emb = persist_tracked(emb.select("vec_id", "embedding"))
     centid, centmat, centnsq = _seed_centroids(emb, n_centroids)
     base = emb.select("vec_id", "embedding")
     sc = emb.sparkSession.sparkContext
@@ -803,6 +833,30 @@ def _near_dup_table_keys(embedding: pd.Series) -> pd.Series:
     return pd.Series(list(keys))
 
 
+def _pairwise_cosine_rows(a, b):
+    """(n,d),(n,d) -> (n,) rounded cosines with the module's exact
+    left-to-right dimension fold (== _fold_dots == DuckDB list_sum),
+    tiled so the three accumulators stay cache-resident instead of
+    round-tripping full-length vectors through DRAM once per dimension."""
+    import numpy as np
+
+    n, d = a.shape
+    out = np.empty(n)
+    step = 8192
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        ac, bc = a[s:e], b[s:e]
+        dot = np.zeros(e - s)
+        nsq_a = np.zeros(e - s)
+        nsq_b = np.zeros(e - s)
+        for j in range(d):
+            dot += ac[:, j] * bc[:, j]
+            nsq_a += ac[:, j] * ac[:, j]
+            nsq_b += bc[:, j] * bc[:, j]
+        out[s:e] = _round_half_up(dot / np.sqrt(nsq_a * nsq_b))
+    return out
+
+
 @F.pandas_udf(DoubleType())
 def _pair_cosine(e_a: pd.Series, e_b: pd.Series) -> pd.Series:
     """Rounded pairwise cosine, numpy-vectorized with the module's exact
@@ -810,20 +864,21 @@ def _pair_cosine(e_a: pd.Series, e_b: pd.Series) -> pd.Series:
     Catalyst HOF lambdas are interpreted per element, which at ~1e5
     candidate pairs x 3 dots x 64 dims dominates the verify stage; this
     kernel is one fused pass per Arrow batch."""
-    import numpy as np
+    import pandas as pd
 
     if len(e_a) == 0:
         return pd.Series([], dtype="float64")
-    a = _mat(e_a)
-    b = _mat(e_b)
-    dot = np.zeros(len(a))
-    nsq_a = np.zeros(len(a))
-    nsq_b = np.zeros(len(a))
-    for j in range(a.shape[1]):
-        dot += a[:, j] * b[:, j]
-        nsq_a += a[:, j] * a[:, j]
-        nsq_b += b[:, j] * b[:, j]
-    return pd.Series(_round_half_up(dot / np.sqrt(nsq_a * nsq_b)))
+    return pd.Series(_pairwise_cosine_rows(_mat(e_a), _mat(e_b)))
+
+
+def _emb_pack_rows() -> int:
+    """Row budget for packing the whole vector table into one broadcast
+    numpy matrix (~520 B/row at dim 64, default ~500 MB) — the same
+    size-guarded-pack discipline as the LM model packs. Above it the
+    exact join formulation runs instead."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_EMB_PACK_ROWS", "1000000"))
 
 
 def embedding_near_dup(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:
@@ -834,10 +889,22 @@ def embedding_near_dup(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:
     deterministic projection tables of NEAR_DUP_BITS sign bits each; a pair
     is a candidate iff it collides in at least one table (equi-join on
     (table, bucket), the same shape as dedup.minhash_lsh_pairs' band join).
-    Exact rounded-cosine verification runs in Catalyst on candidates only.
-    The oracle is the brute-force all-pairs form; outputs coincide wherever
-    LSH recall is 1 (miss probability ~1.4e-4 per pair at cosine 0.95 and
-    ~4e-23 at the injected pairs' ~0.9999 — see module constants)."""
+    Exact rounded-cosine verification runs on candidates only. The oracle
+    is the brute-force all-pairs form; outputs coincide wherever LSH
+    recall is 1 (miss probability ~1.4e-4 per pair at cosine 0.95 and
+    ~4e-23 at the injected pairs' ~0.9999 — see module constants).
+
+    Verify shape (round-6): when the vector table fits the pack budget
+    (_emb_pack_rows — counted first, metadata-scale action), the table is
+    collected ONCE into a broadcast (ids, matrix) pack and each COLLISION
+    row is verified inside a mapInPandas kernel by id lookup — the
+    collision relation never carries embedding arrays, never shuffles
+    (the pair exchange + distinct moved AFTER the >= threshold filter, so
+    only qualifying pairs ever cross an exchange), and the Python
+    boundary moves 16 B/pair instead of ~1 KB/pair. Above the budget the
+    exact keyed formulation runs: distinct candidates, two array joins,
+    the same fold-exact pairwise kernel (guide §8's proxy-shuffle rule —
+    decide on small rows, attach payloads once)."""
     keyed = corpus.select(
         "vec_id", "embedding",
         _near_dup_table_keys(F.col("embedding")).alias("keys"),
@@ -847,13 +914,54 @@ def embedding_near_dup(corpus: DataFrame, threshold: float = 0.95) -> DataFrame:
     )
     a = buckets.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
     b = buckets.select(F.col("vec_id").alias("id_b"), "tbl", "bucket")
-    cand = (
+    collisions = (
         a.join(b, on=["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
 
+    n_vecs = corpus.count()  # metadata-scale action: |vector table|
+    if n_vecs <= _emb_pack_rows():
+        import numpy as np
+
+        pdf = corpus.select("vec_id", "embedding").limit(
+            n_vecs + 1
+        ).toPandas()
+        if len(pdf) > n_vecs:
+            raise AssertionError(
+                f"vector table grew past its counted size {n_vecs}"
+            )
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = _mat(pdf["embedding"])[order] if len(pdf) else np.zeros((0, 0))
+        bc = corpus.sparkSession.sparkContext.broadcast((ids, mat))
+
+        def verify(batches):
+            import numpy as np
+            import pandas as pd
+
+            ids, mat = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ia = np.searchsorted(ids, pdf["id_a"].to_numpy(np.int64))
+                ib = np.searchsorted(ids, pdf["id_b"].to_numpy(np.int64))
+                cos = _pairwise_cosine_rows(mat[ia], mat[ib])
+                keep = cos >= threshold
+                if not keep.any():
+                    continue
+                yield pd.DataFrame({
+                    "id_a": pdf["id_a"].to_numpy(np.int64)[keep],
+                    "id_b": pdf["id_b"].to_numpy(np.int64)[keep],
+                    "cosine": cos[keep],
+                })
+
+        return collisions.mapInPandas(
+            verify, schema="id_a bigint, id_b bigint, cosine double"
+        ).distinct()
+
+    cand = collisions.distinct()
     ea = corpus.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
     )

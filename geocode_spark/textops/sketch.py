@@ -375,8 +375,7 @@ def cms_term_counts(
     )
     from ..caching import persist_tracked
 
-    toks = persist_tracked(docs.select(F.explode(toks_arr).alias("term")))
-    # sketch build: d cells per token, collapsed map-side on (j, pos)
+    toks = docs.select(F.explode(toks_arr).alias("term"))
     cells = F.array(*[
         F.struct(
             F.lit(j).alias("j"),
@@ -384,16 +383,31 @@ def cms_term_counts(
         )
         for j in range(depth)
     ])
+    # term counts: the probe branch needs this term-keyed aggregation
+    # anyway, and its map-side partials bound the exchange by |vocab| per
+    # partition — so the sketch derives its cells from it too, computing
+    # the depth md5 positions once per DISTINCT term instead of once per
+    # occurrence (the dominant cost: d interpreted md5+conv calls per
+    # corpus token). Cell values are sums of exact term counts — value-
+    # identical to the per-occurrence build. For an unbounded key domain
+    # (URL-scale streams, where CMS earns its keep and a term-keyed
+    # exchange is the thing to avoid) the per-occurrence form is the
+    # right build again — that variant keys the sketch cells directly on
+    # (j, pos) from the raw token stream, trading d hashes per token for
+    # zero term-keyed state.
+    counts = persist_tracked(
+        toks.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+    )
     cms = (
-        toks.select(F.inline(cells))
+        counts.select("exact_cnt", F.inline(cells))
         .groupBy("j", "pos")
-        .agg(F.count("*").cast("bigint").alias("cell"))
+        .agg(F.sum("exact_cnt").cast("bigint").alias("cell"))
     )
     # probe terms: exact top-k (gate-sized; see module note for the
     # 100 TB probe-set choice)
     probes = (
-        toks.groupBy("term")
-        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+        counts
         .orderBy(F.col("exact_cnt").desc(), F.col("term").asc())
         .limit(topk)
     )

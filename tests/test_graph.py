@@ -95,15 +95,18 @@ def test_pointer_jumping_beats_diameter(spark, docs):
     assert len(out) == docs.count()
 
 
-def test_reliable_checkpoint_when_dir_configured(spark, tmp_path):
+def test_reliable_checkpoint_when_dir_configured(spark, tmp_path, monkeypatch):
     """VERDICT r02 #5: with a checkpoint dir configured, iterative loops use
     RELIABLE checkpoint() (survives executor loss) instead of
     localCheckpoint; results are unchanged and checkpoint files land in the
-    configured dir."""
+    configured dir. Forces the distributed loop (pack budget 0): the
+    packed fast path never checkpoints — equivalence of the two paths is
+    test_packed_graph.py's job."""
     import glob
 
     from geocode_spark.operators.graph import pagerank
 
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_PACK_ROWS", "0")
     docs = spark.range(200).select(F.col("id").alias("doc_id"))
     want = (
         pagerank(docs, iters=4).toPandas().sort_values("doc_id")
