@@ -1605,9 +1605,25 @@ GROUP BY l.component_id"""
 RADIUS_M = 500.0
 
 
+# forward half-neighborhood: one offset per unordered adjacent cell pair
+# (plus the home cell) — a qualifying pair in distinct cells is generated
+# exactly once (by whichever direction is in the set), a same-cell pair
+# twice (both probe orders), deduped after the distance filter
+_FORWARD_OFFSETS = [(0, 0), (1, 0), (1, 1), (0, 1), (-1, 1)]
+
+
 def radius_join(points: DataFrame, radius_m: float = RADIUS_M) -> DataFrame:
     """(pk_a, pk_b, dist_sq_mm2): unordered point pairs (pk_a < pk_b)
-    within radius_m meters, squared distance in exact integer mm^2."""
+    within radius_m meters, squared distance in exact integer mm^2.
+
+    Round-6 shape: probes explode over the FORWARD half-neighborhood
+    (5 offsets, not 9 — 44% fewer probe rows, cross-cell pairs generated
+    once instead of twice) and each (cx, cy) cogroup computes its
+    probe x home pair block in chunked numpy — the equi-join's full
+    collision volume never materializes as rows, and only pairs that
+    pass d2 <= r^2 leave the kernel (canonicalized pk_a < pk_b, deduped
+    for the same-cell double order). Integer mm^2 arithmetic throughout,
+    identical to the brute-force oracle's."""
     r_mm = int(round(radius_m * 1000))
     p = points.select(
         F.col("primary_key").alias("pk"),
@@ -1620,34 +1636,92 @@ def radius_join(points: DataFrame, radius_m: float = RADIUS_M) -> DataFrame:
     )
     probes = p.select(
         "pk", "xi", "yi",
+        # is_home marks the (0,0) probe: a same-cell pair appears in the
+        # kernel's block in BOTH orders, so the home probe only emits its
+        # pk < partner half — cross-cell probes appear once and emit
+        # canonicalized. No post-kernel distinct needed.
         F.explode(
             F.array(
                 *[
                     F.struct(
                         (F.col("cx") + dx).alias("cx"),
                         (F.col("cy") + dy).alias("cy"),
+                        F.lit(1 if (dx, dy) == (0, 0) else 0).alias("home"),
                     )
-                    for dx, dy in _NEIGHBOR_OFFSETS
+                    for dx, dy in _FORWARD_OFFSETS
                 ]
             )
         ).alias("o"),
     ).select("pk", "xi", "yi", F.col("o.cx").alias("cx"),
-             F.col("o.cy").alias("cy"))
+             F.col("o.cy").alias("cy"), F.col("o.home").alias("is_home"))
+    # fresh aliases: probes and home derive from the same relation — the
+    # self-cogroup needs distinct attributes (the _ivf_search discipline)
     home = p.select(
-        F.col("pk").alias("pk_b"), F.col("xi").alias("xb"),
-        F.col("yi").alias("yb"), "cx", "cy",
+        F.col("pk").alias("h_pk"), F.col("xi").alias("h_xi"),
+        F.col("yi").alias("h_yi"), F.col("cx").alias("h_cx"),
+        F.col("cy").alias("h_cy"),
     )
-    d2 = (
-        (F.col("xi") - F.col("xb")) * (F.col("xi") - F.col("xb"))
-        + (F.col("yi") - F.col("yb")) * (F.col("yi") - F.col("yb"))
-    )
+
+    import pandas as pd
+
+    r2 = r_mm * r_mm
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "pk_a": pd.Series(dtype=object),
+            "pk_b": pd.Series(dtype=object),
+            "dist_sq_mm2": pd.Series(dtype="int64"),
+        })
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        pxa = left["xi"].to_numpy(np.int64)
+        pya = left["yi"].to_numpy(np.int64)
+        pka = left["pk"].to_numpy(object)
+        homa = left["is_home"].to_numpy(np.int64) == 1
+        pxb = right["h_xi"].to_numpy(np.int64)
+        pyb = right["h_yi"].to_numpy(np.int64)
+        pkb = right["h_pk"].to_numpy(object)
+        frames = []
+        for s in range(0, len(pxa), 512):
+            e = min(s + 512, len(pxa))
+            for t in range(0, len(pxb), 8192):
+                u = min(t + 8192, len(pxb))
+                ddx = pxa[s:e, None] - pxb[None, t:u]
+                ddy = pya[s:e, None] - pyb[None, t:u]
+                d2 = ddx * ddx + ddy * ddy
+                ii, jj = np.nonzero(d2 <= r2)
+                if len(ii) == 0:
+                    continue
+                a = pka[s:e][ii]
+                b = pkb[t:u][jj]
+                ah = homa[s:e][ii]
+                lt = np.less(a, b)
+                # home probe sees its same-cell partner in both orders:
+                # keep only its pk < partner half; a cross-cell probe's
+                # pair exists once — canonicalize it
+                keep = np.where(ah, lt, a != b)
+                if not keep.any():
+                    continue
+                a, b, lt = a[keep], b[keep], lt[keep]
+                lo = np.where(lt, a, b)
+                hi = np.where(lt, b, a)
+                frames.append(pd.DataFrame({
+                    "pk_a": lo,
+                    "pk_b": hi,
+                    "dist_sq_mm2": d2[ii, jj][keep].astype(np.int64),
+                }))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    id_type = points.schema["primary_key"].dataType.simpleString()
     return (
-        probes.join(home, ["cx", "cy"])
-        .filter(F.col("pk") < F.col("pk_b"))
-        .filter(d2 <= F.lit(r_mm * r_mm).cast("bigint"))
-        .select(
-            F.col("pk").alias("pk_a"), "pk_b",
-            d2.cast("bigint").alias("dist_sq_mm2"),
+        probes.groupBy("cx", "cy")
+        .cogroup(home.groupBy("h_cx", "h_cy"))
+        .applyInPandas(
+            kernel,
+            f"pk_a {id_type}, pk_b {id_type}, dist_sq_mm2 bigint",
         )
     )
 
@@ -1823,6 +1897,98 @@ def seg_dist2_sql(px: str, py: str, ax: str, ay: str,
     )
 
 
+def _map_match_cell_kernel(points: DataFrame, pts: DataFrame,
+                           segs: DataFrame, r_mm: int) -> DataFrame:
+    """Per-cell top-1 snap: cogroup (points by home cell) with (segment
+    cell cover), compute the exact d2 CASE in chunked numpy, emit each
+    point's (d2 asc, cand_id asc) winner directly. Arithmetic is
+    term-for-term the staged-CASE plan's: int64 dx/dot/pa2/pb2 products
+    (span-bounded, same overflow envelope as the bigint staging), the
+    interior projection in double, floor(sqrt) for the distance — every
+    comparison bit-identical to the oracle's."""
+    import pandas as pd
+
+    id_type = points.schema["primary_key"].dataType.simpleString()
+    out_schema = f"primary_key {id_type}, cand_id bigint, dist_mm bigint"
+    r2 = float(r_mm) * float(r_mm)
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "primary_key": pd.Series(dtype=object),
+            "cand_id": pd.Series(dtype="int64"),
+            "dist_mm": pd.Series(dtype="int64"),
+        })
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        # sorted by cand_id: argmin's first-hit rule then breaks d2 ties
+        # toward the smallest cand_id, the contract's tie order
+        right = right.sort_values("cand_id", kind="stable")
+        ax = right["ax"].to_numpy(np.int64)
+        ay = right["ay"].to_numpy(np.int64)
+        bx = right["bx"].to_numpy(np.int64)
+        by = right["by"].to_numpy(np.int64)
+        cid = right["cand_id"].to_numpy(np.int64)
+        dx = bx - ax
+        dy = by - ay
+        len2 = dx * dx + dy * dy
+        px = left["px"].to_numpy(np.int64)
+        py = left["py"].to_numpy(np.int64)
+        pks = left["primary_key"].to_numpy(object)
+        frames = []
+        for s in range(0, len(px), 256):
+            e = min(s + 256, len(px))
+            best_d2 = np.full(e - s, np.inf)
+            best_cid = np.full(e - s, np.int64(1) << 62, dtype=np.int64)
+            for t in range(0, len(cid), 4096):
+                u = min(t + 4096, len(cid))
+                pax = px[s:e, None] - ax[None, t:u]
+                pay = py[s:e, None] - ay[None, t:u]
+                pbx = px[s:e, None] - bx[None, t:u]
+                pby = py[s:e, None] - by[None, t:u]
+                pa2 = (pax * pax + pay * pay).astype(np.float64)
+                pb2 = (pbx * pbx + pby * pby).astype(np.float64)
+                dot = pax * dx[None, t:u] + pay * dy[None, t:u]
+                l2 = len2[t:u]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    interior = np.maximum(
+                        pa2 - dot.astype(np.float64) * dot.astype(np.float64)
+                        / l2.astype(np.float64),
+                        0.0,
+                    )
+                d2 = np.where(
+                    (l2[None, :] == 0) | (dot <= 0), pa2,
+                    np.where(dot >= l2[None, :], pb2, interior),
+                )
+                d2 = np.where(d2 <= r2, d2, np.inf)
+                j = np.argmin(d2, axis=1)  # first minimal = lowest cand_id
+                rows = np.arange(e - s)
+                cd2 = d2[rows, j]
+                ccid = cid[t + j]
+                better = (cd2 < best_d2) | (
+                    (cd2 == best_d2) & (ccid < best_cid)
+                )
+                best_d2 = np.where(better, cd2, best_d2)
+                best_cid = np.where(better, ccid, best_cid)
+            hit = np.isfinite(best_d2)
+            if not hit.any():
+                continue
+            frames.append(pd.DataFrame({
+                "primary_key": pks[s:e][hit],
+                "cand_id": best_cid[hit],
+                "dist_mm": np.floor(np.sqrt(best_d2[hit])).astype(np.int64),
+            }))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return (
+        pts.groupBy("cx", "cy")
+        .cogroup(segs.groupBy("cx", "cy"))
+        .applyInPandas(kernel, out_schema)
+    )
+
+
 def map_match(points: DataFrame, segments: DataFrame,
               radius_m: float = SNAP_RADIUS_M,
               broadcast_points: bool = True) -> DataFrame:
@@ -1871,7 +2037,19 @@ def map_match(points: DataFrame, segments: DataFrame,
         F.expr(f"py div {r_mm}").alias("cy"),
     )
     if broadcast_points:
-        pts = F.broadcast(pts)
+        # round-6 kernel path: a point's home cell holds its COMPLETE
+        # candidate set (the segment side covers bbox ± 1 cell at r-sized
+        # cells), so the per-point top-1 closes inside one (cx, cy)
+        # cogroup — the equi-join's ~10^8 emitted candidate rows (8.4 s
+        # of the 20.5 s candidate stage at the 10x tier, before any
+        # distance math) never materialize; the quadratic work runs as
+        # chunked numpy with the CASE's exact arithmetic (int64 staging,
+        # double only for the interior projection — bit-identical d2).
+        # Both sides exchange by cell key only, so this is also the
+        # at-scale shape; the shuffle equi-join below remains as the
+        # no-kernel fallback (broadcast_points=False), pinned equal by
+        # the wave-7 brute-force test.
+        return _map_match_cell_kernel(points, pts, segs, r_mm)
     # The bbox band is IMPLIED by d2 <= r^2 (the segment's closest point q
     # has |p-q| <= r and q lies inside the segment bbox), so adding it
     # never changes the result — it is a cheap comparison-only prefilter
@@ -2347,7 +2525,17 @@ def pip_raycast(points: DataFrame, regions: DataFrame,
                 cell_mm: int = PIP_CELL_MM) -> DataFrame:
     """(primary_key, gid): point-in-region pairs by exact integer even-odd
     ray casting. points carry meter doubles (x, y); regions carry milli
-    vertex arrays (xs, ys)."""
+    vertex arrays (xs, ys).
+
+    Both inputs persist for the call: points is typically the geocode
+    pipeline's output and feeds the candidate side AND (via
+    synthetic_regions) the region sizing count + pack collect — without
+    the persist each of those actions re-ran the whole upstream pipeline
+    (measured 4 runs ≈ +8 s at the 10x tier)."""
+    from ..caching import persist_tracked
+
+    points = persist_tracked(points)
+    regions = persist_tracked(regions)
     c = int(cell_mm)
     regs = regions.select(
         "gid", "xs", "ys",
@@ -2378,6 +2566,78 @@ def pip_raycast(points: DataFrame, regions: DataFrame,
         (F.col("px") >= F.col("bx0")) & (F.col("px") <= F.col("bx1"))
         & (F.col("py") >= F.col("by0")) & (F.col("py") <= F.col("by1"))
     )
+
+    # round-6: the region table is metadata-scale (one ring per occupied
+    # res-cell), so the even-odd count runs as a numpy kernel against a
+    # broadcast (gid -> vertex arrays) pack instead of the interpreted
+    # per-edge HOF aggregate (8 element_at calls per edge per candidate —
+    # the measured cost at the 10x tier). Same exact int64 comparisons,
+    # candidates carry 3 scalar columns across the boundary. Falls back
+    # to the HOF fold when the region table exceeds the pack budget.
+    import os as _os
+
+    n_regs = regions.count()  # metadata-scale sizing action
+    if n_regs <= int(_os.environ.get("SPARK_GRAFT_REGION_PACK_ROWS",
+                                     "1000000")):
+        import numpy as np
+        import pandas as pd
+
+        rpdf = regions.select("gid", "xs", "ys").limit(n_regs + 1).toPandas()
+        if len(rpdf) > n_regs:
+            raise AssertionError(
+                f"region table grew past its counted size {n_regs}"
+            )
+        pack = {
+            row["gid"]: (
+                np.asarray(row["xs"], dtype=np.int64),
+                np.asarray(row["ys"], dtype=np.int64),
+            )
+            for _, row in rpdf.iterrows()
+        }
+        bc = points.sparkSession.sparkContext.broadcast(pack)
+        id_type = points.schema["primary_key"].dataType.simpleString()
+        gid_type = regions.schema["gid"].dataType.simpleString()
+
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            rp = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_pk, out_gid = [], []
+                for gid, grp in pdf.groupby("gid", sort=False):
+                    xs, ys = rp[gid]
+                    xj = np.roll(xs, -1)
+                    yj = np.roll(ys, -1)
+                    px = grp["px"].to_numpy(np.int64)
+                    py = grp["py"].to_numpy(np.int64)
+                    cross = np.zeros(len(px), dtype=np.int64)
+                    for e_i in range(len(xs)):
+                        xi, yi = xs[e_i], ys[e_i]
+                        xe, ye = xj[e_i], yj[e_i]
+                        spans = (yi > py) != (ye > py)
+                        lhs = (px - xi) * (ye - yi)
+                        rhs = (py - yi) * (xe - xi)
+                        inc = np.where(ye > yi, lhs < rhs, lhs > rhs)
+                        cross += spans & inc
+                    keep = (cross % 2) == 1
+                    if keep.any():
+                        out_pk.append(
+                            grp["primary_key"].to_numpy(object)[keep]
+                        )
+                        out_gid.append(np.repeat(gid, int(keep.sum())))
+                if out_pk:
+                    yield pd.DataFrame({
+                        "primary_key": np.concatenate(out_pk),
+                        "gid": np.concatenate(out_gid),
+                    })
+
+        return cand.select("primary_key", "px", "py", "gid").mapInPandas(
+            kernel, f"primary_key {id_type}, gid {gid_type}"
+        )
+
     # even-odd fold: for edge i -> j (wrap), a crossing iff the edge spans
     # py's horizontal line (half-open) AND the ray to +x passes left of
     # the intersection — cross-multiplied, sign-corrected by the edge's
