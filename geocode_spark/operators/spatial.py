@@ -1267,6 +1267,51 @@ def synthetic_tracks(points: DataFrame, res: int = TRACK_RES,
     )
 
 
+def _per_track_stream(tracks: DataFrame, cols: list, sort_cols: list,
+                      process, out_schema: str) -> DataFrame:
+    """Group-stream kernel shared by the per-track geometry ops: hash-
+    repartition by track_id, sort within partitions so each track's rows
+    are contiguous, and walk the partition's Arrow batches with carry-over
+    at batch boundaries — `process(pdf)` handles a frame of COMPLETE
+    tracks. Replaces per-group applyInPandas, whose fixed per-group
+    pandas overhead (~0.6 ms) dominated at ~15k small groups (measured
+    9.4 s for convex_hull at the 10x tier, ~0.3 s of actual chain math).
+    Same exchange count as the groupBy it replaces (one hash partition by
+    track_id); per-track results are partitioning-independent."""
+    import pandas as pd
+
+    def stream(batches):
+        import numpy as np
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            n = len(pdf)
+            if n == 0:
+                continue
+            tid = pdf["track_id"].to_numpy(object)
+            breaks = np.flatnonzero(tid[:-1] != tid[1:])
+            cut = int(breaks[-1]) + 1 if len(breaks) else 0
+            carry = pdf.iloc[cut:]
+            if cut:
+                out = process(pdf.iloc[:cut])
+                if out is not None and len(out):
+                    yield out
+        if carry is not None and len(carry):
+            out = process(carry)
+            if out is not None and len(out):
+                yield out
+
+    return (
+        tracks.select(*cols)
+        .repartition("track_id")
+        .sortWithinPartitions(*sort_cols)
+        .mapInPandas(stream, out_schema)
+    )
+
+
 def polyline_simplify(tracks: DataFrame,
                       eps_milli: int = DP_EPS_MILLI) -> DataFrame:
     """(track_id, seq, x, y): the Douglas-Peucker-kept vertices of each
@@ -1277,13 +1322,11 @@ def polyline_simplify(tracks: DataFrame,
 
     eps2 = int(eps_milli) * int(eps_milli)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seq").reset_index(drop=True)
-        xs = pdf["x"].to_numpy(np.int64)
-        ys = pdf["y"].to_numpy(np.int64)
-        n = len(pdf)
-        if n <= 2:
-            return pdf
+    def _dp_keep(xs, ys):
+        """Kept-vertex mask for ONE track (rows pre-sorted by seq)."""
+        import numpy as np
+
+        n = len(xs)
         keep = np.zeros(n, dtype=bool)
         keep[0] = keep[n - 1] = True
         stack = [(0, n - 1)]
@@ -1306,10 +1349,30 @@ def polyline_simplify(tracks: DataFrame,
                 keep[split] = True
                 stack.append((i0, split))
                 stack.append((split, i1))
+        return keep
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["track_id", "seq"], kind="stable").reset_index(
+            drop=True
+        )
+        tid = pdf["track_id"].to_numpy(object)
+        xs = pdf["x"].to_numpy(np.int64)
+        ys = pdf["y"].to_numpy(np.int64)
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], tid[:-1] != tid[1:], [True])
+        ))
+        keep = np.zeros(len(pdf), dtype=bool)
+        for k in range(len(bounds) - 1):
+            s, e = int(bounds[k]), int(bounds[k + 1])
+            if e - s <= 2:
+                keep[s:e] = True
+            else:
+                keep[s:e] = _dp_keep(xs[s:e], ys[s:e])
         return pdf[keep]
 
-    return tracks.groupBy("track_id").applyInPandas(
-        kernel, "track_id string, seq bigint, x bigint, y bigint"
+    return _per_track_stream(
+        tracks, ["track_id", "seq", "x", "y"], ["track_id", "seq"],
+        process, "track_id string, seq bigint, x bigint, y bigint",
     )
 
 
@@ -1396,9 +1459,9 @@ def convex_hull(tracks: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        tid = pdf["track_id"].iloc[0]
-        pts = np.unique(pdf[["x", "y"]].to_numpy(np.int64), axis=0)
+    def _hull_points(pts):
+        """Hull vertex set of ONE track's (n, 2) point array."""
+        pts = np.unique(pts, axis=0)
         if len(pts) > 2:
             base = pts.min(axis=0)
             q = pts - base  # span-bounded: crosses stay far under 2^63
@@ -1418,14 +1481,33 @@ def convex_hull(tracks: DataFrame) -> DataFrame:
             lower, upper = chain(seq), chain(seq[::-1])
             hull = np.array(lower[:-1] + upper[:-1], dtype=np.int64)
             pts = hull + base
-        return pd.DataFrame(
-            {"track_id": tid, "x": pts[:, 0], "y": pts[:, 1]}
-        )
+        return pts
 
-    return (
-        tracks.select("track_id", "x", "y")
-        .groupBy("track_id")
-        .applyInPandas(kernel, "track_id string, x bigint, y bigint")
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("track_id", kind="stable").reset_index(
+            drop=True
+        )
+        tid = pdf["track_id"].to_numpy(object)
+        xy = pdf[["x", "y"]].to_numpy(np.int64)
+        bounds = np.flatnonzero(np.concatenate(
+            ([True], tid[:-1] != tid[1:], [True])
+        ))
+        ids, out_xy = [], []
+        for k in range(len(bounds) - 1):
+            s, e = int(bounds[k]), int(bounds[k + 1])
+            hull = _hull_points(xy[s:e])
+            ids.append(np.repeat(tid[s], len(hull)))
+            out_xy.append(hull)
+        hulls = np.concatenate(out_xy)
+        return pd.DataFrame({
+            "track_id": np.concatenate(ids),
+            "x": hulls[:, 0],
+            "y": hulls[:, 1],
+        })
+
+    return _per_track_stream(
+        tracks, ["track_id", "x", "y"], ["track_id"],
+        process, "track_id string, x bigint, y bigint",
     )
 
 

@@ -721,6 +721,94 @@ def bpe_merge_steps(
     )
 
 
+def _bpe_pack_rows() -> int:
+    """Vocabulary budget under which the K-round merge loop runs on the
+    collected word-frequency table instead of K distributed rounds —
+    the production shape (tokenizer trainers iterate on the vocab table
+    in one process; the corpus-sized work, tokenize + count, stays in
+    Spark either way). Each distributed round otherwise costs a
+    TakeOrdered collect plus an eager localCheckpoint of the vocab
+    relation — measured ~0.5 s/round of pure job latency at sf0.1.
+    Over-budget vocabularies fall back to the distributed loop below."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_BPE_PACK_ROWS", "2000000"))
+
+
+def _bpe_merge_loop_packed(docs, wf, steps: int, keep_word: bool):
+    """Driver-side merge loop over the collected (w, c) vocab: identical
+    pair counting (adjacent positions, count-weighted), identical winner
+    order (cnt desc, lhs asc, rhs asc — python str order == Spark's
+    binary UTF8 order), identical leftmost-greedy non-overlapping fold.
+    Returns (merges, syms DataFrame) or None when the vocab exceeds the
+    pack budget."""
+    cap = _bpe_pack_rows()
+    pdf = wf.limit(cap + 1).toPandas()
+    if len(pdf) > cap:
+        return None
+    words = pdf["w"].tolist()
+    counts = [int(c) for c in pdf["c"]]
+    sym_lists = [list(w) for w in words]
+
+    merges = []
+    for step in range(1, steps + 1):
+        pair_counts: dict = {}
+        for syms_w, c in zip(sym_lists, counts):
+            for i in range(len(syms_w) - 1):
+                k = (syms_w[i], syms_w[i + 1])
+                pair_counts[k] = pair_counts.get(k, 0) + c
+        if not pair_counts:
+            break
+        (lhs, rhs), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = lhs + rhs
+        merges.append((step, lhs, rhs, merged, cnt))
+        for idx, syms_w in enumerate(sym_lists):
+            n = len(syms_w)
+            if n < 2:
+                continue
+            out = []
+            i = 0
+            changed = False
+            while i < n:
+                if (
+                    i + 1 < n
+                    and syms_w[i] == lhs
+                    and syms_w[i + 1] == rhs
+                ):
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(syms_w[i])
+                    i += 1
+            if changed:
+                sym_lists[idx] = out
+
+    import pandas as pd
+
+    spark = docs.sparkSession
+    if keep_word:
+        syms = spark.createDataFrame(
+            pd.DataFrame({
+                "w": words,
+                "c": pd.array(counts, dtype="int64"),
+                "syms": sym_lists,
+            }),
+            schema="w string, c bigint, syms array<string>",
+        )
+    else:
+        syms = spark.createDataFrame(
+            pd.DataFrame({
+                "c": pd.array(counts, dtype="int64"),
+                "syms": sym_lists,
+            }),
+            schema="c bigint, syms array<string>",
+        )
+    return merges, syms
+
+
 def _bpe_merge_loop(
     docs: DataFrame, text_col: str, steps: int, keep_word: bool = False
 ):
@@ -738,6 +826,11 @@ def _bpe_merge_loop(
         .agg(F.count("*").cast("bigint").alias("c"))
     )
     cols = (["w"] if keep_word else []) + ["c"]
+
+    packed = _bpe_merge_loop_packed(docs, wf, steps, keep_word)
+    if packed is not None:
+        return packed
+
     syms = wf.select(
         *cols,
         F.expr(

@@ -82,6 +82,29 @@ FAMILY = [
     "pip_raycast",
     "segment_crossings",
     "cohort_retention",
+    # round-6 extension (VERDICT r05 #6 + this round's touched operators):
+    # the sketch layer joins, the winnow/anchor/co-citation corpus ops,
+    # the packed iterative graphs, and the per-cell spatial kernels all
+    # changed internals this round — the 10x corpus is where their hot
+    # keys, pack guards and kernel chunking actually move
+    "cms_term_counts",
+    "hll_merge",
+    "bloom_blocklist",
+    "winnow_fingerprints",
+    "winnow_candidate_pairs",
+    "anchor_terms_topk",
+    "co_citation_pairs",
+    "hits_scores",
+    "spatial_clusters",
+    "convex_hull",
+    "polyline_simplify",
+    "dedup_weights",
+    "trigram_lm_score",
+    "perplexity_buckets",
+    "rrf_fusion",
+    "bpe_merge_steps",
+    "bpe_encode_tokens",
+    "tokenizer_fertility",
 ]
 
 
