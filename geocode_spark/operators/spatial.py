@@ -1700,14 +1700,25 @@ def radius_join(points: DataFrame, radius_m: float = RADIUS_M) -> DataFrame:
 
     Round-6 shape: probes explode over the FORWARD half-neighborhood
     (5 offsets, not 9 — 44% fewer probe rows, cross-cell pairs generated
-    once instead of twice) and each (cx, cy) cogroup computes its
-    probe x home pair block in chunked numpy — the equi-join's full
-    collision volume never materializes as rows, and only pairs that
-    pass d2 <= r^2 leave the kernel (canonicalized pk_a < pk_b, deduped
-    for the same-cell double order). Integer mm^2 arithmetic throughout,
-    identical to the brute-force oracle's."""
+    once instead of twice) and the probe x home pair blocks are computed
+    in chunked numpy — the equi-join's full collision volume never
+    materializes as rows, and only pairs that pass d2 <= r^2 leave the
+    kernel (canonicalized pk_a < pk_b, deduped for the same-cell double
+    order). Cells are BUCKETED into ~4x-parallelism cogroups (hashed cell
+    key) and matched inside the kernel by a sorted merge walk: per-cell
+    cogrouping paid ~3 ms of Arrow/pandas machinery per cell — 7 s for
+    2.3k cells at sf0.1 — for microseconds of block math; one kernel call
+    per bucket amortizes it while keeping the identical per-cell block
+    arithmetic. Integer mm^2 throughout, identical to the brute-force
+    oracle's."""
+    from ..caching import persist_tracked
+
     r_mm = int(round(radius_m * 1000))
-    p = points.select(
+    # persist the 5-column projection: probes AND home both read it, and
+    # without the pin every action recomputes the full upstream (the
+    # geocode pipeline at gate scale) twice — guide §5 caching rule
+    # (reused + expensive to recompute); ~40 B/point, metadata scale
+    p = persist_tracked(points.select(
         F.col("primary_key").alias("pk"),
         F.round(F.col("x") * 1000.0, 0).cast("bigint").alias("xi"),
         F.round(F.col("y") * 1000.0, 0).cast("bigint").alias("yi"),
@@ -1715,7 +1726,7 @@ def radius_join(points: DataFrame, radius_m: float = RADIUS_M) -> DataFrame:
         "pk", "xi", "yi",
         F.expr(f"xi div {r_mm}").alias("cx"),
         F.expr(f"yi div {r_mm}").alias("cy"),
-    )
+    ))
     probes = p.select(
         "pk", "xi", "yi",
         # is_home marks the (0,0) probe: a same-cell pair appears in the
@@ -1747,6 +1758,15 @@ def radius_join(points: DataFrame, radius_m: float = RADIUS_M) -> DataFrame:
     import pandas as pd
 
     r2 = r_mm * r_mm
+    n_buckets = max(
+        4 * points.sparkSession.sparkContext.defaultParallelism, 16
+    )
+    probes = probes.withColumn(
+        "bucket", F.expr(f"pmod(xxhash64(cx, cy), {n_buckets})")
+    )
+    home = home.withColumn(
+        "bucket", F.expr(f"pmod(xxhash64(h_cx, h_cy), {n_buckets})")
+    )
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -1759,48 +1779,80 @@ def radius_join(points: DataFrame, radius_m: float = RADIUS_M) -> DataFrame:
         })
         if len(left) == 0 or len(right) == 0:
             return empty
-        pxa = left["xi"].to_numpy(np.int64)
-        pya = left["yi"].to_numpy(np.int64)
-        pka = left["pk"].to_numpy(object)
-        homa = left["is_home"].to_numpy(np.int64) == 1
-        pxb = right["h_xi"].to_numpy(np.int64)
-        pyb = right["h_yi"].to_numpy(np.int64)
-        pkb = right["h_pk"].to_numpy(object)
+        lcx = left["cx"].to_numpy(np.int64)
+        lcy = left["cy"].to_numpy(np.int64)
+        lo_ord = np.lexsort((lcy, lcx))
+        lcx, lcy = lcx[lo_ord], lcy[lo_ord]
+        pxa = left["xi"].to_numpy(np.int64)[lo_ord]
+        pya = left["yi"].to_numpy(np.int64)[lo_ord]
+        pka = left["pk"].to_numpy(object)[lo_ord]
+        homa = left["is_home"].to_numpy(np.int64)[lo_ord] == 1
+        rcx = right["h_cx"].to_numpy(np.int64)
+        rcy = right["h_cy"].to_numpy(np.int64)
+        ro_ord = np.lexsort((rcy, rcx))
+        rcx, rcy = rcx[ro_ord], rcy[ro_ord]
+        pxb = right["h_xi"].to_numpy(np.int64)[ro_ord]
+        pyb = right["h_yi"].to_numpy(np.int64)[ro_ord]
+        pkb = right["h_pk"].to_numpy(object)[ro_ord]
+        lb = np.flatnonzero(
+            np.r_[True, (lcx[1:] != lcx[:-1]) | (lcy[1:] != lcy[:-1])]
+        )
+        lb = np.r_[lb, len(lcx)]
+        rb = np.flatnonzero(
+            np.r_[True, (rcx[1:] != rcx[:-1]) | (rcy[1:] != rcy[:-1])]
+        )
+        rb = np.r_[rb, len(rcx)]
         frames = []
-        for s in range(0, len(pxa), 512):
-            e = min(s + 512, len(pxa))
-            for t in range(0, len(pxb), 8192):
-                u = min(t + 8192, len(pxb))
-                ddx = pxa[s:e, None] - pxb[None, t:u]
-                ddy = pya[s:e, None] - pyb[None, t:u]
-                d2 = ddx * ddx + ddy * ddy
-                ii, jj = np.nonzero(d2 <= r2)
-                if len(ii) == 0:
-                    continue
-                a = pka[s:e][ii]
-                b = pkb[t:u][jj]
-                ah = homa[s:e][ii]
-                lt = np.less(a, b)
-                # home probe sees its same-cell partner in both orders:
-                # keep only its pk < partner half; a cross-cell probe's
-                # pair exists once — canonicalize it
-                keep = np.where(ah, lt, a != b)
-                if not keep.any():
-                    continue
-                a, b, lt = a[keep], b[keep], lt[keep]
-                lo = np.where(lt, a, b)
-                hi = np.where(lt, b, a)
-                frames.append(pd.DataFrame({
-                    "pk_a": lo,
-                    "pk_b": hi,
-                    "dist_sq_mm2": d2[ii, jj][keep].astype(np.int64),
-                }))
+
+        def cell_block(ls, le, rs, re):
+            # identical per-cell block math as the per-cell cogroup ran
+            for s in range(ls, le, 512):
+                e = min(s + 512, le)
+                for t in range(rs, re, 8192):
+                    u = min(t + 8192, re)
+                    ddx = pxa[s:e, None] - pxb[None, t:u]
+                    ddy = pya[s:e, None] - pyb[None, t:u]
+                    d2 = ddx * ddx + ddy * ddy
+                    ii, jj = np.nonzero(d2 <= r2)
+                    if len(ii) == 0:
+                        continue
+                    a = pka[s:e][ii]
+                    b = pkb[t:u][jj]
+                    ah = homa[s:e][ii]
+                    lt = np.less(a, b)
+                    # home probe sees its same-cell partner in both
+                    # orders: keep only its pk < partner half; a
+                    # cross-cell probe's pair exists once — canonicalize
+                    keep = np.where(ah, lt, a != b)
+                    if not keep.any():
+                        continue
+                    aa, bb, ll = a[keep], b[keep], lt[keep]
+                    lo = np.where(ll, aa, bb)
+                    hi = np.where(ll, bb, aa)
+                    frames.append(pd.DataFrame({
+                        "pk_a": lo,
+                        "pk_b": hi,
+                        "dist_sq_mm2": d2[ii, jj][keep].astype(np.int64),
+                    }))
+
+        i = j = 0
+        while i < len(lb) - 1 and j < len(rb) - 1:
+            ci = (lcx[lb[i]], lcy[lb[i]])
+            cj = (rcx[rb[j]], rcy[rb[j]])
+            if ci < cj:
+                i += 1
+            elif cj < ci:
+                j += 1
+            else:
+                cell_block(lb[i], lb[i + 1], rb[j], rb[j + 1])
+                i += 1
+                j += 1
         return pd.concat(frames, ignore_index=True) if frames else empty
 
     id_type = points.schema["primary_key"].dataType.simpleString()
     return (
-        probes.groupBy("cx", "cy")
-        .cogroup(home.groupBy("h_cx", "h_cy"))
+        probes.groupBy("bucket")
+        .cogroup(home.groupBy("bucket"))
         .applyInPandas(
             kernel,
             f"pk_a {id_type}, pk_b {id_type}, dist_sq_mm2 bigint",
@@ -1987,12 +2039,26 @@ def _map_match_cell_kernel(points: DataFrame, pts: DataFrame,
     term-for-term the staged-CASE plan's: int64 dx/dot/pa2/pb2 products
     (span-bounded, same overflow envelope as the bigint staging), the
     interior projection in double, floor(sqrt) for the distance — every
-    comparison bit-identical to the oracle's."""
+    comparison bit-identical to the oracle's.
+
+    Cells are bucketed into ~4x-parallelism cogroups (hashed cell key,
+    the radius_join discipline) and matched inside the kernel by a
+    sorted merge walk: per-cell cogrouping paid ~3 ms of Arrow/pandas
+    machinery per cell for microseconds of block math."""
     import pandas as pd
 
     id_type = points.schema["primary_key"].dataType.simpleString()
     out_schema = f"primary_key {id_type}, cand_id bigint, dist_mm bigint"
     r2 = float(r_mm) * float(r_mm)
+    n_buckets = max(
+        4 * points.sparkSession.sparkContext.defaultParallelism, 16
+    )
+    pts = pts.withColumn(
+        "bucket", F.expr(f"pmod(xxhash64(cx, cy), {n_buckets})")
+    )
+    segs = segs.withColumn(
+        "bucket", F.expr(f"pmod(xxhash64(cx, cy), {n_buckets})")
+    )
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -2005,68 +2071,103 @@ def _map_match_cell_kernel(points: DataFrame, pts: DataFrame,
         })
         if len(left) == 0 or len(right) == 0:
             return empty
-        # sorted by cand_id: argmin's first-hit rule then breaks d2 ties
-        # toward the smallest cand_id, the contract's tie order
-        right = right.sort_values("cand_id", kind="stable")
-        ax = right["ax"].to_numpy(np.int64)
-        ay = right["ay"].to_numpy(np.int64)
-        bx = right["bx"].to_numpy(np.int64)
-        by = right["by"].to_numpy(np.int64)
-        cid = right["cand_id"].to_numpy(np.int64)
+        lcx = left["cx"].to_numpy(np.int64)
+        lcy = left["cy"].to_numpy(np.int64)
+        lo_ord = np.lexsort((lcy, lcx))
+        lcx, lcy = lcx[lo_ord], lcy[lo_ord]
+        px = left["px"].to_numpy(np.int64)[lo_ord]
+        py = left["py"].to_numpy(np.int64)[lo_ord]
+        pks = left["primary_key"].to_numpy(object)[lo_ord]
+        rcx = right["cx"].to_numpy(np.int64)
+        rcy = right["cy"].to_numpy(np.int64)
+        # cand_id as the innermost sort key: within a cell the segment
+        # list stays ascending by cand_id, so argmin's first-hit rule
+        # breaks d2 ties toward the smallest cand_id (the contract order)
+        ro_ord = np.lexsort((right["cand_id"].to_numpy(np.int64), rcy, rcx))
+        rcx, rcy = rcx[ro_ord], rcy[ro_ord]
+        ax = right["ax"].to_numpy(np.int64)[ro_ord]
+        ay = right["ay"].to_numpy(np.int64)[ro_ord]
+        bx = right["bx"].to_numpy(np.int64)[ro_ord]
+        by = right["by"].to_numpy(np.int64)[ro_ord]
+        cid = right["cand_id"].to_numpy(np.int64)[ro_ord]
         dx = bx - ax
         dy = by - ay
         len2 = dx * dx + dy * dy
-        px = left["px"].to_numpy(np.int64)
-        py = left["py"].to_numpy(np.int64)
-        pks = left["primary_key"].to_numpy(object)
+        lb = np.flatnonzero(
+            np.r_[True, (lcx[1:] != lcx[:-1]) | (lcy[1:] != lcy[:-1])]
+        )
+        lb = np.r_[lb, len(lcx)]
+        rb = np.flatnonzero(
+            np.r_[True, (rcx[1:] != rcx[:-1]) | (rcy[1:] != rcy[:-1])]
+        )
+        rb = np.r_[rb, len(rcx)]
         frames = []
-        for s in range(0, len(px), 256):
-            e = min(s + 256, len(px))
-            best_d2 = np.full(e - s, np.inf)
-            best_cid = np.full(e - s, np.int64(1) << 62, dtype=np.int64)
-            for t in range(0, len(cid), 4096):
-                u = min(t + 4096, len(cid))
-                pax = px[s:e, None] - ax[None, t:u]
-                pay = py[s:e, None] - ay[None, t:u]
-                pbx = px[s:e, None] - bx[None, t:u]
-                pby = py[s:e, None] - by[None, t:u]
-                pa2 = (pax * pax + pay * pay).astype(np.float64)
-                pb2 = (pbx * pbx + pby * pby).astype(np.float64)
-                dot = pax * dx[None, t:u] + pay * dy[None, t:u]
-                l2 = len2[t:u]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    interior = np.maximum(
-                        pa2 - dot.astype(np.float64) * dot.astype(np.float64)
-                        / l2.astype(np.float64),
-                        0.0,
+
+        def cell_block(ls, le, rs, re):
+            # identical per-cell chunked math as the per-cell cogroup ran
+            for s in range(ls, le, 256):
+                e = min(s + 256, le)
+                best_d2 = np.full(e - s, np.inf)
+                best_cid = np.full(e - s, np.int64(1) << 62, dtype=np.int64)
+                for t in range(rs, re, 4096):
+                    u = min(t + 4096, re)
+                    pax = px[s:e, None] - ax[None, t:u]
+                    pay = py[s:e, None] - ay[None, t:u]
+                    pbx = px[s:e, None] - bx[None, t:u]
+                    pby = py[s:e, None] - by[None, t:u]
+                    pa2 = (pax * pax + pay * pay).astype(np.float64)
+                    pb2 = (pbx * pbx + pby * pby).astype(np.float64)
+                    dot = pax * dx[None, t:u] + pay * dy[None, t:u]
+                    l2 = len2[t:u]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        interior = np.maximum(
+                            pa2
+                            - dot.astype(np.float64) * dot.astype(np.float64)
+                            / l2.astype(np.float64),
+                            0.0,
+                        )
+                    d2 = np.where(
+                        (l2[None, :] == 0) | (dot <= 0), pa2,
+                        np.where(dot >= l2[None, :], pb2, interior),
                     )
-                d2 = np.where(
-                    (l2[None, :] == 0) | (dot <= 0), pa2,
-                    np.where(dot >= l2[None, :], pb2, interior),
-                )
-                d2 = np.where(d2 <= r2, d2, np.inf)
-                j = np.argmin(d2, axis=1)  # first minimal = lowest cand_id
-                rows = np.arange(e - s)
-                cd2 = d2[rows, j]
-                ccid = cid[t + j]
-                better = (cd2 < best_d2) | (
-                    (cd2 == best_d2) & (ccid < best_cid)
-                )
-                best_d2 = np.where(better, cd2, best_d2)
-                best_cid = np.where(better, ccid, best_cid)
-            hit = np.isfinite(best_d2)
-            if not hit.any():
-                continue
-            frames.append(pd.DataFrame({
-                "primary_key": pks[s:e][hit],
-                "cand_id": best_cid[hit],
-                "dist_mm": np.floor(np.sqrt(best_d2[hit])).astype(np.int64),
-            }))
+                    d2 = np.where(d2 <= r2, d2, np.inf)
+                    j = np.argmin(d2, axis=1)  # first min = lowest cand_id
+                    rows = np.arange(e - s)
+                    cd2 = d2[rows, j]
+                    ccid = cid[t + j]
+                    better = (cd2 < best_d2) | (
+                        (cd2 == best_d2) & (ccid < best_cid)
+                    )
+                    best_d2 = np.where(better, cd2, best_d2)
+                    best_cid = np.where(better, ccid, best_cid)
+                hit = np.isfinite(best_d2)
+                if not hit.any():
+                    continue
+                frames.append(pd.DataFrame({
+                    "primary_key": pks[s:e][hit],
+                    "cand_id": best_cid[hit],
+                    "dist_mm": np.floor(
+                        np.sqrt(best_d2[hit])
+                    ).astype(np.int64),
+                }))
+
+        i = j = 0
+        while i < len(lb) - 1 and j < len(rb) - 1:
+            ci = (lcx[lb[i]], lcy[lb[i]])
+            cj = (rcx[rb[j]], rcy[rb[j]])
+            if ci < cj:
+                i += 1
+            elif cj < ci:
+                j += 1
+            else:
+                cell_block(lb[i], lb[i + 1], rb[j], rb[j + 1])
+                i += 1
+                j += 1
         return pd.concat(frames, ignore_index=True) if frames else empty
 
     return (
-        pts.groupBy("cx", "cy")
-        .cogroup(segs.groupBy("cx", "cy"))
+        pts.groupBy("bucket")
+        .cogroup(segs.groupBy("bucket"))
         .applyInPandas(kernel, out_schema)
     )
 
