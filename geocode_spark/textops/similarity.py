@@ -503,6 +503,45 @@ def _kmeans_centroids(emb: DataFrame, n_centroids: int, iters: int):
     # and break column pruning (pinned by test_plans).
     emb = persist_tracked(emb.select("vec_id", "embedding"))
     centid, centmat, centnsq = _seed_centroids(emb, n_centroids)
+    # packed Lloyd (the packed-graph / embedding-pack discipline): below
+    # the embedding pack budget the training loop's per-round Spark pass
+    # (scan + kernel + groupBy + collect, ~0.4 s/round at sf0.1) costs
+    # more than the whole training compute. Collect the vector matrix
+    # ONCE (count-guarded) and iterate in numpy with the identical
+    # arithmetic: _fold_dots/_round_half_up per assignment, int64
+    # fixed-point per-cell sums (order-independent, so one-shot numpy
+    # sums equal the distributed partial-fold exactly), the same
+    # empty-cell keep rule. The distributed loop below remains the
+    # over-budget path; the caller's assignment/search passes stay in
+    # Spark either way.
+    if emb.count() <= _emb_pack_rows():
+        import numpy as _np
+
+        rows = emb.select("embedding").collect()
+        if rows:
+            mat = _np.stack([
+                _np.asarray(r["embedding"], dtype=_np.float64) for r in rows
+            ])
+            ints = _round_half_up(
+                mat * FIXED_POINT_SCALE, 0
+            ).astype(_np.int64)
+            for _ in range(iters):
+                ccos = _round_half_up(
+                    _fold_dots(mat, centmat)
+                    / _np.sqrt(_fold_nsq(mat)[:, None] * centnsq[None, :])
+                )
+                cell = _np.argsort(-ccos, axis=1, kind="stable")[:, 0]
+                new = centmat.copy()
+                for j in range(len(centid)):
+                    m = cell == j
+                    c = int(m.sum())
+                    if not c:
+                        continue  # empty cell keeps its previous centroid
+                    s = ints[m].sum(axis=0)
+                    new[j] = (s.astype(_np.float64) / c) / FIXED_POINT_SCALE
+                centmat = new
+                centnsq = _fold_nsq(centmat)
+        return centid, centmat, centnsq
     base = emb.select("vec_id", "embedding")
     sc = emb.sparkSession.sparkContext
     for _ in range(iters):
