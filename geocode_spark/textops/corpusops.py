@@ -1577,33 +1577,51 @@ RAKE_TOKEN_RE = "([a-z]+)"
 def rake_keyphrases(docs: DataFrame, k: int = RAKE_TOPK) -> DataFrame:
     """(doc_id, phrase, score_micro, rank): top-k RAKE keyphrases per
     document (ties by phrase ascending)."""
-    stops = _rake_stopwords()
-    stop_arr = F.array(*[F.lit(s) for s in stops])
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.regexp_extract_all(
-                F.lower(F.col("text")), F.lit(RAKE_TOKEN_RE)
-            )
-        ).alias("pos", "word"),
-    ).withColumn("is_stop", F.array_contains(stop_arr, F.col("word")))
-    content = toks.filter(~F.col("is_stop"))
-    # gaps-and-islands: consecutive content positions share one group key
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    grouped = content.withColumn(
-        "grp", F.col("pos") - F.row_number().over(wdoc)
-    )
-    phrases = grouped.groupBy("doc_id", "grp").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "word"))
-                ),
-                lambda s: s["word"],
-            ),
-            " ",
-        ).alias("phrase"),
-        F.count("*").cast("bigint").alias("plen"),
+    stops = set(_rake_stopwords())
+    token_re = RAKE_TOKEN_RE
+
+    # Phrase extraction is doc-local (split the token stream on stop
+    # words), so it needs NO exchange: one Arrow kernel emits
+    # (doc_id, phrase, plen) per phrase OCCURRENCE directly, replacing
+    # the posexplode -> per-doc window (corpus exchange) -> collect_list
+    # struct sort (second corpus exchange) gaps-and-islands plan. The
+    # runs it produces are exactly the maximal consecutive-content-token
+    # islands that plan grouped; downstream (global word stats join +
+    # per-doc top-k) is unchanged. Token rule identical: [a-z]+ over
+    # lower(text) — ASCII-only classes, so Python re == Java regex here.
+    def _extract(batches):
+        import re as _re
+
+        import pandas as _pd
+
+        pat = _re.compile(token_re)
+        for pdf in batches:
+            ids: list = []
+            phs: list = []
+            plens: list = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                run: list = []
+                for w in pat.findall((text or "").lower()):
+                    if w in stops:
+                        if run:
+                            ids.append(did)
+                            phs.append(" ".join(run))
+                            plens.append(len(run))
+                            run = []
+                    else:
+                        run.append(w)
+                if run:
+                    ids.append(did)
+                    phs.append(" ".join(run))
+                    plens.append(len(run))
+            yield _pd.DataFrame({
+                "doc_id": _pd.array(ids, dtype="int64"),
+                "phrase": phs,
+                "plen": _pd.array(plens, dtype="int64"),
+            })
+
+    phrases = docs.select("doc_id", "text").mapInPandas(
+        _extract, "doc_id bigint, phrase string, plen bigint"
     )
     words = phrases.select(
         "doc_id", "phrase", "plen",
