@@ -419,15 +419,23 @@ def _points_split_source(spark: SparkSession, points: DataFrame,
     a state-less per-batch recount would report only the second half's
     counts and fail the hash gate."""
     src = f"{root}/src"
+    # pin the bucketed relation for the staging window: the two
+    # non-empty probes + two half writes are 4 actions, and for tile
+    # rollup the upstream is the full geocode pipeline — without the
+    # pin staging recomputes it 4x (the ranked-split source above
+    # already follows this persist/unpersist discipline)
     bucketed = points.withColumn(
         "_b", F.expr("conv(substr(md5(primary_key), 1, 8), 16, 10) % 2")
-    )
-    first = bucketed.filter(F.col("_b") == 0).drop("_b")
-    second = bucketed.filter(F.col("_b") == 1).drop("_b")
-    if first.limit(1).count() == 0 or second.limit(1).count() == 0:
-        raise ValueError("md5 parity split left an empty micro-batch")
-    _write_half(first, src)
-    _write_half(second, src)
+    ).persist()
+    try:
+        first = bucketed.filter(F.col("_b") == 0).drop("_b")
+        second = bucketed.filter(F.col("_b") == 1).drop("_b")
+        if first.limit(1).count() == 0 or second.limit(1).count() == 0:
+            raise ValueError("md5 parity split left an empty micro-batch")
+        _write_half(first, src)
+        _write_half(second, src)
+    finally:
+        bucketed.unpersist()
     return src
 
 
@@ -482,15 +490,20 @@ def _crawl_split_source(spark: SparkSession, log: DataFrame,
     the drained result equals the batch sketch only if register state
     max-merged across batches."""
     src = f"{root}/src"
+    # same staging pin as _points_split_source: 4 actions over the
+    # synthesized log otherwise recompute it 4x
     bucketed = log.withColumn(
         "_b", F.expr("conv(substr(md5(visitor), 9, 8), 16, 10) % 2")
-    )
-    first = bucketed.filter(F.col("_b") == 0).drop("_b")
-    second = bucketed.filter(F.col("_b") == 1).drop("_b")
-    if first.limit(1).count() == 0 or second.limit(1).count() == 0:
-        raise ValueError("md5 parity split left an empty micro-batch")
-    _write_half(first, src)
-    _write_half(second, src)
+    ).persist()
+    try:
+        first = bucketed.filter(F.col("_b") == 0).drop("_b")
+        second = bucketed.filter(F.col("_b") == 1).drop("_b")
+        if first.limit(1).count() == 0 or second.limit(1).count() == 0:
+            raise ValueError("md5 parity split left an empty micro-batch")
+        _write_half(first, src)
+        _write_half(second, src)
+    finally:
+        bucketed.unpersist()
     return src
 
 
